@@ -1,0 +1,32 @@
+"""pytorch_wavenet_tpu — a TPU-native WaveNet framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+vincentherrmann/pytorch-wavenet (mounted read-only at /root/reference):
+mu-law audio featurization, the dilated-causal-conv residual/skip stack with
+gated activations, Fast-WaveNet cached-queue autoregressive generation, a
+training loop with checkpointing and TensorBoard-compatible logging, and
+multi-chip data/model parallelism via jax.sharding meshes.
+"""
+
+from .config import WaveNetConfig, PRESETS, get_config
+from .models.wavenet import (
+    init_wavenet,
+    wavenet_logits,
+    forward,
+    parameter_count,
+)
+from .models.generate import (
+    GenState,
+    init_gen_state,
+    gen_step,
+    generate,
+    generate_fast,
+)
+from .ops.mulaw import (
+    mu_law_encoding,
+    mu_law_expansion,
+    quantize_data,
+    dequantize_data,
+)
+
+__version__ = "0.1.0"

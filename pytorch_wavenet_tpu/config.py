@@ -1,0 +1,152 @@
+"""Model / run configuration.
+
+The reference hard-codes hyperparameters as constructor kwargs in its entry
+scripts (reference: train_script.py:17-25, test_script.py:17-23). Here they
+become a frozen dataclass plus named presets so configs are first-class and
+hashable (usable as static jit arguments).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class WaveNetConfig:
+    """Hyperparameters of a WaveNet stack.
+
+    Field names and defaults mirror the reference constructor
+    (reference: wavenet_model.py:28-39) so a reference user can move their
+    config over unchanged.
+    """
+
+    layers: int = 10
+    blocks: int = 4
+    dilation_channels: int = 32
+    residual_channels: int = 32
+    skip_channels: int = 256
+    end_channels: int = 256
+    classes: int = 256
+    output_length: int = 32
+    kernel_size: int = 2
+    bias: bool = False
+    # TPU-specific knobs (no reference analogue):
+    compute_dtype: Any = jnp.float32  # matmul input dtype (bfloat16 for perf)
+
+    @property
+    def num_layers(self) -> int:
+        """Total number of gated residual layers (blocks x layers)."""
+        return self.blocks * self.layers
+
+    @property
+    def dilations(self) -> tuple[int, ...]:
+        """Per-layer dilation schedule: doubles each layer, resets per block
+        (reference: wavenet_model.py:70-109)."""
+        return tuple(2 ** (i % self.layers) for i in range(self.num_layers))
+
+    @property
+    def max_dilation(self) -> int:
+        return 2 ** (self.layers - 1)
+
+    @property
+    def receptive_field(self) -> int:
+        """rf = 1 + blocks * (kernel_size-1) * (2^layers - 1)
+        (reference: wavenet_model.py:106-109,123). 3070 for 10x3, 4093 for 10x4."""
+        return 1 + self.blocks * (self.kernel_size - 1) * (2**self.layers - 1)
+
+    @property
+    def item_length(self) -> int:
+        """Training window length so the model emits output_length logits."""
+        return self.receptive_field + self.output_length - 1
+
+    def parameter_count(self) -> int:
+        """Analytic parameter count (reference: wavenet_model.py:318-321)."""
+        c, r, d, s, e, k = (
+            self.classes,
+            self.residual_channels,
+            self.dilation_channels,
+            self.skip_channels,
+            self.end_channels,
+            self.kernel_size,
+        )
+        n = c * r  # start conv
+        per_layer = 2 * (k * r * d) + d * r + d * s
+        if self.bias:
+            n += r
+            per_layer += 2 * d + r + s
+        n += self.num_layers * per_layer
+        n += s * e + e  # end_conv_1 (always bias, reference: wavenet_model.py:111-114)
+        n += e * c + c  # end_conv_2 (always bias, reference: wavenet_model.py:116-119)
+        return n
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["compute_dtype"] = jnp.dtype(self.compute_dtype).name
+        return json.dumps(d)
+
+    @classmethod
+    def from_json(cls, s: str) -> "WaveNetConfig":
+        d = json.loads(s)
+        d["compute_dtype"] = jnp.dtype(d["compute_dtype"])
+        return cls(**d)
+
+
+# Named presets matching BASELINE.json's configs.
+PRESETS: dict[str, WaveNetConfig] = {
+    # reference: train_script.py:17-25 (the chaconne training config)
+    "chaconne": WaveNetConfig(
+        layers=10,
+        blocks=3,
+        dilation_channels=32,
+        residual_channels=32,
+        skip_channels=1024,
+        end_channels=512,
+        output_length=16,
+        bias=True,
+    ),
+    # reference: profiling.ipynb cell 1 / demo.ipynb (10x4, 32ch everywhere)
+    "saber": WaveNetConfig(
+        layers=10,
+        blocks=4,
+        dilation_channels=32,
+        residual_channels=32,
+        skip_channels=32,
+        end_channels=32,
+        output_length=64,
+        bias=False,
+    ),
+    # reference: test_script.py:17-23 (small smoke-train config)
+    "test_small": WaveNetConfig(
+        layers=8,
+        blocks=4,
+        dilation_channels=16,
+        residual_channels=16,
+        skip_channels=32,
+        end_channels=32,
+        output_length=8,
+        bias=False,
+    ),
+    # tiny config for unit tests (fast on CPU)
+    "tiny": WaveNetConfig(
+        layers=3,
+        blocks=2,
+        dilation_channels=8,
+        residual_channels=8,
+        skip_channels=16,
+        end_channels=16,
+        classes=32,
+        output_length=4,
+        bias=True,
+    ),
+}
+
+
+def get_config(name: str, **overrides) -> WaveNetConfig:
+    cfg = PRESETS[name]
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    return cfg

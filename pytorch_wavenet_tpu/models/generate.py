@@ -1,0 +1,260 @@
+"""Autoregressive generation.
+
+Two paths, mirroring the reference's capability surface:
+
+* :func:`generate` — the naive O(receptive_field)-per-sample path
+  (reference: wavenet_model.py:198-235). Kept as the correctness oracle for
+  the fast path: same weights, same trunk, must agree.
+* :func:`generate_fast` — Fast-WaveNet cached-queue generation
+  (reference: wavenet_model.py:237-315, queues at wavenet_modules.py:42-77).
+
+TPU-first redesign of the fast path:
+
+* The reference keeps one Python ``DilatedQueue`` object per layer with
+  host-side cursors and runs one tensor-op-per-layer per sample, then round
+  trips to the host for numpy categorical sampling *every step*
+  (reference: wavenet_model.py:282-289). Here the per-layer queues are a
+  single stacked HBM-resident ring buffer ``(L, S, BUF, R)`` indexed by one
+  global time cursor, the per-layer update is a ``lax.scan`` over stacked
+  weights, sampling is on-device ``jax.random.categorical``, and the whole
+  sample loop is an outer ``lax.scan`` — zero host synchronization for the
+  entire clip.
+* Generation is batched over ``S`` independent streams (the reference is
+  hard-coded to batch 1, wavenet_model.py:179); streams shard across chips
+  on the 'data' mesh axis.
+
+Priming semantics match the reference: the given samples are pushed through
+the queue path one step at a time and the last given sample is the first
+generation input (reference: wavenet_model.py:253-269).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import WaveNetConfig
+from ..ops.mulaw import mu_law_expansion_jnp
+from .wavenet import Params, wavenet_logits, _mm
+
+
+class GenState(NamedTuple):
+    """Fast-generation state: one stacked ring buffer for all layers.
+
+    Replaces the reference's per-layer ``DilatedQueue`` objects
+    (reference: wavenet_model.py:78-81). ``buffers[l, s, p, :]`` holds the
+    residual-stream activation of layer ``l``, stream ``s`` written at time
+    ``t`` with ``p = t mod BUF``; one global cursor replaces all the
+    in_pos/out_pos pairs (reference: wavenet_modules.py:44-45,55-72).
+    """
+
+    buffers: jnp.ndarray  # (L, S, BUF, R)
+    t: jnp.ndarray  # scalar int32 global time cursor
+
+
+def buffer_length(cfg: WaveNetConfig) -> int:
+    """Uniform ring length covering the largest layer's lookback:
+    (kernel_size-1)*max_dilation + 1 (reference per-layer max_length at
+    wavenet_model.py:78)."""
+    return (cfg.kernel_size - 1) * cfg.max_dilation + 1
+
+
+def init_gen_state(cfg: WaveNetConfig, num_streams: int = 1,
+                   dtype=jnp.float32) -> GenState:
+    """Zero-filled queues (reference: DilatedQueue.reset,
+    wavenet_modules.py:74-77)."""
+    buf = jnp.zeros(
+        (cfg.num_layers, num_streams, buffer_length(cfg), cfg.residual_channels),
+        dtype,
+    )
+    return GenState(buffers=buf, t=jnp.zeros((), jnp.int32))
+
+
+def gen_step(
+    params: Params, cfg: WaveNetConfig, state: GenState, cur_class: jnp.ndarray
+) -> tuple[jnp.ndarray, GenState]:
+    """One autoregressive step for all streams.
+
+    ``cur_class``: int32 ``(S,)`` current sample class. Returns logits
+    ``(S, classes)`` and the updated state. Equivalent to one pass of the
+    reference trunk under ``queue_dilate`` (reference: wavenet_model.py:177-184).
+    """
+    k = cfg.kernel_size
+    BUF = buffer_length(cfg)
+    cdt = cfg.compute_dtype
+    t = state.t
+    slot = t % BUF
+
+    h = jnp.take(params["start"]["w"], cur_class, axis=0)  # (S, R)
+    if "b" in params["start"]:
+        h = h + params["start"]["b"]
+    h = h.astype(jnp.float32)
+
+    dilations = jnp.asarray(cfg.dilations, dtype=jnp.int32)
+    S = h.shape[0]
+    skip0 = jnp.zeros((S, cfg.skip_channels), jnp.float32)
+
+    def layer(carry, xs):
+        h, skip = carry
+        buf = xs["buf"]  # (S, BUF, R)
+        d = xs["d"]
+        # ring write of the current activation (reference enqueue,
+        # wavenet_modules.py:55-57)
+        new_buf = buf.at[:, slot, :].set(h.astype(buf.dtype))
+        # gated conv over the k taps (reference dequeue + conv,
+        # wavenet_modules.py:59-72 + wavenet_model.py:147-151)
+        z = _mm(h, xs["w_in"][k - 1], cdt)
+        for j in range(k - 1):
+            idx = (t - (k - 1 - j) * d) % BUF
+            tap = lax.dynamic_index_in_dim(buf, idx, axis=1, keepdims=False)
+            z = z + _mm(tap.astype(jnp.float32), xs["w_in"][j], cdt)
+        if "b_in" in xs:
+            z = z + xs["b_in"]
+        f, g = jnp.split(z, 2, axis=-1)
+        u = jnp.tanh(f) * jax.nn.sigmoid(g)
+
+        s = _mm(u, xs["w_skip"], cdt)
+        if "b_skip" in xs:
+            s = s + xs["b_skip"]
+        skip = skip + s
+
+        r = _mm(u, xs["w_res"], cdt)
+        if "b_res" in xs:
+            r = r + xs["b_res"]
+        return (r + h, skip), new_buf
+
+    xs = {**params["layers"], "d": dilations, "buf": state.buffers}
+    (_, skip), new_buffers = lax.scan(layer, (h, skip0), xs)
+
+    y = jax.nn.relu(skip)
+    y = jax.nn.relu(_mm(y, params["end1"]["w"], cdt) + params["end1"]["b"])
+    logits = _mm(y, params["end2"]["w"], cdt) + params["end2"]["b"]
+    return logits, GenState(buffers=new_buffers, t=t + 1)
+
+
+def _sample(logits, u, classes, temperature, regularize):
+    """Temperature sampling with the reference's optional quadratic
+    regularizer pulling toward the mid class (reference:
+    wavenet_model.py:273-274,280-294). temperature==0 -> argmax.
+
+    Sampling is inverse-CDF over the tempered softmax — the same transform
+    ``np.random.choice(p=softmax(x/T))`` applies on the host in the reference
+    (wavenet_model.py:282-289), but driven by one on-device uniform per
+    (step, stream). The uniforms are drawn *outside* the sample scan (one
+    vectorized call) so no RNG primitive lives inside the compiled loop —
+    keeps compile fast and the noise footprint at O(steps*streams), not
+    O(steps*streams*classes) as per-class Gumbel noise would need.
+    """
+    if regularize != 0.0:
+        reg = (jnp.arange(classes, dtype=jnp.float32) - classes / 2.0) ** 2
+        logits = logits - reg * regularize
+    if temperature > 0:
+        probs = jax.nn.softmax(logits / temperature, axis=-1)
+        cdf = jnp.cumsum(probs, axis=-1)
+        idx = jnp.sum(u[..., None] > cdf, axis=-1)
+        return jnp.minimum(idx, classes - 1)
+    return jnp.argmax(logits, axis=-1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "num_samples", "temperature", "regularize"),
+)
+def generate_fast(
+    params: Params,
+    cfg: WaveNetConfig,
+    key: jax.Array,
+    num_samples: int,
+    first_samples: jnp.ndarray | None = None,
+    temperature: float = 1.0,
+    regularize: float = 0.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fast-WaveNet generation (reference: wavenet_model.py:237-315).
+
+    ``first_samples``: int32 ``(S, num_given)`` prime samples per stream (or
+    ``(num_given,)`` for a single stream). Defaults to one mid-class sample
+    (reference: wavenet_model.py:245-247).
+
+    Returns ``(waveform (S, num_samples) float32, classes (S, num_samples)
+    int32)`` where the waveform is mu-law-expanded like the reference
+    (wavenet_model.py:296,314).
+    """
+    if first_samples is None:
+        first_samples = jnp.full((1, 1), cfg.classes // 2, jnp.int32)
+    first_samples = jnp.atleast_2d(first_samples).astype(jnp.int32)
+    S, num_given = first_samples.shape
+    total = num_given - 1 + num_samples
+
+    state = init_gen_state(cfg, S)
+    # one uniform per (step, stream), drawn outside the scan (see _sample)
+    uniforms = jax.random.uniform(key, (total, S), jnp.float32)
+    # input class for priming step i is first_samples[:, i]; pad so the
+    # gather below stays in bounds once i+1 >= num_given.
+    given = jnp.pad(first_samples, ((0, 0), (0, max(0, total + 1 - num_given))))
+
+    def step(carry, xs):
+        state, cur = carry
+        u, i = xs
+        logits, state = gen_step(params, cfg, state, cur)
+        sampled = _sample(logits, u, cfg.classes, temperature, regularize)
+        nxt = jnp.where(i + 1 < num_given, given[:, jnp.minimum(i + 1, total)], sampled)
+        return (state, nxt.astype(jnp.int32)), sampled
+
+    (_, _), samples = lax.scan(
+        step,
+        (state, first_samples[:, 0]),
+        (uniforms, jnp.arange(total, dtype=jnp.int32)),
+    )
+    out = samples[num_given - 1 :].T  # (S, num_samples)
+    wav = mu_law_expansion_jnp((out.astype(jnp.float32) / cfg.classes) * 2.0 - 1.0,
+                               cfg.classes)
+    return wav, out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "num_samples", "temperature", "regularize"),
+)
+def generate(
+    params: Params,
+    cfg: WaveNetConfig,
+    key: jax.Array,
+    num_samples: int,
+    first_samples: jnp.ndarray | None = None,
+    temperature: float = 1.0,
+    regularize: float = 0.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Naive autoregressive generation: re-run the full receptive-field
+    window per sample (reference: wavenet_model.py:198-235). O(rf) per step —
+    the correctness oracle for :func:`generate_fast`.
+
+    Short primes are left-padded with class 0 (the reference zero-pads the
+    prime window, wavenet_model.py:203-210).
+    """
+    rf = cfg.receptive_field
+    if first_samples is None:
+        first_samples = jnp.zeros((1, 1), jnp.int32)
+    first_samples = jnp.atleast_2d(first_samples).astype(jnp.int32)
+    S, num_given = first_samples.shape
+
+    window = jnp.zeros((S, rf), jnp.int32)
+    ng = min(num_given, rf)
+    window = lax.dynamic_update_slice(window, first_samples[:, -ng:], (0, rf - ng))
+
+    uniforms = jax.random.uniform(key, (num_samples, S), jnp.float32)
+
+    def step(window, u):
+        logits = wavenet_logits(params, cfg, window, out_len=1)[:, 0, :]
+        sampled = _sample(logits, u, cfg.classes, temperature, regularize)
+        window = jnp.concatenate([window[:, 1:], sampled[:, None]], axis=1)
+        return window, sampled
+
+    _, samples = lax.scan(step, window, uniforms)
+    out = samples.T  # (S, num_samples)
+    wav = mu_law_expansion_jnp((out.astype(jnp.float32) / cfg.classes) * 2.0 - 1.0,
+                               cfg.classes)
+    return wav, out

@@ -1,0 +1,215 @@
+"""TPU-native WaveNet trunk.
+
+Capability parity with the reference model (reference: wavenet_model.py:28-196)
+with a TPU-first design instead of a translation:
+
+* The reference implements dilated causal convolution by *batch folding*
+  (reference: wavenet_modules.py:10-39) because PyTorch 0.3's dilated conv was
+  slow. On TPU a kernel-size-k dilated conv is just k time-shifted matmuls on
+  the MXU — no folding, no shape games.
+* The reference loops over ``blocks*layers`` separate ``nn.Conv1d`` modules in
+  Python (reference: wavenet_model.py:131-165). Here all per-layer weights are
+  *stacked* along a leading layer axis and the trunk is one ``lax.scan`` —
+  one compiled layer body regardless of depth, fast compile, and a layout the
+  fast-generation kernel can reuse directly.
+* Activations are channels-last ``(N, T, C)`` so every conv is a plain
+  ``(N*T, C_in) @ (C_in, C_out)`` matmul that XLA tiles onto the MXU.
+* Filter and gate convs (reference: wavenet_model.py:84-92,147-151) are fused
+  into one matmul of width ``2*dilation_channels``; the skip projection — by
+  far the largest matmul for the canonical config (skip_channels=1024) — is
+  computed only for the ``out_len`` positions that survive the final slice,
+  which the math makes equivalent to the reference's full-length compute
+  (1x1 convs are per-position; reference slices after the head at
+  wavenet_model.py:190-195).
+
+Alignment semantics match the reference exactly for the valid (last
+``out_len``) positions: gated unit at time t sees x[t], x[t-d], ..., the
+residual add is position-aligned (reference's shifted add at
+wavenet_model.py:164-165), and skip accumulation is right-aligned
+(reference: wavenet_model.py:154-162).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import WaveNetConfig
+
+Params = Dict[str, Any]
+
+
+# ----------------------------------------------------------------- init
+
+
+def _conv_init(key, shape, fan_in):
+    """PyTorch-0.3 Conv1d default init: U(-s, s) with s = 1/sqrt(fan_in*k).
+
+    Matches the init the reference model trains under (torch.nn.Conv1d
+    reset_parameters), keeping training dynamics comparable.
+    """
+    stdv = 1.0 / (fan_in**0.5)
+    return jax.random.uniform(key, shape, jnp.float32, -stdv, stdv)
+
+
+def init_wavenet(key: jax.Array, cfg: WaveNetConfig) -> Params:
+    """Build the parameter pytree.
+
+    Layout (stacked over L = blocks*layers; reference builds these as per-layer
+    module lists at wavenet_model.py:59-119):
+
+    - ``start.w  (classes, R)``           start 1x1 conv
+    - ``layers.w_in (L, k, R, 2*D)``      fused filter+gate dilated conv taps
+    - ``layers.w_res (L, D, R)``          residual 1x1
+    - ``layers.w_skip (L, D, S)``         skip 1x1
+    - ``end1.w (S, E)``, ``end2.w (E, classes)``  output head (always biased,
+      reference: wavenet_model.py:111-119)
+    - optional biases when cfg.bias (reference start/filter/gate/res/skip convs
+      take the constructor's ``bias`` flag, wavenet_model.py:65-104)
+    """
+    L = cfg.num_layers
+    k = cfg.kernel_size
+    R, D, S, E, C = (
+        cfg.residual_channels,
+        cfg.dilation_channels,
+        cfg.skip_channels,
+        cfg.end_channels,
+        cfg.classes,
+    )
+    keys = jax.random.split(key, 12)
+
+    params: Params = {
+        "start": {"w": _conv_init(keys[0], (C, R), C)},
+        "layers": {
+            "w_in": _conv_init(keys[1], (L, k, R, 2 * D), R * k),
+            "w_res": _conv_init(keys[2], (L, D, R), D),
+            "w_skip": _conv_init(keys[3], (L, D, S), D),
+        },
+        "end1": {
+            "w": _conv_init(keys[4], (S, E), S),
+            "b": _conv_init(keys[5], (E,), S),
+        },
+        "end2": {
+            "w": _conv_init(keys[6], (E, C), E),
+            "b": _conv_init(keys[7], (C,), E),
+        },
+    }
+    if cfg.bias:
+        params["start"]["b"] = _conv_init(keys[8], (R,), C)
+        params["layers"]["b_in"] = _conv_init(keys[9], (L, 2 * D), R * k)
+        params["layers"]["b_res"] = _conv_init(keys[10], (L, R), D)
+        params["layers"]["b_skip"] = _conv_init(keys[11], (L, S), D)
+    return params
+
+
+def parameter_count(params: Params) -> int:
+    """Total parameter count (reference: wavenet_model.py:318-321)."""
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+
+
+# ----------------------------------------------------------------- forward
+
+
+def _mm(a, w, dtype):
+    """(..., Cin) @ (Cin, Cout) on the MXU with f32 accumulation.
+
+    Uses the platform default matmul precision (TPU multiplies f32 operands
+    in bf16 passes). All compute paths — training trunk, naive generation,
+    fast generation — share this helper, so cross-path equivalence holds at
+    the platform precision; tests compare with bf16-scale tolerances.
+    """
+    return jnp.matmul(a.astype(dtype), w.astype(dtype),
+                      preferred_element_type=jnp.float32)
+
+
+def embed_inputs(params: Params, cfg: WaveNetConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """Start conv. Integer inputs ``(N, T)`` become an embedding-row gather
+    (mathematically the reference's one-hot @ start_conv,
+    wavenet_model.py:127 + audio_data.py:120-121); float one-hot ``(N, T, C)``
+    inputs are also accepted for reference API compatibility."""
+    w = params["start"]["w"]
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        h = jnp.take(w, x, axis=0)
+    else:
+        h = _mm(x, w, cfg.compute_dtype)
+    if "b" in params["start"]:
+        h = h + params["start"]["b"]
+    return h.astype(jnp.float32)
+
+
+def wavenet_logits(
+    params: Params,
+    cfg: WaveNetConfig,
+    x: jnp.ndarray,
+    out_len: int | None = None,
+) -> jnp.ndarray:
+    """Run the trunk; return logits ``(N, out_len, classes)`` (no softmax —
+    the loss applies it, matching reference: wavenet_model.py:167-170).
+
+    ``x``: int ``(N, T)`` class labels or float one-hot ``(N, T, classes)``,
+    with ``T >= receptive_field + out_len - 1``.
+    """
+    if out_len is None:
+        out_len = cfg.output_length
+    k = cfg.kernel_size
+    cdt = cfg.compute_dtype
+    max_shift = (k - 1) * cfg.max_dilation
+
+    h = embed_inputs(params, cfg, x)  # (N, T, R)
+    N, T, R = h.shape
+    dilations = jnp.asarray(cfg.dilations, dtype=jnp.int32)
+
+    lp = dict(params["layers"])
+    skip0 = jnp.zeros((N, out_len, cfg.skip_channels), jnp.float32)
+
+    def layer(carry, xs):
+        h, skip = carry
+        d = xs.pop("d")
+        # Gated dilated conv: sum of k time-shifted matmuls. Tap j looks back
+        # (k-1-j)*d steps; the most recent tap is h itself. Out-of-range
+        # history is zero (same as the reference's pad-start in dilate(),
+        # wavenet_modules.py:23-27 — those positions are sliced away anyway).
+        z = _mm(h, xs["w_in"][k - 1], cdt)
+        if k > 1:
+            hp = jnp.pad(h, ((0, 0), (max_shift, 0), (0, 0)))
+            for j in range(k - 1):
+                shift = (k - 1 - j) * d  # traced under scan: dynamic slice
+                tap = lax.dynamic_slice_in_dim(hp, max_shift - shift, T, axis=1)
+                z = z + _mm(tap, xs["w_in"][j], cdt)
+        if "b_in" in xs:
+            z = z + xs["b_in"]
+        f, g = jnp.split(z, 2, axis=-1)
+        u = jnp.tanh(f) * jax.nn.sigmoid(g)  # (N, T, D)
+
+        # Skip: only the positions that survive the final slice.
+        s = _mm(u[:, T - out_len :, :], xs["w_skip"], cdt)
+        if "b_skip" in xs:
+            s = s + xs["b_skip"]
+        skip = skip + s
+
+        # Residual: position-aligned add (reference: wavenet_model.py:164-165).
+        r = _mm(u, xs["w_res"], cdt)
+        if "b_res" in xs:
+            r = r + xs["b_res"]
+        h = r + h
+        return (h, skip), None
+
+    (_, skip), _ = lax.scan(layer, (h, skip0), {**lp, "d": dilations})
+
+    # Head: relu -> 1x1 -> relu -> 1x1 (reference: wavenet_model.py:167-170).
+    y = jax.nn.relu(skip)
+    y = jax.nn.relu(_mm(y, params["end1"]["w"], cdt) + params["end1"]["b"])
+    y = _mm(y, params["end2"]["w"], cdt) + params["end2"]["b"]
+    return y
+
+
+def forward(params: Params, cfg: WaveNetConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """Reference ``forward`` semantics: logits flattened to
+    ``(N*output_length, classes)`` for cross-entropy
+    (reference: wavenet_model.py:186-196)."""
+    y = wavenet_logits(params, cfg, x, cfg.output_length)
+    N, L, C = y.shape
+    return y.reshape(N * L, C)

@@ -1,0 +1,176 @@
+"""Generation equivalence and sampling tests.
+
+The reference keeps the slow path as the implicit oracle for the fast path
+(same weights, same trunk — reference: wavenet_model.py:198-315); here that
+becomes an explicit property: fast == naive == teacher-forced trunk.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pytorch_wavenet_tpu as wt
+from pytorch_wavenet_tpu.models.generate import (
+    init_gen_state,
+    gen_step,
+    buffer_length,
+    _sample,
+)
+from pytorch_wavenet_tpu.ops.mulaw import mu_law_expansion
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = wt.get_config("tiny")
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _prime(cfg, n_streams, key=jax.random.PRNGKey(2)):
+    return jax.random.randint(key, (n_streams, cfg.receptive_field), 0, cfg.classes)
+
+
+def test_fast_equals_naive_argmax(tiny):
+    cfg, params = tiny
+    prime = _prime(cfg, 4)
+    k = jax.random.PRNGKey(3)
+    _, cf = wt.generate_fast(params, cfg, k, 64, prime, temperature=0.0)
+    _, cn = wt.generate(params, cfg, k, 64, prime, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(cf), np.asarray(cn))
+
+
+def test_fast_equals_teacher_forced(tiny):
+    """The fast path's per-step argmax must equal teacher-forcing the
+    generated sequence through the training trunk — queue state is exactly
+    the trunk's activation history."""
+    cfg, params = tiny
+    rf = cfg.receptive_field
+    prime = _prime(cfg, 2)
+    n = 32
+    _, cls = wt.generate_fast(
+        params, cfg, jax.random.PRNGKey(3), n, prime, temperature=0.0
+    )
+    cls = np.asarray(cls)  # (2, n)
+    full = np.concatenate([np.asarray(prime), cls[:, :-1]], axis=1)  # (2, rf+n-1)
+    logits = wt.wavenet_logits(params, cfg, jnp.asarray(full), out_len=n)
+    tf_argmax = np.asarray(jnp.argmax(logits, axis=-1))
+    np.testing.assert_array_equal(tf_argmax, cls)
+
+
+def test_fast_generation_deterministic_at_t0(tiny):
+    cfg, params = tiny
+    prime = _prime(cfg, 1)
+    _, a = wt.generate_fast(params, cfg, jax.random.PRNGKey(1), 32, prime, temperature=0.0)
+    _, b = wt.generate_fast(params, cfg, jax.random.PRNGKey(9), 32, prime, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_default_prime_is_mid_class(tiny):
+    """reference: wavenet_model.py:245-247 — default prime is one mid-class
+    sample."""
+    cfg, params = tiny
+    wav, cls = wt.generate_fast(params, cfg, jax.random.PRNGKey(0), 8)
+    assert cls.shape == (1, 8)
+    explicit = jnp.full((1, 1), cfg.classes // 2, jnp.int32)
+    _, cls2 = wt.generate_fast(params, cfg, jax.random.PRNGKey(0), 8, explicit)
+    np.testing.assert_array_equal(np.asarray(cls), np.asarray(cls2))
+
+
+def test_waveform_is_mu_law_expanded(tiny):
+    cfg, params = tiny
+    wav, cls = wt.generate_fast(params, cfg, jax.random.PRNGKey(5), 16, _prime(cfg, 1))
+    # decode matches the reference's (x/classes)*2-1 -> expansion
+    # (reference: wavenet_model.py:296,314)
+    x = (np.asarray(cls, np.float64) / cfg.classes) * 2.0 - 1.0
+    np.testing.assert_allclose(np.asarray(wav), mu_law_expansion(x, cfg.classes), atol=1e-5)
+
+
+def test_gen_state_ring_buffer_shapes(tiny):
+    cfg, params = tiny
+    st = init_gen_state(cfg, 3)
+    assert st.buffers.shape == (
+        cfg.num_layers, 3, buffer_length(cfg), cfg.residual_channels
+    )
+    assert buffer_length(cfg) == (cfg.kernel_size - 1) * cfg.max_dilation + 1
+    logits, st2 = gen_step(params, cfg, st, jnp.zeros((3,), jnp.int32))
+    assert logits.shape == (3, cfg.classes)
+    assert int(st2.t) == 1
+    # exactly one slot per layer/stream was written
+    changed = np.asarray((st2.buffers != st.buffers).any(axis=-1)).sum(axis=-1)
+    assert (changed <= 1).all()
+
+
+def test_queue_wraparound_long_rollout(tiny):
+    """Roll out longer than the ring buffer so every slot is overwritten at
+    least once (the reference's wraparound concat path,
+    wavenet_modules.py:59-72) and the fast path still matches naive."""
+    cfg, params = tiny
+    n = buffer_length(cfg) * 2 + 5
+    prime = _prime(cfg, 1)
+    k = jax.random.PRNGKey(7)
+    _, cf = wt.generate_fast(params, cfg, k, n, prime, temperature=0.0)
+    _, cn = wt.generate(params, cfg, k, n, prime, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(cf), np.asarray(cn))
+
+
+def test_sampling_matches_softmax_distribution():
+    """Inverse-CDF sampling reproduces softmax(logits/T) — the
+    distribution-level parity SURVEY.md §7(c) requires (the reference samples
+    via host numpy, wavenet_model.py:282-289)."""
+    key = jax.random.PRNGKey(0)
+    classes = 8
+    logits = jnp.asarray([0.0, 1.0, 2.0, -1.0, 0.5, 0.0, -2.0, 1.5])
+    n = 20000
+    u = jax.random.uniform(key, (n,))
+    samples = np.asarray(
+        _sample(jnp.tile(logits, (n, 1)), u, classes, 1.0, 0.0)
+    )
+    probs = np.asarray(jax.nn.softmax(logits))
+    freq = np.bincount(samples, minlength=classes) / n
+    np.testing.assert_allclose(freq, probs, atol=0.015)
+
+
+def test_temperature_effect():
+    """Low temperature concentrates mass on the argmax class."""
+    classes = 8
+    logits = jnp.asarray([0.0, 3.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    u = jax.random.uniform(jax.random.PRNGKey(1), (5000,))
+    hot = np.asarray(_sample(jnp.tile(logits, (5000, 1)), u, classes, 0.1, 0.0))
+    assert (hot == 1).mean() > 0.99
+
+
+def test_regularizer_pulls_to_mid_class(tiny):
+    """reference: wavenet_model.py:273-274,280 — quadratic regularizer
+    penalizes classes far from classes/2."""
+    classes = 16
+    logits = jnp.zeros((1000, classes))
+    u = jax.random.uniform(jax.random.PRNGKey(2), (1000,))
+    reg = np.asarray(_sample(logits, u, classes, 1.0, 0.5))
+    noreg = np.asarray(_sample(logits, u, classes, 1.0, 0.0))
+    mid = classes / 2.0
+    assert np.abs(reg - mid).mean() < np.abs(noreg - mid).mean()
+
+
+def test_multi_stream_independence(tiny):
+    """Streams are independent: generating (a,b) batched equals generating
+    each alone (the reference can't do this at all — batch-1 only,
+    wavenet_model.py:179)."""
+    cfg, params = tiny
+    prime = _prime(cfg, 2)
+    k = jax.random.PRNGKey(11)
+    _, both = wt.generate_fast(params, cfg, k, 24, prime, temperature=0.0)
+    _, a = wt.generate_fast(params, cfg, k, 24, prime[:1], temperature=0.0)
+    _, b = wt.generate_fast(params, cfg, k, 24, prime[1:], temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(both[0]), np.asarray(a[0]))
+    np.testing.assert_array_equal(np.asarray(both[1]), np.asarray(b[0]))
+
+
+def test_generate_short_prime_pads(tiny):
+    """Naive generation left-pads short primes (reference capability at
+    wavenet_model.py:203-210 — reproduced without the reference's bug)."""
+    cfg, params = tiny
+    short = jnp.full((1, 3), 5, jnp.int32)
+    wav, cls = wt.generate(params, cfg, jax.random.PRNGKey(0), 8, short, temperature=0.0)
+    assert cls.shape == (1, 8)
+    assert np.isfinite(np.asarray(wav)).all()
