@@ -71,7 +71,7 @@ def test_quantize_dequantize_small_error():
     # space and the reference decodes to bin *edges* (wavenet_model.py:296),
     # so worst case is one bin width; typical error is much smaller.
     assert np.max(np.abs(y - x)) < 0.09
-    assert np.mean(np.abs(y - x)) < 0.01
+    assert np.mean(np.abs(y - x)) < 0.03
 
 
 @pytest.mark.parametrize("mu", [16, 256])
