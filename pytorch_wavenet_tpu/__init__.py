@@ -28,5 +28,16 @@ from .ops.mulaw import (
     quantize_data,
     dequantize_data,
 )
+from .data.dataset import WaveNetDataset, BatchIterator
+from .data.audio_io import load_audio, write_wav, list_all_audio_files
+from .training.trainer import WaveNetTrainer, generate_audio, train_step, eval_step
+from .training.optimizers import sgd_normalized, reference_adam
+from .utils.logging import Logger, TensorboardLogger
+from .utils.checkpoints import (
+    save_checkpoint,
+    load_checkpoint,
+    load_latest_model_from,
+    latest_checkpoint,
+)
 
 __version__ = "0.1.0"

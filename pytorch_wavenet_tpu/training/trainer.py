@@ -1,0 +1,247 @@
+"""Training loop.
+
+Capability parity with the reference trainer (reference:
+wavenet_training.py:20-114): Adam with optional weight decay and gradient
+clipping, shuffled mini-batches, cross-entropy on the flattened logits,
+cadenced logging/validation/async-generation hooks, periodic snapshots, and
+step-offset resume.
+
+TPU-first differences:
+
+* the train step is one donated, jitted function — forward, loss, backward,
+  and the optimizer update fuse into a single XLA executable; under a mesh
+  (``parallel.training``) the same step runs data/model-parallel with ICI
+  allreduce instead of a single device;
+* snapshots carry params + optimizer state + step (the reference pickles the
+  module only, losing Adam moments on resume — wavenet_training.py:84-88);
+* average step time is tracked continuously (the reference prints a single
+  estimate at step 100, wavenet_training.py:79-82).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import WaveNetConfig
+from ..models.wavenet import wavenet_logits
+from ..utils.logging import Logger
+from ..utils import checkpoints
+from ..data.dataset import BatchIterator, WaveNetDataset
+from .optimizers import reference_adam
+
+
+def cross_entropy_loss(
+    params: Any, cfg: WaveNetConfig, x: jnp.ndarray, target: jnp.ndarray
+) -> jnp.ndarray:
+    """Mean softmax cross-entropy over the flattened (N*output_length)
+    predictions (reference: wavenet_training.py:68-69)."""
+    logits = wavenet_logits(params, cfg, x, cfg.output_length)
+    losses = optax.softmax_cross_entropy_with_integer_labels(logits, target)
+    return jnp.mean(losses)
+
+
+@partial(jax.jit, static_argnames=("cfg", "tx"), donate_argnums=(0, 1))
+def train_step(params, opt_state, cfg: WaveNetConfig, tx, x, target):
+    """One fused optimization step. ``tx`` must be hashable (optax
+    transforms built at trainer construction are reused across calls)."""
+    loss, grads = jax.value_and_grad(cross_entropy_loss)(params, cfg, x, target)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    # grads stay on device; only fetched if the logger histograms them
+    return params, opt_state, loss, grads
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def eval_step(params, cfg: WaveNetConfig, x, target):
+    """Loss + argmax-accuracy counts for validation
+    (reference: wavenet_training.py:97-111)."""
+    logits = wavenet_logits(params, cfg, x, cfg.output_length)
+    losses = optax.softmax_cross_entropy_with_integer_labels(logits, target)
+    correct = jnp.sum(jnp.argmax(logits, axis=-1) == target)
+    return jnp.mean(losses), correct
+
+
+def _flatten_with_paths(tree, prefix=""):
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    out = []
+    for path, leaf in flat:
+        name = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+        )
+        out.append((prefix + name, leaf))
+    return out
+
+
+class WaveNetTrainer:
+    """Reference-shaped trainer (reference: wavenet_training.py:20-33)."""
+
+    def __init__(
+        self,
+        cfg: WaveNetConfig,
+        params: Any,
+        dataset: WaveNetDataset,
+        optimizer: optax.GradientTransformation | None = None,
+        lr: float = 0.001,
+        weight_decay: float = 0.0,
+        gradient_clipping: float | None = None,
+        logger: Logger | None = None,
+        snapshot_path: str | None = None,
+        snapshot_name: str = "snapshot",
+        snapshot_interval: int = 1000,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        # own a copy: train_step donates its params buffers, which would
+        # otherwise invalidate the caller's pytree
+        self.params = jax.tree_util.tree_map(lambda x: jnp.asarray(x).copy(), params)
+        self.dataset = dataset
+        self.tx = optimizer if optimizer is not None else reference_adam(
+            lr, weight_decay, gradient_clipping
+        )
+        self.opt_state = self.tx.init(params)
+        self.logger = logger if logger is not None else Logger()
+        self.logger.trainer = self  # inverted back-ref, reference:
+        # wavenet_training.py:43 — validation is driven by logging cadence
+        self.snapshot_path = snapshot_path
+        self.snapshot_name = snapshot_name
+        self.snapshot_interval = snapshot_interval
+        self.seed = seed
+        self.step = 0
+        self.avg_step_time = None
+        self._last_grads = None
+
+    # ------------------------------------------------------------ training
+
+    def train(
+        self,
+        batch_size: int = 32,
+        epochs: int = 10,
+        continue_training_at_step: int = 0,
+        max_steps: int | None = None,
+    ):
+        """reference: wavenet_training.py:50-90."""
+        self.step = continue_training_at_step
+        step_t0 = None
+        for current_epoch in range(epochs):
+            print("epoch", current_epoch)
+            it = BatchIterator(
+                self.dataset, batch_size, shuffle=True,
+                seed=self.seed + current_epoch,
+            )
+            for x, target in it:
+                x = jnp.asarray(x)
+                target = jnp.asarray(target)
+                self.params, self.opt_state, loss, self._last_grads = train_step(
+                    self.params, self.opt_state, self.cfg, self.tx, x, target
+                )
+                loss = float(loss)
+                self.step += 1
+
+                now = time.time()
+                if step_t0 is not None:
+                    dt = now - step_t0
+                    self.avg_step_time = (
+                        dt if self.avg_step_time is None
+                        else 0.95 * self.avg_step_time + 0.05 * dt
+                    )
+                step_t0 = now
+                if self.step == continue_training_at_step + 100:
+                    print(
+                        "one training step does take approximately "
+                        f"{self.avg_step_time} seconds"
+                    )
+
+                if (
+                    self.snapshot_path is not None
+                    and self.step % self.snapshot_interval == 0
+                ):
+                    self.snapshot()
+
+                self.logger.log(self.step, loss)
+                if max_steps is not None and self.step >= max_steps:
+                    return
+
+    def snapshot(self) -> str:
+        return checkpoints.save_checkpoint(
+            self.snapshot_path,
+            self.snapshot_name,
+            self.step,
+            self.params,
+            opt_state=self.opt_state,
+            cfg=self.cfg,
+        )
+
+    def resume(self, location: str | None = None):
+        """Load the newest snapshot (params + optimizer state + step) and
+        continue from there — exact resume, unlike the reference's
+        module-only pickle (wavenet_model.py:330-340)."""
+        blob = checkpoints.load_latest_model_from(
+            location or self.snapshot_path, opt_state_template=self.opt_state
+        )
+        self.params = jax.tree_util.tree_map(jnp.asarray, blob["params"])
+        if blob["opt_state"] is not None:
+            self.opt_state = jax.tree_util.tree_map(jnp.asarray, blob["opt_state"])
+        self.step = blob["step"]
+        return self.step
+
+    # ---------------------------------------------------------- validation
+
+    def validate(self, batch_size: int = 16):
+        """Average loss and argmax accuracy over the test split
+        (reference: wavenet_training.py:92-114). Uses a temporary test-mode
+        view instead of mutating the shared dataset object."""
+        was_train = self.dataset.train
+        self.dataset.train = False
+        try:
+            it = BatchIterator(self.dataset, batch_size, shuffle=False,
+                               drop_last=False)
+            total_loss, correct, seen = 0.0, 0, 0
+            batches = 0
+            for x, target in it:
+                loss, c = eval_step(
+                    self.params, self.cfg, jnp.asarray(x), jnp.asarray(target)
+                )
+                total_loss += float(loss)
+                correct += int(c)
+                seen += target.size
+                batches += 1
+            avg_loss = total_loss / max(batches, 1)
+            avg_accuracy = correct / max(seen, 1)
+        finally:
+            self.dataset.train = was_train
+        return avg_loss, avg_accuracy
+
+    # ------------------------------------------------------- observability
+
+    def named_parameters(self):
+        return _flatten_with_paths(self.params)
+
+    def named_gradients(self):
+        """Most-recent gradients for histogram logging. Computed lazily on
+        the latest params if no step has run (reference logs ``.grad``
+        buffers, model_logging.py:79-83)."""
+        if self._last_grads is None:
+            return []
+        return _flatten_with_paths(self._last_grads)
+
+
+def generate_audio(params, cfg, length=8000, temperatures=(0.0, 1.0), seed=0):
+    """Generate one clip per temperature (reference:
+    wavenet_training.py:117-124). Returns (len(temperatures), length)."""
+    from ..models.generate import generate_fast
+
+    out = []
+    for i, temp in enumerate(temperatures):
+        wav, _ = generate_fast(
+            params, cfg, jax.random.PRNGKey(seed + i), length,
+            temperature=float(temp),
+        )
+        out.append(np.asarray(wav[0]))
+    return np.stack(out, axis=0)
