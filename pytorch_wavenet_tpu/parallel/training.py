@@ -1,0 +1,70 @@
+"""Multi-chip training and generation entry points.
+
+One jitted train step serves every mesh shape: parameters are placed with
+:func:`..parallel.sharding.shard_params`, batches with ``P('data')``, and
+GSPMD partitions the computation — gradient allreduce over ``data`` and the
+skip/end channel collectives over ``model`` ride ICI with no explicit
+communication code (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import WaveNetConfig
+from ..models.wavenet import wavenet_logits
+from ..training.trainer import cross_entropy_loss
+from .mesh import DATA_AXIS, make_mesh
+from .sharding import batch_sharding, param_pspecs, shard_params
+
+
+def make_sharded_train_state(
+    cfg: WaveNetConfig, params: Any, tx: optax.GradientTransformation, mesh: Mesh
+):
+    """Shard params on the mesh and build matching-sharded optimizer state
+    (jit propagates the param shardings into the Adam moments)."""
+    params = shard_params(params, cfg, mesh)
+    opt_state = jax.jit(tx.init)(params)
+    return params, opt_state
+
+
+@partial(jax.jit, static_argnames=("cfg", "tx"), donate_argnums=(0, 1))
+def parallel_train_step(params, opt_state, cfg: WaveNetConfig, tx, x, target):
+    """Identical math to ``training.trainer.train_step``; sharding comes from
+    the operands, so the same function is the 1-chip and the N-chip step."""
+    loss, grads = jax.value_and_grad(cross_entropy_loss)(params, cfg, x, target)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+def put_batch(mesh: Mesh, x, target):
+    sh = batch_sharding(mesh)
+    return jax.device_put(jnp.asarray(x), sh), jax.device_put(jnp.asarray(target), sh)
+
+
+def sharded_generate_fast(params, cfg, mesh: Mesh, key, num_samples,
+                          first_samples, temperature=1.0, regularize=0.0):
+    """Batched multi-stream generation with streams sharded over the data
+    axis (BASELINE.json config 4; the reference is batch-1 only,
+    wavenet_model.py:179). ``first_samples``: (S, num_given) with S divisible
+    by the data-axis size."""
+    from ..models.generate import generate_fast
+
+    first_samples = jax.device_put(first_samples, batch_sharding(mesh))
+    return generate_fast(
+        params, cfg, key, num_samples, first_samples,
+        temperature=temperature, regularize=regularize,
+    )
+
+
+def data_parallel_batch_iterator(it, mesh: Mesh):
+    """Wrap a host BatchIterator, placing every batch sharded over data."""
+    for x, y in it:
+        yield put_batch(mesh, x, y)

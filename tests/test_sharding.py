@@ -1,0 +1,120 @@
+"""Multi-device sharding tests on the 8-virtual-device CPU mesh
+(conftest sets --xla_force_host_platform_device_count=8). Sharding-invariance
+property per SURVEY.md §4: 1 chip == N chips allclose."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+import pytorch_wavenet_tpu as wt
+from pytorch_wavenet_tpu.parallel.mesh import make_mesh, DATA_AXIS, MODEL_AXIS
+from pytorch_wavenet_tpu.parallel.sharding import (
+    param_pspecs,
+    shard_params,
+    batch_sharding,
+)
+from pytorch_wavenet_tpu.parallel.training import (
+    make_sharded_train_state,
+    parallel_train_step,
+    put_batch,
+    sharded_generate_fast,
+)
+from pytorch_wavenet_tpu.training.optimizers import reference_adam
+from pytorch_wavenet_tpu.training.trainer import train_step
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    # skip_channels divisible by model axis
+    cfg = wt.get_config("tiny", skip_channels=32)
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    key = jax.random.PRNGKey(1)
+    x = jax.random.randint(key, (8, cfg.item_length), 0, cfg.classes)
+    y = jax.random.randint(jax.random.PRNGKey(2), (8, cfg.output_length), 0, cfg.classes)
+    return cfg, params, x, y
+
+
+def test_mesh_shapes():
+    m = make_mesh(4, 2)
+    assert m.shape == {DATA_AXIS: 4, MODEL_AXIS: 2}
+    with pytest.raises(ValueError):
+        make_mesh(3, 2)
+
+
+def test_param_pspecs_structure(setup):
+    cfg, params, _, _ = setup
+    specs = param_pspecs(cfg, params)
+    assert specs["layers"]["w_skip"] == P(None, None, MODEL_AXIS)
+    assert specs["end1"]["w"] == P(MODEL_AXIS, None)
+    assert specs["start"]["w"] == P()
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_forward_matches_single_device(setup, shape):
+    cfg, params, x, y = setup
+    ref = wt.wavenet_logits(params, cfg, x)
+    mesh = make_mesh(*shape)
+    sp = shard_params(params, cfg, mesh)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    out = jax.jit(wt.wavenet_logits, static_argnames=("cfg",))(sp, cfg, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2)])
+def test_sharded_train_step_matches_single_device(setup, shape):
+    cfg, params, x, y = setup
+    tx = reference_adam(1e-3)
+    # single-device baseline
+    p0 = jax.tree_util.tree_map(lambda a: a.copy(), params)
+    s0 = tx.init(p0)
+    p1, s1, loss1, _ = train_step(p0, s0, cfg, tx, x, y)
+
+    mesh = make_mesh(*shape)
+    sp, so = make_sharded_train_state(cfg, params, tx, mesh)
+    xb, yb = put_batch(mesh, x, y)
+    sp2, so2, loss2 = parallel_train_step(sp, so, cfg, tx, xb, yb)
+
+    assert float(loss2) == pytest.approx(float(loss1), abs=2e-3)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(sp2)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_sharded_params_actually_sharded(setup):
+    cfg, params, _, _ = setup
+    mesh = make_mesh(1, 8)
+    sp = shard_params(params, cfg, mesh)
+    shard_shapes = [s.data.shape for s in sp["layers"]["w_skip"].addressable_shards]
+    L, D, S = params["layers"]["w_skip"].shape
+    assert all(sh == (L, D, S // 8) for sh in shard_shapes)
+
+
+def test_sharded_generation_matches_single_device(setup):
+    cfg, params, _, _ = setup
+    prime = jax.random.randint(
+        jax.random.PRNGKey(5), (8, cfg.receptive_field), 0, cfg.classes
+    )
+    k = jax.random.PRNGKey(6)
+    _, ref = wt.generate_fast(params, cfg, k, 16, prime, temperature=0.0)
+
+    mesh = make_mesh(8, 1)
+    sp = shard_params(params, cfg, mesh)
+    _, out = sharded_generate_fast(sp, cfg, mesh, k, 16, prime, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_multi_step_sharded_training_loss_decreases(setup):
+    cfg, params, x, y = setup
+    tx = reference_adam(3e-3)
+    mesh = make_mesh(4, 2)
+    sp, so = make_sharded_train_state(cfg, params, tx, mesh)
+    xb, yb = put_batch(mesh, x, y)
+    losses = []
+    for _ in range(10):
+        sp, so, loss = parallel_train_step(sp, so, cfg, tx, xb, yb)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
