@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Generation entry point (the reference's generate_script.py as a CLI).
+
+Loads the newest snapshot, primes from a dataset window, generates with
+Fast-WaveNet on device, writes a wav.
+
+Example:
+  python scripts/generate.py --snapshot-path snapshots \
+      --data-dir train_samples/bach_chaconne --num-samples 16000 \
+      --temperature 1.0 --out latest_generated_clip.wav
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--snapshot-path", default="snapshots")
+    p.add_argument("--snapshot", default=None, help="explicit checkpoint file")
+    p.add_argument("--data-dir", default=None,
+                   help="dataset dir to prime from (reference primes from "
+                        "item 250000, generate_script.py:19-20)")
+    p.add_argument("--prime-index", type=int, default=0)
+    p.add_argument("--num-samples", type=int, default=16000)
+    p.add_argument("--num-streams", type=int, default=1)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--regularize", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="latest_generated_clip.wav")
+    p.add_argument("--sr", type=int, default=16000)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import pytorch_wavenet_tpu as wt
+
+    if args.snapshot:
+        blob = wt.load_checkpoint(args.snapshot)
+    else:
+        blob = wt.load_latest_model_from(args.snapshot_path)
+    cfg = blob["config"]
+    params = jax.tree_util.tree_map(jnp.asarray, blob["params"])
+    print(f"receptive field: {cfg.receptive_field}")
+    print(f"parameter count: {cfg.parameter_count():,}")
+
+    first_samples = None
+    if args.data_dir:
+        data = wt.WaveNetDataset(
+            dataset_file=os.path.join(args.data_dir, "dataset.npz"),
+            item_length=cfg.item_length,
+            target_length=cfg.output_length,
+            file_location=args.data_dir,
+            classes=cfg.classes,
+            test_stride=20,
+        )
+        x, _ = data[min(args.prime_index, len(data) - 1)]
+        prime = np.asarray(x[-cfg.receptive_field :], np.int32)
+        first_samples = jnp.asarray(
+            np.tile(prime[None, :], (args.num_streams, 1))
+        )
+
+    import time
+
+    t0 = time.perf_counter()
+    wav, _ = wt.generate_fast(
+        params, cfg, jax.random.PRNGKey(args.seed), args.num_samples,
+        first_samples, temperature=args.temperature, regularize=args.regularize,
+    )
+    wav = np.asarray(wav)
+    dt = time.perf_counter() - t0
+    total = wav.shape[0] * wav.shape[1]
+    print(f"{total} samples in {dt:.2f}s ({total/dt:.0f} samples/s)")
+
+    if args.num_streams == 1:
+        wt.write_wav(args.out, wav[0], args.sr)
+        print(f"wrote {args.out}")
+    else:
+        stem, ext = os.path.splitext(args.out)
+        for i in range(args.num_streams):
+            wt.write_wav(f"{stem}_{i}{ext}", wav[i], args.sr)
+        print(f"wrote {args.num_streams} files {stem}_*{ext}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Training entry point.
+
+The reference hard-codes this flow in train_script.py (model + dataset +
+TensorboardLogger + trainer wiring, async audio generation from the latest
+snapshot every generate_interval steps). Here it is a real CLI over the same
+capabilities, plus mesh flags for multi-chip runs.
+
+Example:
+  python scripts/train.py --data-dir train_samples/bach_chaconne \
+      --config chaconne --batch-size 16 --epochs 10 --snapshot-path snapshots
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data-dir", required=True, help="directory of audio files")
+    p.add_argument("--dataset-file", default=None,
+                   help="npz cache (default: <data-dir>/dataset.npz)")
+    p.add_argument("--config", default="chaconne",
+                   help="preset name (chaconne|saber|test_small|tiny)")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--weight-decay", type=float, default=0.0)
+    p.add_argument("--clip", type=float, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--test-stride", type=int, default=500)
+    p.add_argument("--snapshot-path", default="snapshots")
+    p.add_argument("--snapshot-name", default=None)
+    p.add_argument("--snapshot-interval", type=int, default=1000)
+    p.add_argument("--log-dir", default=None, help="TensorBoard log dir")
+    p.add_argument("--log-interval", type=int, default=200)
+    p.add_argument("--validation-interval", type=int, default=400)
+    p.add_argument("--generate-interval", type=int, default=800)
+    p.add_argument("--generate-length", type=int, default=32000)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the newest snapshot")
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--mesh-data", type=int, default=0,
+                   help="data-axis size (0 = all devices)")
+    p.add_argument("--mesh-model", type=int, default=1)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import pytorch_wavenet_tpu as wt
+    from pytorch_wavenet_tpu.utils.visualize import param_summary
+
+    cfg = wt.get_config(args.config)
+    params = wt.init_wavenet(jax.random.PRNGKey(args.seed), cfg)
+    print(f"config: {args.config} {cfg}")
+    print(f"receptive field: {cfg.receptive_field}")
+    print(f"parameter count: {cfg.parameter_count():,}")
+    print(param_summary(params))
+
+    dataset_file = args.dataset_file or os.path.join(args.data_dir, "dataset.npz")
+    data = wt.WaveNetDataset(
+        dataset_file=dataset_file,
+        item_length=cfg.item_length,
+        target_length=cfg.output_length,
+        file_location=args.data_dir,
+        classes=cfg.classes,
+        test_stride=args.test_stride,
+    )
+    print(f"the dataset has {len(data)} items")
+
+    snapshot_name = args.snapshot_name or f"{args.config}_model"
+
+    def generate_and_log_samples(step):
+        """Async generation from the latest snapshot at several temperatures
+        (reference: train_script.py:46-61)."""
+        blob = wt.load_latest_model_from(args.snapshot_path)
+        gen_params = blob["params"]
+        gen_cfg = blob["config"] or cfg
+        print("start generating...")
+        for temp in (0.5, 1.0):
+            samples = wt.generate_audio(
+                gen_params, gen_cfg, length=args.generate_length,
+                temperatures=[temp], seed=step,
+            )
+            if logger_is_tb:
+                logger.audio_summary(f"temperature_{temp}", samples, step, sr=16000)
+        print("audio clips generated")
+
+    logger_is_tb = args.log_dir is not None
+    if logger_is_tb:
+        logger = wt.TensorboardLogger(
+            log_interval=args.log_interval,
+            validation_interval=args.validation_interval,
+            generate_interval=args.generate_interval,
+            generate_function=generate_and_log_samples,
+            log_dir=args.log_dir,
+        )
+    else:
+        logger = wt.Logger(
+            log_interval=args.log_interval,
+            validation_interval=args.validation_interval,
+            generate_interval=args.generate_interval,
+            generate_function=generate_and_log_samples,
+        )
+
+    trainer = wt.WaveNetTrainer(
+        cfg,
+        params,
+        data,
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        gradient_clipping=args.clip,
+        logger=logger,
+        snapshot_path=args.snapshot_path,
+        snapshot_name=snapshot_name,
+        snapshot_interval=args.snapshot_interval,
+        seed=args.seed,
+    )
+
+    start_step = 0
+    if args.resume:
+        start_step = trainer.resume()
+        print(f"resuming at step {start_step}")
+
+    print("start training...")
+    trainer.train(
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        continue_training_at_step=start_step,
+        max_steps=args.max_steps,
+    )
+
+
+if __name__ == "__main__":
+    main()
