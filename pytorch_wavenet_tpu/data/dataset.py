@@ -74,15 +74,20 @@ class WaveNetDataset:
         self._length = 0
         self.calculate_length()
         self.train = train
+        self._flat: np.ndarray | None = None
 
     # ------------------------------------------------------------ featurize
 
     def _featurize_one(self, file: str) -> np.ndarray:
+        from . import native
+
         file_data, _ = load_audio(
             file, sampling_rate=self.sampling_rate, mono=self.mono
         )
         if self.normalize:
             file_data = normalize(file_data)
+        if self.dtype == np.uint8 and native.available():
+            return native.mu_law_quantize(file_data, self.classes)
         return quantize_data(file_data, self.classes).astype(self.dtype)
 
     def create_dataset(self, location: str, out_file: str, num_workers: int = 8):
@@ -115,18 +120,44 @@ class WaveNetDataset:
         self._item_length = l
         self.calculate_length()
 
+    def sample_index(self, idx: int) -> int:
+        """Item index -> absolute sample offset into the concatenated stream,
+        including the train/test interleave (reference: audio_data.py:91-97)."""
+        if self._test_stride < 2:
+            return idx * self.target_length
+        elif self.train:
+            return idx * self.target_length + math.floor(
+                idx / (self._test_stride - 1)
+            )
+        else:
+            return self._test_stride * (idx + 1) - 1
+
+    @property
+    def flat_stream(self) -> np.ndarray:
+        """All files concatenated into one flat uint8 class stream (built
+        lazily; backs the native batched window gather)."""
+        if self._flat is None:
+            self._flat = np.concatenate(
+                [np.asarray(self.data["arr_" + str(i)], np.uint8)
+                 for i in range(len(self.data.files))]
+            )
+        return self._flat
+
+    def get_batch(self, idxs) -> tuple[np.ndarray, np.ndarray]:
+        """Gather a whole batch of windows in one native call
+        (int32 ``(B, item_length)``, ``(B, target_length)``)."""
+        from . import native
+
+        starts = np.asarray([self.sample_index(int(i)) for i in idxs], np.int64)
+        return native.gather_windows(
+            self.flat_stream, starts, self._item_length, self.target_length
+        )
+
     def __getitem__(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
         """Return ``(input_classes (item_length,), target (target_length,))``
         int64 windows. Index math (test interleave + cross-file stitch)
         matches reference: audio_data.py:91-123."""
-        if self._test_stride < 2:
-            sample_index = idx * self.target_length
-        elif self.train:
-            sample_index = idx * self.target_length + math.floor(
-                idx / (self._test_stride - 1)
-            )
-        else:
-            sample_index = self._test_stride * (idx + 1) - 1
+        sample_index = self.sample_index(idx)
 
         file_index = bisect.bisect_left(self.start_samples, sample_index) - 1
         if file_index < 0:
@@ -199,5 +230,4 @@ class BatchIterator:
             idxs = order[i : i + self.batch_size]
             if self.drop_last and len(idxs) < self.batch_size:
                 return
-            xs, ys = zip(*(self.dataset[int(j)] for j in idxs))
-            yield np.stack(xs).astype(np.int32), np.stack(ys).astype(np.int32)
+            yield self.dataset.get_batch(idxs)

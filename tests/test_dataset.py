@@ -142,6 +142,26 @@ def test_batch_iterator(ds):
     assert not np.array_equal(x, x3)
 
 
+def test_get_batch_matches_getitem(ds):
+    """The native batched gather must agree with the per-item path
+    (including the train/test interleave offsets)."""
+    idxs = [0, 1, 5, len(ds) - 1]
+    xb, yb = ds.get_batch(idxs)
+    for row, i in enumerate(idxs):
+        x, y = ds[i]
+        np.testing.assert_array_equal(xb[row], x)
+        np.testing.assert_array_equal(yb[row], y)
+    ds.train = False
+    try:
+        xb, yb = ds.get_batch([0, 1])
+        for row, i in enumerate([0, 1]):
+            x, y = ds[i]
+            np.testing.assert_array_equal(xb[row], x)
+            np.testing.assert_array_equal(yb[row], y)
+    finally:
+        ds.train = True
+
+
 def test_dataset_reload_from_npz(ds, tmp_path):
     """Second construction must reuse the npz without file_location
     (reference: audio_data.py:37-54)."""
