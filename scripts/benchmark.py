@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Full benchmark sweep (the headline single number lives in bench.py).
+
+Measures, on the current device:
+  * training step time + audio-seconds/s (chaconne config, batch 16 — the
+    reference's canonical training run, train_script.py:82)
+  * single-stream generation: XLA scan path and fused Pallas kernel
+  * multi-stream generation throughput (batch 64/256 streams)
+  * host data-pipeline batch gather rate
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed(fn, reps=3):
+    fn()  # compile/warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="chaconne")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--gen-samples", type=int, default=16384)
+    args = p.parse_args()
+
+    import pytorch_wavenet_tpu as wt
+    from pytorch_wavenet_tpu.ops.pallas.gen_kernel import generate_fast_fused
+    from pytorch_wavenet_tpu.training.trainer import train_step
+    from pytorch_wavenet_tpu.utils.profiling import trunk_flops
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+    cfg = wt.get_config(args.config)
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    print(f"platform={platform} config={args.config} rf={cfg.receptive_field} "
+          f"params={cfg.parameter_count():,}")
+
+    # ---------------- training step
+    B = args.batch_size
+    tx = wt.reference_adam(1e-4)
+    opt_state = tx.init(params)
+    x = jax.random.randint(jax.random.PRNGKey(1), (B, cfg.item_length), 0, cfg.classes)
+    y = jax.random.randint(jax.random.PRNGKey(2), (B, cfg.output_length), 0, cfg.classes)
+
+    # copies: train_step donates its inputs, and params is reused below
+    p = jax.tree_util.tree_map(jnp.array, params)
+    o = opt_state
+    p, o, loss, _ = train_step(p, o, cfg, tx, x, y)  # compile
+    np.asarray(loss)
+    # amortize over chained steps: a single dispatch through the device
+    # tunnel costs ~25 ms regardless of compute, so per-step timing must
+    # pipeline dispatches and sync once at the end
+    N = 20
+    t0 = time.perf_counter()
+    for _ in range(N):
+        p, o, loss, _ = train_step(p, o, cfg, tx, x, y)
+    np.asarray(loss)
+    dt = (time.perf_counter() - t0) / N
+    flops = 3 * trunk_flops(cfg, B)  # fwd + ~2x bwd
+    audio_sec_per_s = B * cfg.output_length / 16000.0 / dt
+    print(f"train step (B={B}): {dt*1e3:.2f} ms  "
+          f"[{flops/dt/1e12:.2f} TFLOP/s est, {audio_sec_per_s:.3f} audio-s/s "
+          f"@ output_length={cfg.output_length}]")
+
+    # ---------------- generation
+    n = args.gen_samples
+    prime = jax.random.randint(
+        jax.random.PRNGKey(3), (1, cfg.receptive_field), 0, cfg.classes
+    )
+
+    def gen_xla():
+        wav, _ = wt.generate_fast(
+            params, cfg, jax.random.PRNGKey(5), n, prime, temperature=1.0
+        )
+        np.asarray(wav)
+
+    dt = timed(gen_xla, reps=2)
+    print(f"gen XLA 1-stream: {n/dt:,.0f} samples/s ({dt*1e6/(n+cfg.receptive_field):.1f} us/step)")
+
+    if on_tpu:
+        def gen_fused():
+            wav, _ = generate_fast_fused(
+                params, cfg, jax.random.PRNGKey(5), n, prime, temperature=1.0
+            )
+            np.asarray(wav)
+
+        dt = timed(gen_fused, reps=2)
+        print(f"gen fused 1-stream: {n/dt:,.0f} samples/s "
+              f"({dt*1e6/(n+cfg.receptive_field):.2f} us/step, "
+              f"{n/dt/16000:.2f}x realtime)")
+
+    for S in (64, 256):
+        primeS = jnp.tile(prime, (S, 1))
+        nS = max(2048, n // 4)
+
+        def gen_multi():
+            wav, _ = wt.generate_fast(
+                params, cfg, jax.random.PRNGKey(6), nS, primeS, temperature=1.0
+            )
+            np.asarray(wav)
+
+        dt = timed(gen_multi, reps=2)
+        agg = S * nS / dt
+        print(f"gen XLA {S}-stream: {agg:,.0f} samples/s aggregate "
+              f"({agg/16000:.1f}x realtime, {dt*1e6/(nS+cfg.receptive_field):.1f} us/step)")
+
+    # ---------------- host pipeline
+    stream = np.random.default_rng(0).integers(0, 256, 10_000_000).astype(np.uint8)
+    from pytorch_wavenet_tpu.data import native
+
+    starts = np.random.default_rng(1).integers(
+        0, len(stream) - cfg.item_length - 1, 512
+    ).astype(np.int64)
+
+    def gather():
+        native.gather_windows(stream, starts, cfg.item_length, cfg.output_length)
+
+    dt = timed(gather, reps=5)
+    rate = 512 * cfg.item_length / dt / 1e6
+    print(f"host window gather: {512/dt:,.0f} items/s ({rate:.0f} Msamples/s, "
+          f"native={native.available()})")
+
+
+if __name__ == "__main__":
+    main()
