@@ -14,22 +14,26 @@ Design notes (what makes this fast):
 
 * the layer loop is **statically unrolled** — each layer's dilation is a
   compile-time constant, so every ring buffer is sized exactly
-  ``(kernel_size-1)*d + 1`` and indexed with cheap static-modulus arithmetic
-  (slot ``t mod P``; for k=2 the read slot is just ``(t+1) mod P``);
-* per layer: one tap dot per kernel tap (the tap dots are mutually
-  independent, off the critical path until the add) and one fused
-  ``(1, D) @ (D, S+R)`` skip|residual output dot. No lane concatenation —
-  cross-lane shuffles cost more than an extra small dot. The gated unit
-  stays ``tanh(f)*sigmoid(g)`` exactly so the argmax rollout is bit-identical
-  to the XLA paths;
+  ``(kernel_size-1)*d + 1`` rows of ``(streams, R)`` and indexed with cheap
+  static-modulus arithmetic;
+* everything stays **sublane-major**: activations are ``(streams, C)``
+  tiles, ring rows are ``(streams, R)`` blocks at dynamic *sublane* offsets
+  (dynamic lane indexing is illegal on TPU), the sampled classes stream out
+  as ``(streams, 1)`` blocks of a ``(total*streams, 1)`` output;
+* per layer: one tap dot per kernel tap (ring-tap dots don't depend on the
+  current activation, so they overlap the critical path) and one fused
+  ``(streams, D) @ (D, S+R)`` skip|residual output dot;
+* the input embedding is a per-stream dynamic **row gather** from the start
+  conv — not a one-hot matmul — so it is bit-exact with the XLA paths'
+  ``jnp.take`` and argmax rollouts match them exactly;
 * sampling uses the on-core PRNG (Gumbel-argmax over tempered logits), so
   temperature>0 draws differ from the XLA path's inverse-CDF stream;
-  temperature=0 (argmax) matches the XLA and naive paths exactly, which the
+  temperature=0 matches the XLA and naive paths exactly, which the
   equivalence tests pin.
 
-VMEM budget (f32): weights ~4.5 MB for the chaconne config + ring buffers
-``sum_l ((k-1)*d_l+1) * R`` ~= 2*receptive_field*R ~ 0.8 MB — comfortably
-under the ~16 MB/core limit.
+VMEM budget (f32): weights (~4.5 MB for the chaconne config) + ring buffers
+``2*receptive_field*R*streams`` — streams<=8 fits comfortably; beyond that
+use the sharded XLA path (``parallel.training.sharded_generate_fast``).
 """
 
 from __future__ import annotations
@@ -47,8 +51,44 @@ from ...config import WaveNetConfig
 from ...models.wavenet import Params
 from ...ops.mulaw import mu_law_expansion_jnp
 
+# soft cap on kernel VMEM use (per-core VMEM is ~16 MB)
+_VMEM_BUDGET_BYTES = 13 * 1024 * 1024
 
-def _make_kernel(cfg: WaveNetConfig, num_given: int, total: int,
+# output DMA chunk: samples staged in VMEM for this many steps per flush
+_CHUNK = 128
+
+
+def _tiled_bytes(sublanes: int, lanes: int, itemsize: int = 4) -> int:
+    """Physical VMEM footprint of a 2D f32/i32 array: the (8, 128) tile
+    grid pads both trailing dims."""
+    return (-(-sublanes // 8) * 8) * (-(-lanes // 128) * 128) * itemsize
+
+
+def fused_vmem_bytes(cfg: WaveNetConfig, streams: int = 1,
+                     total_steps: int = 0) -> int:
+    """Tiling-aware VMEM footprint: weights + ring buffers + packed output.
+    Lane padding dominates for 32-channel models (32 lanes -> one 128 tile)."""
+    L, k = cfg.num_layers, cfg.kernel_size
+    R, D, S, E, C = (
+        cfg.residual_channels, cfg.dilation_channels, cfg.skip_channels,
+        cfg.end_channels, cfg.classes,
+    )
+    weights = (
+        _tiled_bytes(C, R)                      # start
+        + L * k * _tiled_bytes(R, 2 * D)        # taps
+        + L * _tiled_bytes(D, S + R)            # skip|res
+        + L * _tiled_bytes(1, 2 * D) + L * _tiled_bytes(1, S + R)  # biases
+        + _tiled_bytes(S, E) + _tiled_bytes(E, C)
+        + _tiled_bytes(1, E) + _tiled_bytes(1, C)
+    )
+    rings = sum(
+        _tiled_bytes(((k - 1) * d + 1) * streams, R) for d in cfg.dilations
+    )
+    out = _tiled_bytes(-(-max(total_steps, 1) // _CHUNK) * streams, _CHUNK)
+    return weights + rings + out
+
+
+def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                  temperature: float, regularize: float):
     L = cfg.num_layers
     k = cfg.kernel_size
@@ -56,10 +96,11 @@ def _make_kernel(cfg: WaveNetConfig, num_given: int, total: int,
     S = cfg.skip_channels
     dil = cfg.dilations
     periods = [(k - 1) * d + 1 for d in dil]
+    Sst = streams
 
     def kernel(
-        prime_ref,   # scalar prefetch: (num_given,) int32 prime classes
         seed_ref,    # (1, 1) int32
+        prime_ref,   # (num_given*Sst, 1) int32, sublane-major per step
         w_start_ref, # (C, R)
         b_start_ref, # (1, R)
         w_tap_ref,   # (L, k, R, 2D) fused filter+gate per tap
@@ -70,8 +111,11 @@ def _make_kernel(cfg: WaveNetConfig, num_given: int, total: int,
         b_end1_ref,  # (1, E)
         w_end2_ref,  # (E, C)
         b_end2_ref,  # (1, C)
-        out_ref,     # (total, 1) int32 sampled classes
-        *buf_refs,   # L scratch ring buffers, (P_l, R) each
+        out_ref,     # (n_chunks*Sst, _CHUNK) int32 — samples packed into
+        #              lanes, one (Sst, _CHUNK) row block per chunk of
+        #              steps. (A (N,1) int32 buffer would tile to (8,128)
+        #              and waste 128x VMEM.)
+        *buf_refs,   # L ring buffers, (P_l*Sst, R) each
     ):
         if temperature > 0:  # static; argmax path never consumes randomness
             pltpu.prng_seed(seed_ref[0, 0])
@@ -80,42 +124,47 @@ def _make_kernel(cfg: WaveNetConfig, num_given: int, total: int,
 
         if regularize != 0.0:
             reg = (
-                lax.broadcasted_iota(jnp.float32, (1, cfg.classes), 1)
+                lax.broadcasted_iota(jnp.float32, (Sst, cfg.classes), 1)
                 - cfg.classes / 2.0
             ) ** 2 * regularize
         else:
             reg = None
 
-        def step(t, cls):
-            h = w_start_ref[pl.ds(cls, 1), :] + b_start_ref[...]  # (1, R)
-            skip = jnp.zeros((1, S), jnp.float32)
+        def step(t, carry):
+            cls, acc = carry  # (Sst,1) current classes, (Sst,_CHUNK) chunk acc
+            # embed: per-stream dynamic row gather (bit-exact with jnp.take)
+            rows = [
+                w_start_ref[pl.ds(cls[s, 0], 1), :] for s in range(Sst)
+            ]
+            h = (rows[0] if Sst == 1 else jnp.concatenate(rows, axis=0))
+            h = h + b_start_ref[...]  # (Sst, R)
+            skip = jnp.zeros((Sst, S), jnp.float32)
 
             for l in range(L):  # statically unrolled
                 d, P = dil[l], periods[l]
                 buf = buf_refs[l]
-                # k taps: current h plus k-1 ring reads at
-                # (t - (k-1-j)*d) mod P (reference dequeue,
-                # wavenet_modules.py:59-72). One dot per tap; the ring-tap
-                # dots don't depend on h, so they overlap the critical path.
+                # k taps: current h plus k-1 ring reads at row block
+                # ((t - (k-1-j)*d) mod P) * Sst (reference dequeue,
+                # wavenet_modules.py:59-72)
                 z = jnp.dot(
                     h, w_tap_ref[l, k - 1], preferred_element_type=jnp.float32
                 ) + b_in_ref[pl.ds(l, 1), :]
                 for j in range(k - 1):
                     ridx = (t - (k - 1 - j) * d) % P
-                    tap = buf[pl.ds(ridx, 1), :]
+                    tap = buf[pl.ds(ridx * Sst, Sst), :]
                     z = z + jnp.dot(
                         tap, w_tap_ref[l, j], preferred_element_type=jnp.float32
                     )
-                u = jnp.tanh(z[:, :D]) * jax.nn.sigmoid(z[:, D:])  # (1, D)
+                u = jnp.tanh(z[:, :D]) * jax.nn.sigmoid(z[:, D:])  # (Sst, D)
                 sr = (
                     jnp.dot(u, w_out_ref[l],
                             preferred_element_type=jnp.float32)
                     + b_out_ref[pl.ds(l, 1), :]
-                )  # (1, S+R)
+                )  # (Sst, S+R)
                 skip = skip + sr[:, :S]
                 # ring write after the reads (reference enqueue,
                 # wavenet_modules.py:55-57)
-                buf[pl.ds(t % P, 1), :] = h
+                buf[pl.ds((t % P) * Sst, Sst), :] = h
                 h = h + sr[:, S:]
 
             # head (reference: wavenet_model.py:167-170)
@@ -130,13 +179,13 @@ def _make_kernel(cfg: WaveNetConfig, num_given: int, total: int,
                 jnp.dot(y, w_end2_ref[...],
                         preferred_element_type=jnp.float32)
                 + b_end2_ref[...]
-            )  # (1, C)
+            )  # (Sst, C)
             if reg is not None:
                 logits = logits - reg
 
             if temperature > 0:
                 bits = pltpu.bitcast(
-                    pltpu.prng_random_bits((1, cfg.classes)), jnp.uint32
+                    pltpu.prng_random_bits((Sst, cfg.classes)), jnp.uint32
                 )
                 # top 24 bits -> uniform [0,1); >>8 clears the sign bit so
                 # the int32 view equals the uint32 value (Mosaic has no
@@ -145,21 +194,35 @@ def _make_kernel(cfg: WaveNetConfig, num_given: int, total: int,
                 u01 = bits24.astype(jnp.float32) * (1.0 / (1 << 24))
                 u01 = jnp.clip(u01, 1e-7, 1.0 - 1e-7)
                 gumbel = -jnp.log(-jnp.log(u01))
-                sampled = jnp.argmax(logits / temperature + gumbel, axis=-1)[0]
+                sampled = jnp.argmax(logits / temperature + gumbel, axis=-1)
             else:
-                sampled = jnp.argmax(logits, axis=-1)[0]
-            sampled = sampled.astype(jnp.int32)
+                sampled = jnp.argmax(logits, axis=-1)
+            sampled = sampled.astype(jnp.int32).reshape(Sst, 1)
 
-            out_ref[pl.ds(t, 1), :] = sampled.reshape(1, 1)
+            # pack the sample into its lane of the chunk accumulator (a
+            # dynamic lane index is illegal on TPU; an iota-select is cheap)
+            lane_ids = lax.broadcasted_iota(jnp.int32, (Sst, _CHUNK), 1)
+            acc = jnp.where(lane_ids == t % _CHUNK, sampled, acc)
+
+            @pl.when((t % _CHUNK == _CHUNK - 1) | (t == total - 1))
+            def _flush():
+                out_ref[pl.ds((t // _CHUNK) * Sst, Sst), :] = acc
 
             # next input: prime while priming, else the sample
             in_prime = t + 1 < num_given
-            nxt = jnp.where(
-                in_prime, prime_ref[jnp.minimum(t + 1, num_given - 1)], sampled
-            )
-            return nxt
+            pidx = jnp.minimum(t + 1, num_given - 1) * Sst
+            prime_row = prime_ref[pl.ds(pidx, Sst), :]
+            return jnp.where(in_prime, prime_row, sampled), acc
 
-        lax.fori_loop(0, total, step, prime_ref[0])
+        lax.fori_loop(
+            0,
+            total,
+            lambda t, c: step(t, c),
+            (
+                prime_ref[pl.ds(0, Sst), :],
+                jnp.zeros((Sst, _CHUNK), jnp.int32),
+            ),
+        )
 
     return kernel, periods
 
@@ -178,17 +241,25 @@ def generate_fast_fused(
     regularize: float = 0.0,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Single-stream fused generation. Same contract as
-    ``models.generate.generate_fast`` with S=1: returns
-    ``(waveform (1, num_samples), classes (1, num_samples))``."""
+    """Fused generation for a small number of streams (VMEM-resident state).
+
+    Same contract as ``models.generate.generate_fast``: returns
+    ``(waveform (S, num_samples), classes (S, num_samples))``. The stream
+    count is bounded by VMEM (see :func:`fused_vmem_bytes`); use the sharded
+    XLA path for large batches."""
     if first_samples is None:
         first_samples = jnp.full((1, 1), cfg.classes // 2, jnp.int32)
     first_samples = jnp.atleast_2d(first_samples).astype(jnp.int32)
-    assert first_samples.shape[0] == 1, (
-        "fused kernel is single-stream; use generate_fast for batches"
-    )
-    num_given = first_samples.shape[1]
+    streams, num_given = first_samples.shape
     total = num_given - 1 + num_samples
+
+    need = fused_vmem_bytes(cfg, streams, total)
+    if need > _VMEM_BUDGET_BYTES:
+        raise ValueError(
+            f"{streams} streams x {total} steps need ~{need/1e6:.1f} MB of "
+            "VMEM; use models.generate.generate_fast for large batches, or "
+            "generate in chunks"
+        )
 
     L, k = cfg.num_layers, cfg.kernel_size
     R, D, S, E, C = (
@@ -211,9 +282,12 @@ def generate_fast_fused(
         ],
         axis=1,
     )
+    # sublane-major prime: step t's classes are rows [t*S : (t+1)*S]
+    prime_col = first_samples.T.reshape(num_given * streams, 1)
 
     args = (
         jax.random.randint(key, (1, 1), 0, np.iinfo(np.int32).max, jnp.int32),
+        prime_col,
         params["start"]["w"].astype(f32),
         params["start"].get("b", jnp.zeros((R,))).reshape(1, R).astype(f32),
         w_tap,
@@ -227,23 +301,25 @@ def generate_fast_fused(
     )
 
     kernel, periods = _make_kernel(
-        cfg, num_given, total, float(temperature), float(regularize)
+        cfg, streams, num_given, total, float(temperature), float(regularize)
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    n_chunks = -(-total // _CHUNK)
+    out = pl.pallas_call(
+        kernel,
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args),
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((P, R), f32) for P in periods],
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((total, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n_chunks * streams, _CHUNK), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((P * streams, R), f32) for P in periods],
         interpret=interpret,
-    )(first_samples[0], *args)
+    )(*args)
 
-    cls = out[num_given - 1 :, 0][None, :]  # (1, num_samples)
+    # (n_chunks, streams, _CHUNK) -> (streams, total)
+    cls = (
+        out.reshape(n_chunks, streams, _CHUNK)
+        .transpose(1, 0, 2)
+        .reshape(streams, n_chunks * _CHUNK)[:, num_given - 1 : total]
+    )
     wav = mu_law_expansion_jnp(
         (cls.astype(jnp.float32) / cfg.classes) * 2.0 - 1.0, cfg.classes
     )

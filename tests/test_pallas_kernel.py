@@ -81,9 +81,26 @@ def test_fused_regularizer(tiny):
     np.testing.assert_array_equal(np.asarray(cf), np.asarray(cx))
 
 
-def test_fused_rejects_multistream(tiny):
+def test_fused_multistream_matches_xla(tiny):
+    """4 independent streams in one kernel, all matching the XLA path."""
     cfg, params = tiny
-    prime = jnp.zeros((2, 4), jnp.int32)
-    with pytest.raises(AssertionError):
+    prime = jax.random.randint(
+        jax.random.PRNGKey(12), (4, cfg.receptive_field), 0, cfg.classes
+    )
+    k = jax.random.PRNGKey(13)
+    _, cf = generate_fast_fused(params, cfg, k, 24, prime, temperature=0.0,
+                                interpret=True)
+    _, cx = wt.generate_fast(params, cfg, k, 24, prime, temperature=0.0)
+    assert cf.shape == (4, 24)
+    np.testing.assert_array_equal(np.asarray(cf), np.asarray(cx))
+
+
+def test_fused_rejects_oversized_stream_count(tiny):
+    cfg, params = tiny
+    from pytorch_wavenet_tpu.ops.pallas.gen_kernel import fused_vmem_bytes
+
+    assert fused_vmem_bytes(cfg, 1) < fused_vmem_bytes(cfg, 8)
+    prime = jnp.zeros((100000, 4), jnp.int32)
+    with pytest.raises(ValueError):
         generate_fast_fused(params, cfg, jax.random.PRNGKey(0), 8, prime,
                             temperature=0.0, interpret=True)
