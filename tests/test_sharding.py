@@ -118,3 +118,32 @@ def test_multi_step_sharded_training_loss_decreases(setup):
         sp, so, loss = parallel_train_step(sp, so, cfg, tx, xb, yb)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_sharded_batch_iterator(tmp_path):
+    """Single-process path of the multi-host iterator: global batches come
+    out sharded over the data axis and match the plain iterator's content."""
+    import numpy as np
+    from pytorch_wavenet_tpu.data.audio_io import write_wav
+    from pytorch_wavenet_tpu.parallel.data_sharding import ShardedBatchIterator
+
+    d = tmp_path / "audio"
+    d.mkdir()
+    wav = 0.3 * np.sin(np.arange(32000) * 0.05)
+    write_wav(str(d / "t.wav"), wav, 16000)
+    ds = wt.WaveNetDataset(
+        dataset_file=str(d / "ds.npz"), item_length=64, target_length=8,
+        file_location=str(d), test_stride=50,
+    )
+    mesh = make_mesh(8, 1)
+    it = ShardedBatchIterator(ds, 16, mesh, seed=3)
+    x, y = next(iter(it))
+    assert x.shape == (16, 64) and y.shape == (16, 8)
+    assert len(x.sharding.device_set) == 8
+    ref = next(iter(wt.BatchIterator(ds, 16, seed=3)))
+    np.testing.assert_array_equal(np.asarray(x), ref[0])
+    np.testing.assert_array_equal(np.asarray(y), ref[1])
+    assert len(it) == len(ds) // 16
+
+    with pytest.raises(ValueError):
+        ShardedBatchIterator(ds, 7, mesh)
