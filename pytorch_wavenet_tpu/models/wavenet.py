@@ -156,48 +156,46 @@ def wavenet_logits(
         out_len = cfg.output_length
     k = cfg.kernel_size
     cdt = cfg.compute_dtype
-    max_shift = (k - 1) * cfg.max_dilation
 
     h = embed_inputs(params, cfg, x)  # (N, T, R)
     N, T, R = h.shape
-    dilations = jnp.asarray(cfg.dilations, dtype=jnp.int32)
 
-    lp = dict(params["layers"])
-    skip0 = jnp.zeros((N, out_len, cfg.skip_channels), jnp.float32)
+    lp = params["layers"]
+    skip = jnp.zeros((N, out_len, cfg.skip_channels), jnp.float32)
 
-    def layer(carry, xs):
-        h, skip = carry
-        d = xs.pop("d")
+    # The layer loop is a statically-unrolled python loop: each layer's
+    # dilation is a compile-time constant, so every tap is a *static* slice
+    # of a zero-padded array — measured ~2x faster per train step than a
+    # lax.scan over stacked weights with dynamic_slice taps (the scan also
+    # can't exploit per-layer-constant shifts). Tap accumulation order
+    # matches ops.pallas.gen_kernel / models.generate.gen_step so argmax
+    # rollouts agree bitwise across all three paths.
+    for l, d in enumerate(cfg.dilations):
         # Gated dilated conv: sum of k time-shifted matmuls. Tap j looks back
         # (k-1-j)*d steps; the most recent tap is h itself. Out-of-range
         # history is zero (same as the reference's pad-start in dilate(),
         # wavenet_modules.py:23-27 — those positions are sliced away anyway).
-        z = _mm(h, xs["w_in"][k - 1], cdt)
-        if k > 1:
-            hp = jnp.pad(h, ((0, 0), (max_shift, 0), (0, 0)))
-            for j in range(k - 1):
-                shift = (k - 1 - j) * d  # traced under scan: dynamic slice
-                tap = lax.dynamic_slice_in_dim(hp, max_shift - shift, T, axis=1)
-                z = z + _mm(tap, xs["w_in"][j], cdt)
-        if "b_in" in xs:
-            z = z + xs["b_in"]
+        z = _mm(h, lp["w_in"][l, k - 1], cdt)
+        for j in range(k - 1):
+            shift = (k - 1 - j) * d
+            tap = jnp.pad(h, ((0, 0), (shift, 0), (0, 0)))[:, :T, :]
+            z = z + _mm(tap, lp["w_in"][l, j], cdt)
+        if "b_in" in lp:
+            z = z + lp["b_in"][l]
         f, g = jnp.split(z, 2, axis=-1)
         u = jnp.tanh(f) * jax.nn.sigmoid(g)  # (N, T, D)
 
         # Skip: only the positions that survive the final slice.
-        s = _mm(u[:, T - out_len :, :], xs["w_skip"], cdt)
-        if "b_skip" in xs:
-            s = s + xs["b_skip"]
+        s = _mm(u[:, T - out_len :, :], lp["w_skip"][l], cdt)
+        if "b_skip" in lp:
+            s = s + lp["b_skip"][l]
         skip = skip + s
 
         # Residual: position-aligned add (reference: wavenet_model.py:164-165).
-        r = _mm(u, xs["w_res"], cdt)
-        if "b_res" in xs:
-            r = r + xs["b_res"]
+        r = _mm(u, lp["w_res"][l], cdt)
+        if "b_res" in lp:
+            r = r + lp["b_res"][l]
         h = r + h
-        return (h, skip), None
-
-    (_, skip), _ = lax.scan(layer, (h, skip0), {**lp, "d": dilations})
 
     # Head: relu -> 1x1 -> relu -> 1x1 (reference: wavenet_model.py:167-170).
     y = jax.nn.relu(skip)
