@@ -1,0 +1,327 @@
+"""Large-batch fused generation kernel (HBM-resident ring buffers).
+
+The VMEM kernel (``gen_kernel``) holds all queue state on-chip, which caps
+the stream count at ~4-8. This kernel serves the BASELINE "batched
+multi-stream generation" config: hundreds of parallel streams per chip.
+
+Layout is **channels-first with streams in lanes** — activations are
+``(channels, S)`` tiles. With S a multiple of 128 every HBM DMA slice is
+lane-aligned, there is zero lane padding anywhere, and each layer's work is
+an ``(out_ch, in_ch) @ (in_ch, S)`` matmul with S-wide rows — exactly the
+shape the MXU wants. (The small-stream kernel is streams-in-sublanes; at
+S>=128 that layout wastes 4x VMEM on 32-channel models and its HBM slices
+are unaligned.)
+
+* weights (pre-transposed) live in VMEM for the whole clip;
+* per-layer ring buffers live in **HBM**, touched only via async DMA: per
+  step, one ``(R, S)`` tap read and one ``(R, S)`` activation write per
+  layer; all tap reads are issued up front so transfers overlap the layer
+  walk;
+* ring buffers are not zero-initialized — a tap with lookback ``d`` is
+  predicated on ``t >= d`` instead (the reference's zero-filled queues,
+  wavenet_modules.py:74-77, contribute exactly zero there);
+* sampled classes go into a ``(128, S)`` row accumulator flushed to HBM
+  once per 128 steps; the prime stream is fetched the same way in reverse;
+* the input embedding is a one-hot MXU matmul; exactness vs the XLA path's
+  row gather holds only under full-precision (bf16x3) f32 passes, so parity
+  tests for this kernel assert argmax-rollout equality rather than relying
+  on bitwise logits.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import WaveNetConfig
+from ...models.wavenet import Params
+from ...ops.mulaw import mu_law_expansion_jnp
+
+_CHUNK = 128
+
+
+def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
+                 temperature: float, regularize: float):
+    L = cfg.num_layers
+    D = cfg.dilation_channels
+    S = cfg.skip_channels
+    R = cfg.residual_channels
+    C = cfg.classes
+    dil = cfg.dilations
+    periods = [d + 1 for d in dil]  # kernel_size == 2
+    ring_off = np.cumsum([0] + periods).tolist()
+    NS = streams
+
+    def kernel(
+        seed_ref,     # (1, 1) int32
+        prime_ref,    # (n_prime_chunks*_CHUNK, NS) int32, ANY/HBM
+        w_start_ref,  # (R, C)   start conv, transposed
+        b_start_ref,  # (R, 1)
+        w_cur_ref,    # (L, 2D, R) current-tap filter|gate, transposed
+        w_old_ref,    # (L, 2D, R) lookback-tap filter|gate, transposed
+        b_in_ref,     # (L, 2D, 1)
+        w_out_ref,    # (L, S+R, D) skip|residual, transposed
+        b_out_ref,    # (L, S+R, 1)
+        w_end1_ref,   # (E, S)
+        b_end1_ref,   # (E, 1)
+        w_end2_ref,   # (C, E)
+        b_end2_ref,   # (C, 1)
+        out_ref,      # (n_chunks*_CHUNK, NS) int32, ANY/HBM
+        ring_ref,     # (sum(P_l)*R, NS) f32, ANY/HBM — queue state
+        # scratch:
+        tap_vmem,     # (L*R, NS) f32 — this step's taps
+        h_vmem,       # (L*R, NS) f32 — this step's activations (DMA source)
+        acc_vmem,     # (_CHUNK, NS) i32 — output row accumulator
+        prime_vmem,   # (_CHUNK, NS) i32 — current prime chunk
+        tap_sems,     # (L,) DMA
+        write_sems,   # (L,) DMA
+        io_sem,       # () DMA
+    ):
+        if temperature > 0:
+            pltpu.prng_seed(seed_ref[0, 0])
+
+        if regularize != 0.0:
+            reg = (
+                lax.broadcasted_iota(jnp.float32, (C, NS), 0) - C / 2.0
+            ) ** 2 * regularize
+        else:
+            reg = None
+
+        def tap_dma(l, t):
+            ridx = (t - dil[l]) % periods[l]
+            return pltpu.make_async_copy(
+                ring_ref.at[pl.ds((ring_off[l] + ridx) * R, R), :],
+                tap_vmem.at[pl.ds(l * R, R), :],
+                tap_sems.at[l],
+            )
+
+        def write_dma(l, t):
+            widx = t % periods[l]
+            return pltpu.make_async_copy(
+                h_vmem.at[pl.ds(l * R, R), :],
+                ring_ref.at[pl.ds((ring_off[l] + widx) * R, R), :],
+                write_sems.at[l],
+            )
+
+        def fetch_prime_chunk(chunk):
+            dma = pltpu.make_async_copy(
+                prime_ref.at[pl.ds(chunk * _CHUNK, _CHUNK), :],
+                prime_vmem,
+                io_sem,
+            )
+            dma.start()
+            dma.wait()
+
+        fetch_prime_chunk(0)
+
+        def mm(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+        def step(t, cls):  # cls: (1, NS) int32
+            # issue all tap reads up front — they depend only on prior steps
+            for l in range(L):
+                @pl.when(t >= dil[l])
+                def _(l=l):
+                    tap_dma(l, t).start()
+
+            # embed: one-hot (C, NS), h = w_startT @ onehot -> (R, NS)
+            onehot = (
+                lax.broadcasted_iota(jnp.int32, (C, NS), 0) == cls
+            ).astype(jnp.float32)
+            h = mm(w_start_ref[...], onehot) + b_start_ref[...]
+            skip = jnp.zeros((S, NS), jnp.float32)
+
+            for l in range(L):
+                d = dil[l]
+                # stage h and start the ring write; all writes are awaited
+                # at the end of the step, before any slot can be re-read
+                # (minimum lookback is 1 step)
+                h_vmem[pl.ds(l * R, R), :] = h
+                write_dma(l, t).start()
+
+                z = mm(w_cur_ref[l], h) + b_in_ref[l]
+
+                @pl.when(t >= d)
+                def _(l=l):
+                    tap_dma(l, t).wait()
+                tap = tap_vmem[pl.ds(l * R, R), :]
+                zt = z + mm(w_old_ref[l], tap)
+                z = jnp.where(t >= d, zt, z)
+
+                u = jnp.tanh(z[:D, :]) * jax.nn.sigmoid(z[D:, :])  # (D, NS)
+                sr = mm(w_out_ref[l], u) + b_out_ref[l]  # (S+R, NS)
+                skip = skip + sr[:S, :]
+                h = h + sr[S:, :]
+
+            y = jnp.maximum(skip, 0.0)
+            y = jnp.maximum(mm(w_end1_ref[...], y) + b_end1_ref[...], 0.0)
+            logits = mm(w_end2_ref[...], y) + b_end2_ref[...]  # (C, NS)
+            if reg is not None:
+                logits = logits - reg
+
+            if temperature > 0:
+                bits = pltpu.bitcast(
+                    pltpu.prng_random_bits((C, NS)), jnp.uint32
+                )
+                bits24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+                u01 = bits24.astype(jnp.float32) * (1.0 / (1 << 24))
+                u01 = jnp.clip(u01, 1e-7, 1.0 - 1e-7)
+                gumbel = -jnp.log(-jnp.log(u01))
+                sampled = jnp.argmax(logits / temperature + gumbel, axis=0)
+            else:
+                sampled = jnp.argmax(logits, axis=0)
+            sampled = sampled.astype(jnp.int32).reshape(1, NS)
+
+            acc_vmem[pl.ds(t % _CHUNK, 1), :] = sampled
+
+            @pl.when((t % _CHUNK == _CHUNK - 1) | (t == total - 1))
+            def _flush():
+                dma = pltpu.make_async_copy(
+                    acc_vmem,
+                    out_ref.at[pl.ds((t // _CHUNK) * _CHUNK, _CHUNK), :],
+                    io_sem,
+                )
+                dma.start()
+                dma.wait()
+
+            # all ring writes must land before the next step reads them
+            for l in range(L):
+                write_dma(l, t).wait()
+
+            # next input
+            if num_given > 1:
+                in_prime = t + 1 < num_given
+
+                @pl.when(in_prime & ((t + 1) % _CHUNK == 0))
+                def _():
+                    fetch_prime_chunk((t + 1) // _CHUNK)
+
+                prime_row = prime_vmem[pl.ds((t + 1) % _CHUNK, 1), :]
+                return jnp.where(in_prime, prime_row, sampled)
+            return sampled
+
+        lax.fori_loop(0, total, step, prime_vmem[pl.ds(0, 1), :])
+
+    return kernel, periods
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "num_samples", "temperature", "regularize", "interpret"),
+)
+def generate_fast_batched(
+    params: Params,
+    cfg: WaveNetConfig,
+    key: jax.Array,
+    num_samples: int,
+    first_samples: jnp.ndarray,
+    temperature: float = 1.0,
+    regularize: float = 0.0,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched fused generation with HBM queue state. Same contract as
+    ``models.generate.generate_fast``. Requirements: kernel_size == 2 (the
+    reference's setting) and the stream count a multiple of 128 (lane
+    alignment of the HBM DMAs)."""
+    if cfg.kernel_size != 2:
+        raise NotImplementedError("HBM kernel supports kernel_size=2")
+    first_samples = jnp.atleast_2d(first_samples).astype(jnp.int32)
+    streams, num_given = first_samples.shape
+    if streams % 128 != 0 and not interpret:
+        raise ValueError(
+            f"stream count {streams} must be a multiple of 128; use the "
+            "VMEM kernel (generate_fast_fused) or the XLA path for smaller "
+            "batches"
+        )
+    total = num_given - 1 + num_samples
+
+    L = cfg.num_layers
+    R, D, S, E, C = (
+        cfg.residual_channels, cfg.dilation_channels, cfg.skip_channels,
+        cfg.end_channels, cfg.classes,
+    )
+    f32 = jnp.float32
+    lp = params["layers"]
+
+    # transposed weights: (out_ch, in_ch) for channels-first matmuls
+    w_in = lp["w_in"].astype(f32)  # (L, k, R, 2D)
+    w_old = jnp.swapaxes(w_in[:, 0], 1, 2)  # (L, 2D, R)
+    w_cur = jnp.swapaxes(w_in[:, 1], 1, 2)
+    w_out = jnp.concatenate(
+        [lp["w_skip"].astype(f32), lp["w_res"].astype(f32)], axis=2
+    )  # (L, D, S+R)
+    w_out_t = jnp.swapaxes(w_out, 1, 2)  # (L, S+R, D)
+    b_in = lp.get("b_in", jnp.zeros((L, 2 * D))).astype(f32)[:, :, None]
+    b_out = jnp.concatenate(
+        [
+            lp.get("b_skip", jnp.zeros((L, S))).astype(f32),
+            lp.get("b_res", jnp.zeros((L, R))).astype(f32),
+        ],
+        axis=1,
+    )[:, :, None]
+
+    # prime rows: step i lives in row i
+    n_prime_chunks = -(-num_given // _CHUNK)
+    prime_rows = jnp.pad(
+        first_samples, ((0, 0), (0, n_prime_chunks * _CHUNK - num_given))
+    ).T  # (chunks*_CHUNK, S)
+
+    args = (
+        jax.random.randint(key, (1, 1), 0, np.iinfo(np.int32).max, jnp.int32),
+        prime_rows,
+        params["start"]["w"].astype(f32).T,  # (R, C)
+        params["start"].get("b", jnp.zeros((R,))).reshape(R, 1).astype(f32),
+        w_cur,
+        w_old,
+        b_in,
+        w_out_t,
+        b_out,
+        params["end1"]["w"].astype(f32).T,  # (E, S)
+        params["end1"]["b"].reshape(E, 1).astype(f32),
+        params["end2"]["w"].astype(f32).T,  # (C, E)
+        params["end2"]["b"].reshape(C, 1).astype(f32),
+    )
+
+    kernel, periods = _make_kernel(
+        cfg, streams, num_given, total, float(temperature), float(regularize)
+    )
+    n_chunks = -(-total // _CHUNK)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args)
+    in_specs[1] = pl.BlockSpec(memory_space=pltpu.ANY)  # prime stays in HBM
+
+    out, _ring = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_chunks * _CHUNK, streams), jnp.int32),
+            jax.ShapeDtypeStruct((sum(periods) * R, streams), f32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((L * R, streams), f32),
+            pltpu.VMEM((L * R, streams), f32),
+            pltpu.VMEM((_CHUNK, streams), jnp.int32),
+            pltpu.VMEM((_CHUNK, streams), jnp.int32),
+            pltpu.SemaphoreType.DMA((L,)),
+            pltpu.SemaphoreType.DMA((L,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(*args)
+
+    cls = out.T[:, num_given - 1 : total]  # (streams, num_samples)
+    wav = mu_law_expansion_jnp(
+        (cls.astype(jnp.float32) / cfg.classes) * 2.0 - 1.0, cfg.classes
+    )
+    return wav, cls

@@ -119,6 +119,28 @@ def main():
         print(f"gen XLA {S}-stream: {agg:,.0f} samples/s aggregate "
               f"({agg/16000:.1f}x realtime, {dt*1e6/(nS+cfg.receptive_field):.1f} us/step)")
 
+    if on_tpu and cfg.kernel_size == 2:
+        from pytorch_wavenet_tpu.ops.pallas.gen_kernel_hbm import (
+            generate_fast_batched,
+        )
+
+        for S in (128, 256):
+            primeS = jnp.tile(prime, (S, 1))
+            nS = max(2048, n // 4)
+
+            def gen_hbm():
+                wav, _ = generate_fast_batched(
+                    params, cfg, jax.random.PRNGKey(6), nS, primeS,
+                    temperature=1.0,
+                )
+                np.asarray(wav)
+
+            dt = timed(gen_hbm, reps=2)
+            agg = S * nS / dt
+            print(f"gen fused-HBM {S}-stream: {agg:,.0f} samples/s aggregate "
+                  f"({agg/16000:.0f}x realtime, "
+                  f"{dt*1e6/(nS+cfg.receptive_field):.1f} us/step)")
+
     # ---------------- host pipeline
     stream = np.random.default_rng(0).integers(0, 256, 10_000_000).astype(np.uint8)
     from pytorch_wavenet_tpu.data import native

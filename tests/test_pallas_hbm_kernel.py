@@ -1,0 +1,91 @@
+"""HBM-ring batched generation kernel tests (interpret mode on CPU; the
+compiled path is exercised by scripts/benchmark.py on TPU).
+
+Parity contract: argmax rollouts match the XLA path (the one-hot embedding
+is exact under interpret/full-precision matmuls; on hardware a tie can flip
+on rare steps, so the TPU-side check in benchmark.py is match-fraction)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pytorch_wavenet_tpu as wt
+from pytorch_wavenet_tpu.ops.pallas.gen_kernel_hbm import generate_fast_batched
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = wt.get_config("tiny")
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_batched_matches_xla(tiny):
+    cfg, params = tiny
+    prime = jax.random.randint(
+        jax.random.PRNGKey(2), (4, cfg.receptive_field), 0, cfg.classes
+    )
+    k = jax.random.PRNGKey(3)
+    _, cb = generate_fast_batched(params, cfg, k, 40, prime, temperature=0.0,
+                                  interpret=True)
+    _, cx = wt.generate_fast(params, cfg, k, 40, prime, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(cb), np.asarray(cx))
+
+
+def test_batched_wraparound(tiny):
+    """Longer than every ring period: exercises HBM slot overwrites."""
+    cfg, params = tiny
+    from pytorch_wavenet_tpu.models.generate import buffer_length
+
+    n = 2 * buffer_length(cfg) + 3
+    prime = jax.random.randint(
+        jax.random.PRNGKey(7), (2, cfg.receptive_field), 0, cfg.classes
+    )
+    k = jax.random.PRNGKey(8)
+    _, cb = generate_fast_batched(params, cfg, k, n, prime, temperature=0.0,
+                                  interpret=True)
+    _, cx = wt.generate_fast(params, cfg, k, n, prime, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(cb), np.asarray(cx))
+
+
+def test_batched_short_prime_uninitialized_rings(tiny):
+    """With a 1-sample prime the rings start cold: the t >= d predication
+    must reproduce the reference's zero-filled queue behavior."""
+    cfg, params = tiny
+    prime = jnp.full((2, 1), cfg.classes // 2, jnp.int32)
+    k = jax.random.PRNGKey(4)
+    _, cb = generate_fast_batched(params, cfg, k, 24, prime, temperature=0.0,
+                                  interpret=True)
+    _, cx = wt.generate_fast(params, cfg, k, 24, prime, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(cb), np.asarray(cx))
+
+
+def test_batched_long_prime_multiple_chunks(tiny):
+    """Prime longer than one 128-step chunk exercises the chunked prime
+    fetch path."""
+    cfg, params = tiny
+    prime = jax.random.randint(
+        jax.random.PRNGKey(9), (2, 150), 0, cfg.classes
+    )
+    k = jax.random.PRNGKey(10)
+    _, cb = generate_fast_batched(params, cfg, k, 16, prime, temperature=0.0,
+                                  interpret=True)
+    _, cx = wt.generate_fast(params, cfg, k, 16, prime, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(cb), np.asarray(cx))
+
+
+def test_batched_rejects_unaligned_streams_on_hw(tiny):
+    cfg, params = tiny
+    prime = jnp.zeros((4, 2), jnp.int32)
+    with pytest.raises(ValueError):
+        generate_fast_batched(params, cfg, jax.random.PRNGKey(0), 8, prime,
+                              temperature=0.0, interpret=False)
+
+
+def test_batched_rejects_kernel_size_3(tiny):
+    cfg = wt.get_config("tiny", kernel_size=3)
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(NotImplementedError):
+        generate_fast_batched(params, cfg, jax.random.PRNGKey(0), 8,
+                              jnp.zeros((128, 2), jnp.int32), interpret=True)
