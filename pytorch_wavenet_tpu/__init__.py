@@ -28,6 +28,8 @@ from .ops.mulaw import (
     quantize_data,
     dequantize_data,
 )
+from .ops.dilated import dilate, constant_pad_1d
+from .ops.queues import DilatedQueue
 from .data.dataset import WaveNetDataset, BatchIterator
 from .data.audio_io import load_audio, write_wav, list_all_audio_files
 from .training.trainer import WaveNetTrainer, generate_audio, train_step, eval_step
