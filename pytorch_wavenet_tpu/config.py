@@ -34,6 +34,8 @@ class WaveNetConfig:
     output_length: int = 32
     kernel_size: int = 2
     bias: bool = False
+    # Local conditioning (mel vocoder; 0 = unconditional like the reference)
+    cond_channels: int = 0
     # TPU-specific knobs (no reference analogue):
     compute_dtype: Any = jnp.float32  # matmul input dtype (bfloat16 for perf)
 
@@ -75,6 +77,8 @@ class WaveNetConfig:
         )
         n = c * r  # start conv
         per_layer = 2 * (k * r * d) + d * r + d * s
+        if self.cond_channels:
+            per_layer += self.cond_channels * 2 * d  # conditioning 1x1
         if self.bias:
             n += r
             per_layer += 2 * d + r + s

@@ -1,0 +1,65 @@
+"""Mel-conditioned vocoder dataset.
+
+Wraps :class:`WaveNetDataset` so each batch also carries per-sample log-mel
+conditioning features computed from the (dequantized) window audio —
+BASELINE.json config 5's "mel-conditioned vocoder" training input. The
+reference has no conditioning path; this is the capability its WaveNet
+lineage implies for vocoder deployment.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops.mel import log_mel_spectrogram, upsample_frames
+from .dataset import WaveNetDataset
+from . import native
+
+
+class MelWaveNetDataset(WaveNetDataset):
+    """Batches are ``(x (B, item_length) int32, y (B, target_length) int32,
+    cond (B, item_length, num_mels) float32)``."""
+
+    def __init__(
+        self,
+        *args,
+        num_mels: int = 80,
+        n_fft: int = 1024,
+        hop_length: int = 256,
+        **kwargs,
+    ):
+        super().__init__(*args, **kwargs)
+        self.num_mels = num_mels
+        self.n_fft = n_fft
+        self.hop_length = hop_length
+
+    def _mel_for_windows(self, x: np.ndarray) -> np.ndarray:
+        """(B, T) int classes -> (B, T, num_mels) upsampled log-mel."""
+        import jax.numpy as jnp
+
+        B, T = x.shape
+        out = np.empty((B, T, self.num_mels), np.float32)
+        for b in range(B):
+            wav = native.mu_law_dequantize(
+                x[b].astype(np.uint8), self.classes
+            )
+            frames = log_mel_spectrogram(
+                wav,
+                num_mels=self.num_mels,
+                n_fft=self.n_fft,
+                hop_length=self.hop_length,
+                sampling_rate=self.sampling_rate or 16000,
+            )
+            out[b] = np.asarray(
+                upsample_frames(jnp.asarray(frames), self.hop_length, T)
+            )
+        return out
+
+    def get_batch(self, idxs):
+        x, y = super().get_batch(idxs)
+        return x, y, self._mel_for_windows(x)
+
+    def __getitem__(self, idx):
+        x, y = super().__getitem__(idx)
+        cond = self._mel_for_windows(x[None, :].astype(np.int32))[0]
+        return x, y, cond

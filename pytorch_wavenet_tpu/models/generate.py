@@ -75,11 +75,16 @@ def init_gen_state(cfg: WaveNetConfig, num_streams: int = 1,
 
 
 def gen_step(
-    params: Params, cfg: WaveNetConfig, state: GenState, cur_class: jnp.ndarray
+    params: Params,
+    cfg: WaveNetConfig,
+    state: GenState,
+    cur_class: jnp.ndarray,
+    cond: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, GenState]:
     """One autoregressive step for all streams.
 
-    ``cur_class``: int32 ``(S,)`` current sample class. Returns logits
+    ``cur_class``: int32 ``(S,)`` current sample class. ``cond``: optional
+    local conditioning ``(S, cond_channels)`` for this step. Returns logits
     ``(S, classes)`` and the updated state. Equivalent to one pass of the
     reference trunk under ``queue_dilate`` (reference: wavenet_model.py:177-184).
     """
@@ -112,6 +117,8 @@ def gen_step(
             idx = (t - (k - 1 - j) * d) % BUF
             tap = lax.dynamic_index_in_dim(buf, idx, axis=1, keepdims=False)
             z = z + _mm(tap.astype(jnp.float32), xs["w_in"][j], cdt)
+        if cond is not None:
+            z = z + _mm(cond, xs["w_cond"], cdt)
         if "b_in" in xs:
             z = z + xs["b_in"]
         f, g = jnp.split(z, 2, axis=-1)
@@ -172,12 +179,16 @@ def generate_fast(
     first_samples: jnp.ndarray | None = None,
     temperature: float = 1.0,
     regularize: float = 0.0,
+    cond: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fast-WaveNet generation (reference: wavenet_model.py:237-315).
 
     ``first_samples``: int32 ``(S, num_given)`` prime samples per stream (or
     ``(num_given,)`` for a single stream). Defaults to one mid-class sample
     (reference: wavenet_model.py:245-247).
+    ``cond``: optional local conditioning ``(S, total, cond_channels)`` where
+    ``total = num_given - 1 + num_samples``; row t conditions the step that
+    consumes input sample t (vocoder mode; requires cfg.cond_channels > 0).
 
     Returns ``(waveform (S, num_samples) float32, classes (S, num_samples)
     int32)`` where the waveform is mu-law-expanded like the reference
@@ -195,11 +206,12 @@ def generate_fast(
     # input class for priming step i is first_samples[:, i]; pad so the
     # gather below stays in bounds once i+1 >= num_given.
     given = jnp.pad(first_samples, ((0, 0), (0, max(0, total + 1 - num_given))))
+    cond_t = None if cond is None else jnp.swapaxes(cond, 0, 1)  # (total,S,M)
 
     def step(carry, xs):
         state, cur = carry
-        u, i = xs
-        logits, state = gen_step(params, cfg, state, cur)
+        u, i, c = xs
+        logits, state = gen_step(params, cfg, state, cur, cond=c)
         sampled = _sample(logits, u, cfg.classes, temperature, regularize)
         nxt = jnp.where(i + 1 < num_given, given[:, jnp.minimum(i + 1, total)], sampled)
         return (state, nxt.astype(jnp.int32)), sampled
@@ -207,7 +219,7 @@ def generate_fast(
     (_, _), samples = lax.scan(
         step,
         (state, first_samples[:, 0]),
-        (uniforms, jnp.arange(total, dtype=jnp.int32)),
+        (uniforms, jnp.arange(total, dtype=jnp.int32), cond_t),
     )
     out = samples[num_given - 1 :].T  # (S, num_samples)
     wav = mu_law_expansion_jnp((out.astype(jnp.float32) / cfg.classes) * 2.0 - 1.0,
@@ -227,10 +239,13 @@ def generate(
     first_samples: jnp.ndarray | None = None,
     temperature: float = 1.0,
     regularize: float = 0.0,
+    cond: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Naive autoregressive generation: re-run the full receptive-field
     window per sample (reference: wavenet_model.py:198-235). O(rf) per step —
-    the correctness oracle for :func:`generate_fast`.
+    the correctness oracle for :func:`generate_fast`, including for the
+    conditioned (vocoder) path: ``cond`` uses the same ``(S, total, M)``
+    timeline convention.
 
     Short primes are left-padded with class 0 (the reference zero-pads the
     prime window, wavenet_model.py:203-210).
@@ -246,14 +261,28 @@ def generate(
     window = lax.dynamic_update_slice(window, first_samples[:, -ng:], (0, rf - ng))
 
     uniforms = jax.random.uniform(key, (num_samples, S), jnp.float32)
+    if cond is not None:
+        # cond_pad[k] = cond[k - rf] (zero before the timeline starts);
+        # step i's window covers sample indices [num_given+i-rf,
+        # num_given+i), i.e. cond_pad rows [num_given+i, num_given+i+rf)
+        cond_pad = jnp.pad(cond, ((0, 0), (rf, 0), (0, 0)))
 
-    def step(window, u):
-        logits = wavenet_logits(params, cfg, window, out_len=1)[:, 0, :]
+    def step(window, xs):
+        u, i = xs
+        if cond is None:
+            cw = None
+        else:
+            cw = lax.dynamic_slice(
+                cond_pad, (0, num_given + i, 0), (S, rf, cond_pad.shape[2])
+            )
+        logits = wavenet_logits(params, cfg, window, out_len=1, cond=cw)[:, 0, :]
         sampled = _sample(logits, u, cfg.classes, temperature, regularize)
         window = jnp.concatenate([window[:, 1:], sampled[:, None]], axis=1)
         return window, sampled
 
-    _, samples = lax.scan(step, window, uniforms)
+    _, samples = lax.scan(
+        step, window, (uniforms, jnp.arange(num_samples, dtype=jnp.int32))
+    )
     out = samples.T  # (S, num_samples)
     wav = mu_law_expansion_jnp((out.astype(jnp.float32) / cfg.classes) * 2.0 - 1.0,
                                cfg.classes)

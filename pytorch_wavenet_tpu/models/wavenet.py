@@ -102,6 +102,13 @@ def init_wavenet(key: jax.Array, cfg: WaveNetConfig) -> Params:
         params["layers"]["b_in"] = _conv_init(keys[9], (L, 2 * D), R * k)
         params["layers"]["b_res"] = _conv_init(keys[10], (L, R), D)
         params["layers"]["b_skip"] = _conv_init(keys[11], (L, S), D)
+    if cfg.cond_channels:
+        # local-conditioning 1x1 into the gated pre-activation (WaveNet
+        # paper eq. 2; no reference analogue — vocoder capability)
+        ck = jax.random.fold_in(key, 101)
+        params["layers"]["w_cond"] = _conv_init(
+            ck, (L, cfg.cond_channels, 2 * D), cfg.cond_channels
+        )
     return params
 
 
@@ -145,12 +152,15 @@ def wavenet_logits(
     cfg: WaveNetConfig,
     x: jnp.ndarray,
     out_len: int | None = None,
+    cond: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Run the trunk; return logits ``(N, out_len, classes)`` (no softmax —
     the loss applies it, matching reference: wavenet_model.py:167-170).
 
     ``x``: int ``(N, T)`` class labels or float one-hot ``(N, T, classes)``,
     with ``T >= receptive_field + out_len - 1``.
+    ``cond``: optional local conditioning ``(N, T, cond_channels)`` aligned
+    with ``x`` (requires ``cfg.cond_channels > 0``).
     """
     if out_len is None:
         out_len = cfg.output_length
@@ -180,6 +190,8 @@ def wavenet_logits(
             shift = (k - 1 - j) * d
             tap = jnp.pad(h, ((0, 0), (shift, 0), (0, 0)))[:, :T, :]
             z = z + _mm(tap, lp["w_in"][l, j], cdt)
+        if cond is not None:
+            z = z + _mm(cond, lp["w_cond"][l], cdt)
         if "b_in" in lp:
             z = z + lp["b_in"][l]
         f, g = jnp.split(z, 2, axis=-1)

@@ -1,0 +1,77 @@
+"""Log-mel spectrogram featurization (for the mel-conditioned vocoder,
+BASELINE.json config 5 — the reference has no conditioning; this is the
+capability its WaveNet paper lineage implies for vocoder use).
+
+Host (numpy) and device (jnp) implementations share the same filterbank
+construction (HTK-style mel scale, Slaney-style area normalization off)."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def hz_to_mel(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def mel_to_hz(m):
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+def mel_filterbank(
+    num_mels: int = 80,
+    n_fft: int = 1024,
+    sampling_rate: int = 16000,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+) -> np.ndarray:
+    """Triangular mel filterbank ``(n_fft//2 + 1, num_mels)``."""
+    if fmax is None:
+        fmax = sampling_rate / 2.0
+    n_bins = n_fft // 2 + 1
+    fft_freqs = np.linspace(0.0, sampling_rate / 2.0, n_bins)
+    mel_pts = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), num_mels + 2)
+    hz_pts = mel_to_hz(mel_pts)
+    fb = np.zeros((n_bins, num_mels), np.float32)
+    for m in range(num_mels):
+        lo, ctr, hi = hz_pts[m], hz_pts[m + 1], hz_pts[m + 2]
+        up = (fft_freqs - lo) / max(ctr - lo, 1e-10)
+        down = (hi - fft_freqs) / max(hi - ctr, 1e-10)
+        fb[:, m] = np.maximum(0.0, np.minimum(up, down))
+    return fb
+
+
+def log_mel_spectrogram(
+    wav: np.ndarray,
+    num_mels: int = 80,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    sampling_rate: int = 16000,
+    eps: float = 1e-5,
+) -> np.ndarray:
+    """Waveform ``(T,)`` -> log-mel frames ``(ceil(T/hop), num_mels)``.
+    Center-padded (reflect) so frame i is centered on sample i*hop."""
+    wav = np.asarray(wav, np.float32)
+    pad = n_fft // 2
+    x = np.pad(wav, (pad, pad), mode="reflect")
+    n_frames = 1 + (len(x) - n_fft) // hop_length
+    idx = np.arange(n_fft)[None, :] + hop_length * np.arange(n_frames)[:, None]
+    frames = x[idx] * np.hanning(n_fft + 1)[:-1][None, :]
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2  # power
+    mel = spec @ mel_filterbank(num_mels, n_fft, sampling_rate)
+    return np.log(mel + eps).astype(np.float32)
+
+
+def upsample_frames(frames: jnp.ndarray, hop_length: int, length: int) -> jnp.ndarray:
+    """Linearly interpolate conditioning frames ``(..., F, M)`` to
+    per-sample resolution ``(..., length, M)`` (frame i centered at sample
+    i*hop)."""
+    F = frames.shape[-2]
+    t = jnp.arange(length, dtype=jnp.float32) / hop_length
+    i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, F - 1)
+    i1 = jnp.clip(i0 + 1, 0, F - 1)
+    w = (t - i0.astype(jnp.float32))[..., None]
+    a = jnp.take(frames, i0, axis=-2)
+    b = jnp.take(frames, i1, axis=-2)
+    return a * (1.0 - w) + b * w

@@ -38,20 +38,24 @@ from .optimizers import reference_adam
 
 
 def cross_entropy_loss(
-    params: Any, cfg: WaveNetConfig, x: jnp.ndarray, target: jnp.ndarray
+    params: Any, cfg: WaveNetConfig, x: jnp.ndarray, target: jnp.ndarray,
+    cond: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Mean softmax cross-entropy over the flattened (N*output_length)
-    predictions (reference: wavenet_training.py:68-69)."""
-    logits = wavenet_logits(params, cfg, x, cfg.output_length)
+    predictions (reference: wavenet_training.py:68-69). ``cond`` enables the
+    mel-conditioned vocoder objective."""
+    logits = wavenet_logits(params, cfg, x, cfg.output_length, cond=cond)
     losses = optax.softmax_cross_entropy_with_integer_labels(logits, target)
     return jnp.mean(losses)
 
 
 @partial(jax.jit, static_argnames=("cfg", "tx"), donate_argnums=(0, 1))
-def train_step(params, opt_state, cfg: WaveNetConfig, tx, x, target):
+def train_step(params, opt_state, cfg: WaveNetConfig, tx, x, target, cond=None):
     """One fused optimization step. ``tx`` must be hashable (optax
     transforms built at trainer construction are reused across calls)."""
-    loss, grads = jax.value_and_grad(cross_entropy_loss)(params, cfg, x, target)
+    loss, grads = jax.value_and_grad(cross_entropy_loss)(
+        params, cfg, x, target, cond
+    )
     updates, opt_state = tx.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     # grads stay on device; only fetched if the logger histograms them
@@ -59,10 +63,10 @@ def train_step(params, opt_state, cfg: WaveNetConfig, tx, x, target):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def eval_step(params, cfg: WaveNetConfig, x, target):
+def eval_step(params, cfg: WaveNetConfig, x, target, cond=None):
     """Loss + argmax-accuracy counts for validation
     (reference: wavenet_training.py:97-111)."""
-    logits = wavenet_logits(params, cfg, x, cfg.output_length)
+    logits = wavenet_logits(params, cfg, x, cfg.output_length, cond=cond)
     losses = optax.softmax_cross_entropy_with_integer_labels(logits, target)
     correct = jnp.sum(jnp.argmax(logits, axis=-1) == target)
     return jnp.mean(losses), correct
@@ -135,11 +139,12 @@ class WaveNetTrainer:
                 self.dataset, batch_size, shuffle=True,
                 seed=self.seed + current_epoch,
             )
-            for x, target in it:
-                x = jnp.asarray(x)
-                target = jnp.asarray(target)
+            for batch in it:
+                x, target = jnp.asarray(batch[0]), jnp.asarray(batch[1])
+                cond = jnp.asarray(batch[2]) if len(batch) > 2 else None
                 self.params, self.opt_state, loss, self._last_grads = train_step(
-                    self.params, self.opt_state, self.cfg, self.tx, x, target
+                    self.params, self.opt_state, self.cfg, self.tx, x, target,
+                    cond,
                 )
                 loss = float(loss)
                 self.step += 1
@@ -204,9 +209,12 @@ class WaveNetTrainer:
                                drop_last=False)
             total_loss, correct, seen = 0.0, 0, 0
             batches = 0
-            for x, target in it:
+            for batch in it:
+                x, target = batch[0], batch[1]
+                cond = jnp.asarray(batch[2]) if len(batch) > 2 else None
                 loss, c = eval_step(
-                    self.params, self.cfg, jnp.asarray(x), jnp.asarray(target)
+                    self.params, self.cfg, jnp.asarray(x), jnp.asarray(target),
+                    cond,
                 )
                 total_loss += float(loss)
                 correct += int(c)

@@ -1,0 +1,138 @@
+"""Mel featurization and conditioned-vocoder tests (BASELINE config 5 —
+capability beyond the unconditional reference)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pytorch_wavenet_tpu as wt
+from pytorch_wavenet_tpu.ops.mel import (
+    mel_filterbank,
+    log_mel_spectrogram,
+    upsample_frames,
+    hz_to_mel,
+    mel_to_hz,
+)
+
+
+def test_mel_scale_roundtrip():
+    f = np.asarray([0.0, 440.0, 8000.0])
+    np.testing.assert_allclose(mel_to_hz(hz_to_mel(f)), f, rtol=1e-10)
+
+
+def test_filterbank_shape_and_coverage():
+    fb = mel_filterbank(num_mels=40, n_fft=512, sampling_rate=16000)
+    assert fb.shape == (257, 40)
+    assert (fb >= 0).all()
+    # every filter has support; interior bins are covered
+    assert (fb.sum(axis=0) > 0).all()
+    assert (fb[10:-10].sum(axis=1) > 0).any()
+
+
+def test_log_mel_shapes_and_tone():
+    sr, n = 16000, 16000
+    t = np.arange(n) / sr
+    wav = 0.5 * np.sin(2 * np.pi * 1000 * t)
+    mel = log_mel_spectrogram(wav, num_mels=64, n_fft=1024, hop_length=256)
+    assert mel.shape == (1 + n // 256, 64)
+    assert np.isfinite(mel).all()
+    # energy concentrates around the 1 kHz band
+    band = mel.mean(axis=0)
+    assert band.argmax() not in (0, 63)
+
+
+def test_upsample_frames():
+    frames = jnp.asarray([[0.0, 10.0], [1.0, 20.0], [2.0, 30.0]])  # (3, 2)
+    up = upsample_frames(frames, hop_length=4, length=9)
+    assert up.shape == (9, 2)
+    np.testing.assert_allclose(np.asarray(up[0]), [0.0, 10.0])
+    np.testing.assert_allclose(np.asarray(up[4]), [1.0, 20.0])
+    np.testing.assert_allclose(np.asarray(up[2]), [0.5, 15.0])  # midpoint
+
+
+@pytest.fixture(scope="module")
+def cond_setup():
+    cfg = wt.get_config("tiny", cond_channels=6)
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_conditioned_param_count(cond_setup):
+    cfg, params = cond_setup
+    assert wt.parameter_count(params) == cfg.parameter_count()
+    assert params["layers"]["w_cond"].shape == (
+        cfg.num_layers, 6, 2 * cfg.dilation_channels
+    )
+
+
+def test_conditioning_changes_logits(cond_setup):
+    cfg, params = cond_setup
+    x = jax.random.randint(jax.random.PRNGKey(1), (2, cfg.item_length), 0, cfg.classes)
+    c0 = jnp.zeros((2, cfg.item_length, 6))
+    c1 = jax.random.normal(jax.random.PRNGKey(2), (2, cfg.item_length, 6))
+    y0 = wt.wavenet_logits(params, cfg, x, cond=c0)
+    y1 = wt.wavenet_logits(params, cfg, x, cond=c1)
+    assert np.abs(np.asarray(y0) - np.asarray(y1)).max() > 1e-3
+    # zero conditioning == unconditioned math
+    y_n = wt.wavenet_logits(params, cfg, x, cond=None)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y_n), atol=1e-5)
+
+
+def test_conditioned_fast_equals_naive(cond_setup):
+    """The conditioned fast path must match the conditioned oracle —
+    timeline alignment of cond rows is the thing being pinned."""
+    cfg, params = cond_setup
+    rf = cfg.receptive_field
+    n = 24
+    prime = jax.random.randint(jax.random.PRNGKey(3), (2, rf), 0, cfg.classes)
+    total = rf - 1 + n
+    cond = 0.5 * jax.random.normal(jax.random.PRNGKey(4), (2, total, 6))
+    k = jax.random.PRNGKey(5)
+    _, cf = wt.generate_fast(params, cfg, k, n, prime, temperature=0.0, cond=cond)
+    _, cn = wt.generate(params, cfg, k, n, prime, temperature=0.0, cond=cond)
+    np.testing.assert_array_equal(np.asarray(cf), np.asarray(cn))
+    # and conditioning changes what gets generated
+    _, cu = wt.generate_fast(params, cfg, k, n, prime, temperature=0.0)
+    assert not np.array_equal(np.asarray(cf), np.asarray(cu))
+
+
+def test_mel_dataset_and_vocoder_training(tmp_path):
+    from pytorch_wavenet_tpu.data.mel_dataset import MelWaveNetDataset
+    from pytorch_wavenet_tpu.training.trainer import cross_entropy_loss
+
+    cfg = wt.get_config("tiny", cond_channels=8)
+    d = tmp_path / "audio"
+    d.mkdir()
+    t = np.arange(16000) / 16000.0
+    wav = 0.5 * np.sin(2 * np.pi * 220 * t) * np.sin(2 * np.pi * 2 * t)
+    wt.write_wav(str(d / "tone.wav"), wav, 16000)
+    ds = MelWaveNetDataset(
+        dataset_file=str(d / "ds.npz"),
+        item_length=cfg.item_length,
+        target_length=cfg.output_length,
+        file_location=str(d),
+        classes=cfg.classes,
+        test_stride=20,
+        num_mels=8,
+        n_fft=256,
+        hop_length=64,
+    )
+    x, y, cond = ds.get_batch([0, 1, 2])
+    assert cond.shape == (3, cfg.item_length, 8)
+    assert np.isfinite(cond).all()
+    x1, y1, c1 = ds[0]
+    np.testing.assert_array_equal(x1, x[0])
+    np.testing.assert_allclose(c1, cond[0], atol=1e-5)
+
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    trainer = wt.WaveNetTrainer(cfg, params, ds, lr=3e-3)
+    xb, yb, cb = ds.get_batch(list(range(8)))
+    l0 = float(cross_entropy_loss(trainer.params, cfg, jnp.asarray(xb),
+                                  jnp.asarray(yb), jnp.asarray(cb)))
+    trainer.train(batch_size=8, epochs=50, max_steps=15)
+    l1 = float(cross_entropy_loss(trainer.params, cfg, jnp.asarray(xb),
+                                  jnp.asarray(yb), jnp.asarray(cb)))
+    assert l1 < l0
+    loss, acc = trainer.validate(batch_size=4)
+    assert np.isfinite(loss) and 0 <= acc <= 1
