@@ -70,8 +70,23 @@ def main():
 
     import time
 
+    # fastest available path: fused Pallas kernels on TPU, XLA scan otherwise
+    gen = wt.generate_fast
+    if jax.devices()[0].platform == "tpu" and cfg.kernel_size == 2:
+        if args.num_streams % 128 == 0 and args.num_streams > 0:
+            from pytorch_wavenet_tpu.ops.pallas.gen_kernel_hbm import (
+                generate_fast_batched as gen,
+            )
+        elif args.num_streams <= 4:
+            try:
+                from pytorch_wavenet_tpu.ops.pallas.gen_kernel import (
+                    generate_fast_fused as gen,
+                )
+            except ImportError:
+                pass
+
     t0 = time.perf_counter()
-    wav, _ = wt.generate_fast(
+    wav, _ = gen(
         params, cfg, jax.random.PRNGKey(args.seed), args.num_samples,
         first_samples, temperature=args.temperature, regularize=args.regularize,
     )
