@@ -146,7 +146,9 @@ class WaveNetTrainer:
                     self.params, self.opt_state, self.cfg, self.tx, x, target,
                     cond,
                 )
-                loss = float(loss)
+                # loss stays a device scalar — converting here would sync
+                # every step and pay the full dispatch round-trip latency;
+                # the logger converts at its own cadence.
                 self.step += 1
 
                 now = time.time()

@@ -40,9 +40,11 @@ class Logger:
         self.generate_function = generate_function
         self.generate_thread: threading.Thread | None = None
 
-    def log(self, current_step: int, current_loss: float):
-        """Per-step hook (reference: model_logging.py:29-37)."""
-        self.accumulated_loss += float(current_loss)
+    def log(self, current_step: int, current_loss):
+        """Per-step hook (reference: model_logging.py:29-37). ``current_loss``
+        may be a device scalar; it is only converted to a host float at the
+        log cadence, keeping the training loop free of per-step syncs."""
+        self.accumulated_loss = self.accumulated_loss + current_loss
         if current_step % self.log_interval == 0:
             self.log_loss(current_step)
             self.accumulated_loss = 0.0
@@ -52,7 +54,7 @@ class Logger:
             self.generate(current_step)
 
     def log_loss(self, current_step: int):
-        avg_loss = self.accumulated_loss / self.log_interval
+        avg_loss = float(self.accumulated_loss) / self.log_interval
         print(f"loss at step {current_step}: {avg_loss}")
 
     def validate(self, current_step: int):
@@ -101,7 +103,7 @@ class TensorboardLogger(Logger):
         self.log_histograms = log_histograms
 
     def log_loss(self, current_step: int):
-        avg_loss = self.accumulated_loss / self.log_interval
+        avg_loss = float(self.accumulated_loss) / self.log_interval
         self.scalar_summary("loss", avg_loss, current_step)
         if self.log_histograms and self.trainer is not None:
             # per-parameter and per-gradient histograms
