@@ -100,6 +100,7 @@ class WaveNetTrainer:
         snapshot_name: str = "snapshot",
         snapshot_interval: int = 1000,
         seed: int = 0,
+        sync_every: int = 25,
     ):
         self.cfg = cfg
         # own a copy: train_step donates its params buffers, which would
@@ -117,6 +118,7 @@ class WaveNetTrainer:
         self.snapshot_name = snapshot_name
         self.snapshot_interval = snapshot_interval
         self.seed = seed
+        self.sync_every = sync_every
         self.step = 0
         self.avg_step_time = None
         self._last_grads = None
@@ -148,8 +150,12 @@ class WaveNetTrainer:
                 )
                 # loss stays a device scalar — converting here would sync
                 # every step and pay the full dispatch round-trip latency;
-                # the logger converts at its own cadence.
+                # the logger converts at its own cadence. A periodic sync
+                # bounds the async dispatch queue (deep unsynced pipelines
+                # have been observed to wedge the device transport).
                 self.step += 1
+                if self.step % self.sync_every == 0:
+                    jax.block_until_ready(loss)
 
                 now = time.time()
                 if step_t0 is not None:
