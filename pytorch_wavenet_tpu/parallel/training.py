@@ -68,3 +68,49 @@ def data_parallel_batch_iterator(it, mesh: Mesh):
     """Wrap a host BatchIterator, placing every batch sharded over data."""
     for x, y in it:
         yield put_batch(mesh, x, y)
+
+
+def sharded_generate_fast_batched(
+    params, cfg, mesh: Mesh, key, num_samples, first_samples,
+    temperature: float = 1.0, regularize: float = 0.0, interpret: bool = False,
+):
+    """Pod-scale generation: every chip runs the fused HBM-ring kernel
+    (ops/pallas/gen_kernel_hbm) on its shard of the streams via shard_map —
+    the production serving path for BASELINE config 4 ("256 parallel sample
+    streams sharded across chips"). Streams must divide by the data-axis
+    size; per-chip counts must satisfy the kernel's 128-multiple alignment
+    on hardware. Each shard derives its own RNG key, so results depend on
+    the mesh size at temperature > 0 (argmax rollouts do not)."""
+    from functools import partial
+
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.pallas.gen_kernel_hbm import generate_fast_batched
+
+    first_samples = jnp.atleast_2d(first_samples).astype(jnp.int32)
+    n_data = mesh.shape[DATA_AXIS]
+    if first_samples.shape[0] % n_data != 0:
+        raise ValueError(
+            f"{first_samples.shape[0]} streams not divisible by data axis "
+            f"{n_data}"
+        )
+
+    def per_chip(key, prime_shard):
+        shard_key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+        wav, cls = generate_fast_batched(
+            params, cfg, shard_key, num_samples, prime_shard,
+            temperature=temperature, regularize=regularize,
+            interpret=interpret,
+        )
+        return wav, cls
+
+    fn = shard_map(
+        per_chip,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        check_rep=False,
+    )
+    return fn(key, first_samples)

@@ -147,3 +147,30 @@ def test_sharded_batch_iterator(tmp_path):
 
     with pytest.raises(ValueError):
         ShardedBatchIterator(ds, 7, mesh)
+
+
+def test_shard_map_batched_generation(setup):
+    """Each chip runs the fused HBM kernel on its stream shard; argmax
+    rollouts must equal the single-device XLA path stream-for-stream."""
+    from pytorch_wavenet_tpu.parallel.training import (
+        sharded_generate_fast_batched,
+    )
+
+    cfg, params, _, _ = setup
+    prime = jax.random.randint(
+        jax.random.PRNGKey(21), (8, cfg.receptive_field), 0, cfg.classes
+    )
+    k = jax.random.PRNGKey(22)
+    _, ref = wt.generate_fast(params, cfg, k, 16, prime, temperature=0.0)
+
+    mesh = make_mesh(8, 1)
+    wav, out = sharded_generate_fast_batched(
+        params, cfg, mesh, k, 16, prime, temperature=0.0, interpret=True
+    )
+    assert out.shape == (8, 16)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    with pytest.raises(ValueError):
+        sharded_generate_fast_batched(
+            params, cfg, mesh, k, 4, prime[:3], temperature=0.0, interpret=True
+        )
