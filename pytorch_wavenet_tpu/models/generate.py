@@ -43,35 +43,43 @@ from .wavenet import Params, wavenet_logits, _mm
 
 
 class GenState(NamedTuple):
-    """Fast-generation state: one stacked ring buffer for all layers.
+    """Fast-generation state: one exactly-sized ring buffer per layer.
 
     Replaces the reference's per-layer ``DilatedQueue`` objects
-    (reference: wavenet_model.py:78-81). ``buffers[l, s, p, :]`` holds the
+    (reference: wavenet_model.py:78-81). ``buffers[l][s, p, :]`` holds the
     residual-stream activation of layer ``l``, stream ``s`` written at time
-    ``t`` with ``p = t mod BUF``; one global cursor replaces all the
-    in_pos/out_pos pairs (reference: wavenet_modules.py:44-45,55-72).
+    ``t`` with ``p = t mod P_l`` where ``P_l = (k-1)*d_l + 1`` is the
+    reference's per-queue max_length (wavenet_model.py:78); one global
+    cursor replaces all the in_pos/out_pos pairs
+    (reference: wavenet_modules.py:44-45,55-72). Total state is
+    ~``2*receptive_field*R`` activations per stream — a uniform
+    max-dilation-length buffer per layer would be ~L/2x larger and was
+    measured to bottleneck the scan on whole-buffer copies at high stream
+    counts.
     """
 
-    buffers: jnp.ndarray  # (L, S, BUF, R)
+    buffers: tuple  # L arrays, (S, P_l, R) each
     t: jnp.ndarray  # scalar int32 global time cursor
 
 
-def buffer_length(cfg: WaveNetConfig) -> int:
-    """Uniform ring length covering the largest layer's lookback:
-    (kernel_size-1)*max_dilation + 1 (reference per-layer max_length at
+def buffer_length(cfg: WaveNetConfig, layer: int | None = None) -> int:
+    """Ring length ``(kernel_size-1)*d + 1`` for ``layer`` (the largest
+    layer's when ``layer`` is None; reference per-layer max_length at
     wavenet_model.py:78)."""
-    return (cfg.kernel_size - 1) * cfg.max_dilation + 1
+    d = cfg.max_dilation if layer is None else cfg.dilations[layer]
+    return (cfg.kernel_size - 1) * d + 1
 
 
 def init_gen_state(cfg: WaveNetConfig, num_streams: int = 1,
                    dtype=jnp.float32) -> GenState:
     """Zero-filled queues (reference: DilatedQueue.reset,
     wavenet_modules.py:74-77)."""
-    buf = jnp.zeros(
-        (cfg.num_layers, num_streams, buffer_length(cfg), cfg.residual_channels),
-        dtype,
+    bufs = tuple(
+        jnp.zeros((num_streams, buffer_length(cfg, l), cfg.residual_channels),
+                  dtype)
+        for l in range(cfg.num_layers)
     )
-    return GenState(buffers=buf, t=jnp.zeros((), jnp.int32))
+    return GenState(buffers=bufs, t=jnp.zeros((), jnp.int32))
 
 
 def gen_step(
@@ -87,60 +95,62 @@ def gen_step(
     local conditioning ``(S, cond_channels)`` for this step. Returns logits
     ``(S, classes)`` and the updated state. Equivalent to one pass of the
     reference trunk under ``queue_dilate`` (reference: wavenet_model.py:177-184).
+    The layer loop is statically unrolled like the training trunk, with the
+    same tap accumulation order, so argmax rollouts agree bitwise.
     """
     k = cfg.kernel_size
-    BUF = buffer_length(cfg)
     cdt = cfg.compute_dtype
     t = state.t
-    slot = t % BUF
 
     h = jnp.take(params["start"]["w"], cur_class, axis=0)  # (S, R)
     if "b" in params["start"]:
         h = h + params["start"]["b"]
     h = h.astype(jnp.float32)
 
-    dilations = jnp.asarray(cfg.dilations, dtype=jnp.int32)
     S = h.shape[0]
-    skip0 = jnp.zeros((S, cfg.skip_channels), jnp.float32)
+    skip = jnp.zeros((S, cfg.skip_channels), jnp.float32)
+    lp = params["layers"]
+    new_buffers = []
 
-    def layer(carry, xs):
-        h, skip = carry
-        buf = xs["buf"]  # (S, BUF, R)
-        d = xs["d"]
+    for l, d in enumerate(cfg.dilations):
+        buf = state.buffers[l]  # (S, P_l, R)
+        P = buf.shape[1]
+        slot = t % P
         # ring write of the current activation (reference enqueue,
         # wavenet_modules.py:55-57)
-        new_buf = buf.at[:, slot, :].set(h.astype(buf.dtype))
+        new_buffers.append(
+            lax.dynamic_update_slice_in_dim(
+                buf, h.astype(buf.dtype)[:, None, :], slot, axis=1
+            )
+        )
         # gated conv over the k taps (reference dequeue + conv,
         # wavenet_modules.py:59-72 + wavenet_model.py:147-151)
-        z = _mm(h, xs["w_in"][k - 1], cdt)
+        z = _mm(h, lp["w_in"][l, k - 1], cdt)
         for j in range(k - 1):
-            idx = (t - (k - 1 - j) * d) % BUF
+            idx = (t - (k - 1 - j) * d) % P
             tap = lax.dynamic_index_in_dim(buf, idx, axis=1, keepdims=False)
-            z = z + _mm(tap.astype(jnp.float32), xs["w_in"][j], cdt)
+            z = z + _mm(tap.astype(jnp.float32), lp["w_in"][l, j], cdt)
         if cond is not None:
-            z = z + _mm(cond, xs["w_cond"], cdt)
-        if "b_in" in xs:
-            z = z + xs["b_in"]
+            z = z + _mm(cond, lp["w_cond"][l], cdt)
+        if "b_in" in lp:
+            z = z + lp["b_in"][l]
         f, g = jnp.split(z, 2, axis=-1)
         u = jnp.tanh(f) * jax.nn.sigmoid(g)
 
-        s = _mm(u, xs["w_skip"], cdt)
-        if "b_skip" in xs:
-            s = s + xs["b_skip"]
+        s = _mm(u, lp["w_skip"][l], cdt)
+        if "b_skip" in lp:
+            s = s + lp["b_skip"][l]
         skip = skip + s
 
-        r = _mm(u, xs["w_res"], cdt)
-        if "b_res" in xs:
-            r = r + xs["b_res"]
-        return (r + h, skip), new_buf
-
-    xs = {**params["layers"], "d": dilations, "buf": state.buffers}
-    (_, skip), new_buffers = lax.scan(layer, (h, skip0), xs)
+        r = _mm(u, lp["w_res"][l], cdt)
+        if "b_res" in lp:
+            r = r + lp["b_res"][l]
+        h = r + h
 
     y = jax.nn.relu(skip)
     y = jax.nn.relu(_mm(y, params["end1"]["w"], cdt) + params["end1"]["b"])
     logits = _mm(y, params["end2"]["w"], cdt) + params["end2"]["b"]
-    return logits, GenState(buffers=new_buffers, t=t + 1)
+    return logits, GenState(buffers=tuple(new_buffers), t=t + 1)
 
 
 def _sample(logits, u, classes, temperature, regularize):

@@ -89,16 +89,22 @@ def test_waveform_is_mu_law_expanded(tiny):
 def test_gen_state_ring_buffer_shapes(tiny):
     cfg, params = tiny
     st = init_gen_state(cfg, 3)
-    assert st.buffers.shape == (
-        cfg.num_layers, 3, buffer_length(cfg), cfg.residual_channels
-    )
+    assert len(st.buffers) == cfg.num_layers
+    for l, buf in enumerate(st.buffers):
+        # exactly the reference's per-queue max_length
+        # (reference: wavenet_model.py:78)
+        assert buf.shape == (
+            3, (cfg.kernel_size - 1) * cfg.dilations[l] + 1,
+            cfg.residual_channels,
+        )
     assert buffer_length(cfg) == (cfg.kernel_size - 1) * cfg.max_dilation + 1
     logits, st2 = gen_step(params, cfg, st, jnp.zeros((3,), jnp.int32))
     assert logits.shape == (3, cfg.classes)
     assert int(st2.t) == 1
     # exactly one slot per layer/stream was written
-    changed = np.asarray((st2.buffers != st.buffers).any(axis=-1)).sum(axis=-1)
-    assert (changed <= 1).all()
+    for b0, b1 in zip(st.buffers, st2.buffers):
+        changed = np.asarray((b0 != b1).any(axis=-1)).sum(axis=-1)
+        assert (changed <= 1).all()
 
 
 def test_queue_wraparound_long_rollout(tiny):
