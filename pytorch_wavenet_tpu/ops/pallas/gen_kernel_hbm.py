@@ -57,6 +57,10 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
     periods = [d + 1 for d in dil]  # kernel_size == 2
     ring_off = np.cumsum([0] + periods).tolist()
     NS = streams
+    # Cross-step tap prefetch only pays when the head is big enough to hide
+    # the DMAs behind (chaconne-class skip/end widths); for small heads the
+    # extra per-step predication costs more than it saves.
+    prefetch = S * cfg.end_channels >= 1 << 18
 
     def kernel(
         seed_ref,     # (1, 1) int32
@@ -124,11 +128,17 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
             return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
         def step(t, cls):  # cls: (1, NS) int32
-            # issue all tap reads up front — they depend only on prior steps
+            # Tap reads for dilation-1 layers depend on the previous step's
+            # write, so they are issued here; with prefetch enabled, taps
+            # for d>=2 layers were issued at the END of the previous step
+            # (their slot cannot be written in between — slot (t-d) mod
+            # (d+1) != slot (t-1) mod (d+1) for d>=2), overlapping the
+            # head+sampling compute.
             for l in range(L):
-                @pl.when(t >= dil[l])
-                def _(l=l):
-                    tap_dma(l, t).start()
+                if dil[l] == 1 or not prefetch:
+                    @pl.when(t >= dil[l])
+                    def _(l=l):
+                        tap_dma(l, t).start()
 
             # embed: one-hot (C, NS), h = w_startT @ onehot -> (R, NS)
             onehot = (
@@ -193,6 +203,14 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
             # all ring writes must land before the next step reads them
             for l in range(L):
                 write_dma(l, t).wait()
+
+            # prefetch next step's taps for d>=2 layers (see top of step)
+            if prefetch:
+                for l in range(L):
+                    if dil[l] >= 2:
+                        @pl.when((t + 1 >= dil[l]) & (t + 1 < total))
+                        def _(l=l):
+                            tap_dma(l, t + 1).start()
 
             # next input
             if num_given > 1:
