@@ -1,0 +1,70 @@
+"""Property-based tests: the generation-equivalence and causality
+invariants must hold for arbitrary small architectures, not just the fixture
+configs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+import pytorch_wavenet_tpu as wt
+
+cfg_strategy = st.builds(
+    wt.WaveNetConfig,
+    layers=st.integers(1, 3),
+    blocks=st.integers(1, 2),
+    dilation_channels=st.sampled_from([4, 8]),
+    residual_channels=st.sampled_from([4, 8]),
+    skip_channels=st.sampled_from([8, 16]),
+    end_channels=st.sampled_from([8]),
+    classes=st.sampled_from([16, 32]),
+    output_length=st.integers(1, 4),
+    kernel_size=st.integers(2, 3),
+    bias=st.booleans(),
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(cfg=cfg_strategy, seed=st.integers(0, 2**16))
+def test_fast_equals_naive_any_architecture(cfg, seed):
+    """fast == naive argmax rollouts for arbitrary (layers, blocks, k,
+    channels, bias) combinations."""
+    key = jax.random.PRNGKey(seed)
+    params = wt.init_wavenet(key, cfg)
+    prime = jax.random.randint(
+        jax.random.fold_in(key, 1), (1, cfg.receptive_field), 0, cfg.classes
+    )
+    n = 12
+    _, cf = wt.generate_fast(params, cfg, key, n, prime, temperature=0.0)
+    _, cn = wt.generate(params, cfg, key, n, prime, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(cf), np.asarray(cn))
+
+
+@settings(max_examples=10, deadline=None)
+@given(cfg=cfg_strategy, seed=st.integers(0, 2**16))
+def test_parameter_count_and_rf_any_architecture(cfg, seed):
+    params = wt.init_wavenet(jax.random.PRNGKey(seed), cfg)
+    assert wt.parameter_count(params) == cfg.parameter_count()
+    expected_rf = 1 + cfg.blocks * (cfg.kernel_size - 1) * (
+        2**cfg.layers - 1
+    )
+    assert cfg.receptive_field == expected_rf
+
+
+@settings(max_examples=8, deadline=None)
+@given(cfg=cfg_strategy, seed=st.integers(0, 2**16))
+def test_causality_any_architecture(cfg, seed):
+    """Future samples never influence earlier logits."""
+    key = jax.random.PRNGKey(seed)
+    params = wt.init_wavenet(key, cfg)
+    T = cfg.item_length
+    x = jax.random.randint(jax.random.fold_in(key, 2), (1, T), 0, cfg.classes)
+    y = wt.wavenet_logits(params, cfg, x)
+    x2 = x.at[:, cfg.receptive_field :].set(
+        (x[:, cfg.receptive_field :] + 1) % cfg.classes
+    )
+    y2 = wt.wavenet_logits(params, cfg, x2)
+    np.testing.assert_allclose(
+        np.asarray(y[:, 0]), np.asarray(y2[:, 0]), atol=1e-6
+    )
