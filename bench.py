@@ -9,6 +9,13 @@ steady-state samples/s on device via the fused Pallas kernel — target was
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import os
+
+if os.environ.get("WAVENET_TPU_FORCE_CPU"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 import json
 import sys
 import time

@@ -38,6 +38,8 @@ class WaveNetConfig:
     cond_channels: int = 0
     # TPU-specific knobs (no reference analogue):
     compute_dtype: Any = jnp.float32  # matmul input dtype (bfloat16 for perf)
+    remat: bool = False  # jax.checkpoint each layer: trade FLOPs for HBM
+    # when training long output windows on deep stacks
 
     @property
     def num_layers(self) -> int:
@@ -133,6 +135,20 @@ PRESETS: dict[str, WaveNetConfig] = {
         end_channels=32,
         output_length=8,
         bias=False,
+    ),
+    # production training config: same stack as chaconne but a window that
+    # amortizes the receptive field (the reference's output_length=16 spends
+    # a 3085-sample trunk on 16 targets; 1024 targets cost ~1.35x the FLOPs
+    # for 64x the supervision)
+    "chaconne_wide": WaveNetConfig(
+        layers=10,
+        blocks=3,
+        dilation_channels=32,
+        residual_channels=32,
+        skip_channels=1024,
+        end_channels=512,
+        output_length=1024,
+        bias=True,
     ),
     # tiny config for unit tests (fast on CPU)
     "tiny": WaveNetConfig(

@@ -167,6 +167,21 @@ def wavenet_logits(
     k = cfg.kernel_size
     cdt = cfg.compute_dtype
 
+    if x.shape[1] < out_len:
+        raise ValueError(
+            f"input length {x.shape[1]} < out_len {out_len}; training "
+            f"windows need item_length = receptive_field + output_length - 1 "
+            f"= {cfg.item_length}"
+        )
+    if cond is not None:
+        if cfg.cond_channels == 0:
+            raise ValueError("cond given but cfg.cond_channels == 0")
+        if cond.shape[:2] != x.shape[:2] or cond.shape[2] != cfg.cond_channels:
+            raise ValueError(
+                f"cond shape {cond.shape} must be (N, T, cond_channels) = "
+                f"({x.shape[0]}, {x.shape[1]}, {cfg.cond_channels})"
+            )
+
     h = embed_inputs(params, cfg, x)  # (N, T, R)
     N, T, R = h.shape
 
@@ -180,34 +195,43 @@ def wavenet_logits(
     # can't exploit per-layer-constant shifts). Tap accumulation order
     # matches ops.pallas.gen_kernel / models.generate.gen_step so argmax
     # rollouts agree bitwise across all three paths.
+    def make_layer(l: int, d: int):
+        def layer_fn(h, skip, cond, lp):
+            # Gated dilated conv: sum of k time-shifted matmuls. Tap j looks
+            # back (k-1-j)*d steps; the most recent tap is h itself.
+            # Out-of-range history is zero (same as the reference's
+            # pad-start in dilate(), wavenet_modules.py:23-27 — those
+            # positions are sliced away anyway).
+            z = _mm(h, lp["w_in"][l, k - 1], cdt)
+            for j in range(k - 1):
+                shift = (k - 1 - j) * d
+                tap = jnp.pad(h, ((0, 0), (shift, 0), (0, 0)))[:, :T, :]
+                z = z + _mm(tap, lp["w_in"][l, j], cdt)
+            if cond is not None:
+                z = z + _mm(cond, lp["w_cond"][l], cdt)
+            if "b_in" in lp:
+                z = z + lp["b_in"][l]
+            f, g = jnp.split(z, 2, axis=-1)
+            u = jnp.tanh(f) * jax.nn.sigmoid(g)  # (N, T, D)
+
+            # Skip: only the positions that survive the final slice.
+            s = _mm(u[:, T - out_len :, :], lp["w_skip"][l], cdt)
+            if "b_skip" in lp:
+                s = s + lp["b_skip"][l]
+
+            # Residual: position-aligned add
+            # (reference: wavenet_model.py:164-165).
+            r = _mm(u, lp["w_res"][l], cdt)
+            if "b_res" in lp:
+                r = r + lp["b_res"][l]
+            return r + h, skip + s
+
+        # remat: recompute the layer in the backward pass instead of saving
+        # its activations — HBM for FLOPs when training long output windows
+        return jax.checkpoint(layer_fn) if cfg.remat else layer_fn
+
     for l, d in enumerate(cfg.dilations):
-        # Gated dilated conv: sum of k time-shifted matmuls. Tap j looks back
-        # (k-1-j)*d steps; the most recent tap is h itself. Out-of-range
-        # history is zero (same as the reference's pad-start in dilate(),
-        # wavenet_modules.py:23-27 — those positions are sliced away anyway).
-        z = _mm(h, lp["w_in"][l, k - 1], cdt)
-        for j in range(k - 1):
-            shift = (k - 1 - j) * d
-            tap = jnp.pad(h, ((0, 0), (shift, 0), (0, 0)))[:, :T, :]
-            z = z + _mm(tap, lp["w_in"][l, j], cdt)
-        if cond is not None:
-            z = z + _mm(cond, lp["w_cond"][l], cdt)
-        if "b_in" in lp:
-            z = z + lp["b_in"][l]
-        f, g = jnp.split(z, 2, axis=-1)
-        u = jnp.tanh(f) * jax.nn.sigmoid(g)  # (N, T, D)
-
-        # Skip: only the positions that survive the final slice.
-        s = _mm(u[:, T - out_len :, :], lp["w_skip"][l], cdt)
-        if "b_skip" in lp:
-            s = s + lp["b_skip"][l]
-        skip = skip + s
-
-        # Residual: position-aligned add (reference: wavenet_model.py:164-165).
-        r = _mm(u, lp["w_res"][l], cdt)
-        if "b_res" in lp:
-            r = r + lp["b_res"][l]
-        h = r + h
+        h, skip = make_layer(l, d)(h, skip, cond, lp)
 
     # Head: relu -> 1x1 -> relu -> 1x1 (reference: wavenet_model.py:167-170).
     y = jax.nn.relu(skip)

@@ -10,6 +10,13 @@ Example:
       --temperature 1.0 --out latest_generated_clip.wav
 """
 
+import os
+
+if os.environ.get("WAVENET_TPU_FORCE_CPU"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 import argparse
 import os
 import sys

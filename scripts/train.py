@@ -11,6 +11,13 @@ Example:
       --config chaconne --batch-size 16 --epochs 10 --snapshot-path snapshots
 """
 
+import os
+
+if os.environ.get("WAVENET_TPU_FORCE_CPU"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 import argparse
 import os
 import sys

@@ -1,0 +1,72 @@
+"""CLI entry-point smoke tests (subprocess, CPU, tiny config) — the
+reference's de-facto integration level (its entry scripts ARE its
+integration tests, SURVEY.md §4)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ENV = {
+    **os.environ,
+    "JAX_PLATFORMS": "",  # let the subprocess conftest-equivalent pick CPU
+    "WAVENET_TPU_FORCE_CPU": "1",
+}
+
+
+def run(args, timeout=240):
+    return subprocess.run(
+        [sys.executable, *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env=ENV,
+        timeout=timeout,
+    )
+
+
+@pytest.fixture(scope="module")
+def audio_dir(tmp_path_factory):
+    sys.path.insert(0, REPO)
+    from pytorch_wavenet_tpu.data.audio_io import write_wav
+
+    d = tmp_path_factory.mktemp("cli_audio")
+    t = np.arange(16000) / 16000.0
+    write_wav(str(d / "a.wav"), 0.4 * np.sin(2 * np.pi * 200 * t), 16000)
+    return d
+
+
+def test_train_and_generate_cli(audio_dir, tmp_path):
+    snaps = str(tmp_path / "snaps")
+    r = run([
+        "scripts/train.py", "--data-dir", str(audio_dir), "--config", "tiny",
+        "--batch-size", "4", "--epochs", "1", "--max-steps", "6",
+        "--snapshot-path", snaps, "--snapshot-interval", "5",
+        "--log-interval", "3", "--validation-interval", "100000",
+        "--generate-interval", "100000", "--test-stride", "50",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "loss at step 3" in r.stdout
+    assert any(f.endswith(".ckpt") for f in os.listdir(snaps))
+
+    out = str(tmp_path / "clip.wav")
+    r = run([
+        "scripts/generate.py", "--snapshot-path", snaps,
+        "--num-samples", "32", "--temperature", "1.0", "--out", out,
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out)
+
+
+def test_bench_cli_emits_json():
+    r = run(["bench.py"], timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = r.stdout.strip().splitlines()[-1]
+    blob = json.loads(line)
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(blob)
+    assert blob["value"] > 0
