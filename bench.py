@@ -42,9 +42,17 @@ def main():
     import numpy as np
 
     n = 16384 if on_tpu else 1024
-    # compile
-    wav, _ = gen(params, cfg, jax.random.PRNGKey(0), n, prime, temperature=1.0)
-    np.asarray(wav)
+    # compile; fall back to the pure-XLA path if the Pallas kernel cannot
+    # compile on this runtime (the metric must always be emitted)
+    try:
+        wav, _ = gen(params, cfg, jax.random.PRNGKey(0), n, prime, temperature=1.0)
+        np.asarray(wav)
+    except Exception as e:  # pragma: no cover
+        print(f"# fused kernel unavailable ({type(e).__name__}); XLA fallback",
+              file=sys.stderr)
+        gen = wt.generate_fast
+        wav, _ = gen(params, cfg, jax.random.PRNGKey(0), n, prime, temperature=1.0)
+        np.asarray(wav)
 
     best = float("inf")
     for rep in range(2):
