@@ -21,6 +21,7 @@ from .models.generate import (
     gen_step,
     generate,
     generate_fast,
+    generate_long,
 )
 from .ops.mulaw import (
     mu_law_encoding,

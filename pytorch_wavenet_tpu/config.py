@@ -36,6 +36,8 @@ class WaveNetConfig:
     bias: bool = False
     # Local conditioning (mel vocoder; 0 = unconditional like the reference)
     cond_channels: int = 0
+    # Global conditioning (e.g. speaker embedding, WaveNet paper eq. 3)
+    gcond_channels: int = 0
     # TPU-specific knobs (no reference analogue):
     compute_dtype: Any = jnp.float32  # matmul input dtype (bfloat16 for perf)
     remat: bool = False  # jax.checkpoint each layer: trade FLOPs for HBM
@@ -80,7 +82,9 @@ class WaveNetConfig:
         n = c * r  # start conv
         per_layer = 2 * (k * r * d) + d * r + d * s
         if self.cond_channels:
-            per_layer += self.cond_channels * 2 * d  # conditioning 1x1
+            per_layer += self.cond_channels * 2 * d  # local conditioning 1x1
+        if self.gcond_channels:
+            per_layer += self.gcond_channels * 2 * d  # global conditioning
         if self.bias:
             n += r
             per_layer += 2 * d + r + s

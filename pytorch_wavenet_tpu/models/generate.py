@@ -13,15 +13,16 @@ TPU-first redesign of the fast path:
 * The reference keeps one Python ``DilatedQueue`` object per layer with
   host-side cursors and runs one tensor-op-per-layer per sample, then round
   trips to the host for numpy categorical sampling *every step*
-  (reference: wavenet_model.py:282-289). Here the per-layer queues are a
-  single stacked HBM-resident ring buffer ``(L, S, BUF, R)`` indexed by one
-  global time cursor, the per-layer update is a ``lax.scan`` over stacked
-  weights, sampling is on-device ``jax.random.categorical``, and the whole
-  sample loop is an outer ``lax.scan`` — zero host synchronization for the
-  entire clip.
+  (reference: wavenet_model.py:282-289). Here the queues are exactly-sized
+  device-resident ring buffers indexed by one global time cursor, the layer
+  walk is statically unrolled (mirroring the training trunk), sampling is
+  on-device inverse-CDF, and the whole sample loop is a ``lax.scan`` — zero
+  host synchronization for the entire clip.
 * Generation is batched over ``S`` independent streams (the reference is
   hard-coded to batch 1, wavenet_model.py:179); streams shard across chips
-  on the 'data' mesh axis.
+  on the 'data' mesh axis. For peak throughput see the fused Pallas kernels
+  (ops/pallas/gen_kernel*.py); :func:`generate_long` chunks any backend to
+  unbounded clip lengths.
 
 Priming semantics match the reference: the given samples are pushed through
 the queue path one step at a time and the last given sample is the first
@@ -88,6 +89,7 @@ def gen_step(
     state: GenState,
     cur_class: jnp.ndarray,
     cond: jnp.ndarray | None = None,
+    global_cond: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, GenState]:
     """One autoregressive step for all streams.
 
@@ -132,6 +134,8 @@ def gen_step(
             z = z + _mm(tap.astype(jnp.float32), lp["w_in"][l, j], cdt)
         if cond is not None:
             z = z + _mm(cond, lp["w_cond"][l], cdt)
+        if global_cond is not None:
+            z = z + _mm(global_cond, lp["w_gcond"][l], cdt)
         if "b_in" in lp:
             z = z + lp["b_in"][l]
         f, g = jnp.split(z, 2, axis=-1)
@@ -190,6 +194,7 @@ def generate_fast(
     temperature: float = 1.0,
     regularize: float = 0.0,
     cond: jnp.ndarray | None = None,
+    global_cond: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fast-WaveNet generation (reference: wavenet_model.py:237-315).
 
@@ -221,7 +226,8 @@ def generate_fast(
     def step(carry, xs):
         state, cur = carry
         u, i, c = xs
-        logits, state = gen_step(params, cfg, state, cur, cond=c)
+        logits, state = gen_step(params, cfg, state, cur, cond=c,
+                                 global_cond=global_cond)
         sampled = _sample(logits, u, cfg.classes, temperature, regularize)
         nxt = jnp.where(i + 1 < num_given, given[:, jnp.minimum(i + 1, total)], sampled)
         return (state, nxt.astype(jnp.int32)), sampled
@@ -250,6 +256,7 @@ def generate(
     temperature: float = 1.0,
     regularize: float = 0.0,
     cond: jnp.ndarray | None = None,
+    global_cond: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Naive autoregressive generation: re-run the full receptive-field
     window per sample (reference: wavenet_model.py:198-235). O(rf) per step —
@@ -285,7 +292,8 @@ def generate(
             cw = lax.dynamic_slice(
                 cond_pad, (0, num_given + i, 0), (S, rf, cond_pad.shape[2])
             )
-        logits = wavenet_logits(params, cfg, window, out_len=1, cond=cw)[:, 0, :]
+        logits = wavenet_logits(params, cfg, window, out_len=1, cond=cw,
+                                global_cond=global_cond)[:, 0, :]
         sampled = _sample(logits, u, cfg.classes, temperature, regularize)
         window = jnp.concatenate([window[:, 1:], sampled[:, None]], axis=1)
         return window, sampled
@@ -296,4 +304,60 @@ def generate(
     out = samples.T  # (S, num_samples)
     wav = mu_law_expansion_jnp((out.astype(jnp.float32) / cfg.classes) * 2.0 - 1.0,
                                cfg.classes)
+    return wav, out
+
+
+def generate_long(
+    params: Params,
+    cfg: WaveNetConfig,
+    key: jax.Array,
+    num_samples: int,
+    first_samples: jnp.ndarray | None = None,
+    temperature: float = 1.0,
+    regularize: float = 0.0,
+    chunk_size: int = 65536,
+    backend=None,
+    progress_callback=None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Arbitrary-length generation by chunking any backend.
+
+    Runs ``backend`` (default :func:`generate_fast`; pass
+    ``ops.pallas.gen_kernel.generate_fast_fused`` on TPU) in ``chunk_size``
+    pieces, re-priming each chunk with the previous chunk's last
+    receptive-field samples — the same state the queues would carry, at a
+    ~receptive_field/chunk_size (<5%) re-prime overhead. This keeps the
+    fused kernels' on-chip output buffers bounded for clips of any length
+    and gives the reference's ``progress_callback`` hook a natural cadence
+    (reference: wavenet_model.py:242-243,308-311).
+    """
+    if backend is None:
+        backend = generate_fast
+    rf = cfg.receptive_field
+    if chunk_size <= rf:
+        raise ValueError(f"chunk_size {chunk_size} must exceed rf {rf}")
+    if first_samples is None:
+        first_samples = jnp.full((1, 1), cfg.classes // 2, jnp.int32)
+    prime = jnp.atleast_2d(first_samples).astype(jnp.int32)
+
+    outs = []
+    done = 0
+    while done < num_samples:
+        n = min(chunk_size, num_samples - done)
+        key, sub = jax.random.split(key)
+        _, cls = backend(
+            params, cfg, sub, n, prime,
+            temperature=temperature, regularize=regularize,
+        )
+        outs.append(cls)
+        done += n
+        if progress_callback is not None:
+            progress_callback(done, num_samples)
+        # next chunk continues from the full history tail
+        hist = jnp.concatenate([prime, cls], axis=1)
+        prime = hist[:, -rf:]
+
+    out = jnp.concatenate(outs, axis=1)
+    wav = mu_law_expansion_jnp(
+        (out.astype(jnp.float32) / cfg.classes) * 2.0 - 1.0, cfg.classes
+    )
     return wav, out

@@ -109,6 +109,12 @@ def init_wavenet(key: jax.Array, cfg: WaveNetConfig) -> Params:
         params["layers"]["w_cond"] = _conv_init(
             ck, (L, cfg.cond_channels, 2 * D), cfg.cond_channels
         )
+    if cfg.gcond_channels:
+        # global conditioning (speaker embedding etc., WaveNet paper eq. 3)
+        gk = jax.random.fold_in(key, 102)
+        params["layers"]["w_gcond"] = _conv_init(
+            gk, (L, cfg.gcond_channels, 2 * D), cfg.gcond_channels
+        )
     return params
 
 
@@ -153,6 +159,7 @@ def wavenet_logits(
     x: jnp.ndarray,
     out_len: int | None = None,
     cond: jnp.ndarray | None = None,
+    global_cond: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Run the trunk; return logits ``(N, out_len, classes)`` (no softmax —
     the loss applies it, matching reference: wavenet_model.py:167-170).
@@ -161,6 +168,8 @@ def wavenet_logits(
     with ``T >= receptive_field + out_len - 1``.
     ``cond``: optional local conditioning ``(N, T, cond_channels)`` aligned
     with ``x`` (requires ``cfg.cond_channels > 0``).
+    ``global_cond``: optional utterance-level conditioning
+    ``(N, gcond_channels)`` broadcast over time (WaveNet paper eq. 3).
     """
     if out_len is None:
         out_len = cfg.output_length
@@ -209,6 +218,8 @@ def wavenet_logits(
                 z = z + _mm(tap, lp["w_in"][l, j], cdt)
             if cond is not None:
                 z = z + _mm(cond, lp["w_cond"][l], cdt)
+            if global_cond is not None:
+                z = z + _mm(global_cond, lp["w_gcond"][l], cdt)[:, None, :]
             if "b_in" in lp:
                 z = z + lp["b_in"][l]
             f, g = jnp.split(z, 2, axis=-1)

@@ -180,3 +180,24 @@ def test_generate_short_prime_pads(tiny):
     wav, cls = wt.generate(params, cfg, jax.random.PRNGKey(0), 8, short, temperature=0.0)
     assert cls.shape == (1, 8)
     assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_generate_long_matches_single_shot(tiny):
+    """Chunked re-priming reconstructs the queue state exactly: a chunked
+    argmax rollout equals the single-shot one."""
+    from pytorch_wavenet_tpu.models.generate import generate_long
+
+    cfg, params = tiny
+    prime = _prime(cfg, 1)
+    n = 70
+    k = jax.random.PRNGKey(17)
+    _, ref = wt.generate_fast(params, cfg, k, n, prime, temperature=0.0)
+    progress = []
+    _, out = generate_long(
+        params, cfg, k, n, prime, temperature=0.0, chunk_size=cfg.receptive_field + 9,
+        progress_callback=lambda d, t: progress.append((d, t)),
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    assert progress[-1] == (n, n)
+    with pytest.raises(ValueError):
+        generate_long(params, cfg, k, 8, prime, chunk_size=2)

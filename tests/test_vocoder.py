@@ -136,3 +136,34 @@ def test_mel_dataset_and_vocoder_training(tmp_path):
     assert l1 < l0
     loss, acc = trainer.validate(batch_size=4)
     assert np.isfinite(loss) and 0 <= acc <= 1
+
+
+def test_global_conditioning():
+    """Speaker-embedding-style global conditioning: affects output, is
+    broadcast over time, and fast == naive under it."""
+    cfg = wt.get_config("tiny", gcond_channels=4)
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    assert wt.parameter_count(params) == cfg.parameter_count()
+
+    x = jax.random.randint(jax.random.PRNGKey(1), (2, cfg.item_length), 0, cfg.classes)
+    g1 = jax.random.normal(jax.random.PRNGKey(2), (2, 4))
+    y0 = wt.wavenet_logits(params, cfg, x)
+    y1 = wt.wavenet_logits(params, cfg, x, global_cond=g1)
+    assert np.abs(np.asarray(y0) - np.asarray(y1)).max() > 1e-4
+    np.testing.assert_allclose(
+        np.asarray(y0),
+        np.asarray(wt.wavenet_logits(params, cfg, x, global_cond=jnp.zeros((2, 4)))),
+        atol=1e-5,
+    )
+
+    prime = jax.random.randint(
+        jax.random.PRNGKey(3), (2, cfg.receptive_field), 0, cfg.classes
+    )
+    k = jax.random.PRNGKey(4)
+    _, cf = wt.generate_fast(params, cfg, k, 20, prime, temperature=0.0,
+                             global_cond=g1)
+    _, cn = wt.generate(params, cfg, k, 20, prime, temperature=0.0,
+                        global_cond=g1)
+    np.testing.assert_array_equal(np.asarray(cf), np.asarray(cn))
+    _, cu = wt.generate_fast(params, cfg, k, 20, prime, temperature=0.0)
+    assert not np.array_equal(np.asarray(cf), np.asarray(cu))
