@@ -154,6 +154,20 @@ PRESETS: dict[str, WaveNetConfig] = {
         output_length=1024,
         bias=True,
     ),
+    # mel-conditioned vocoder (BASELINE config 5): chaconne-class stack,
+    # 80-mel local conditioning, wide supervision window; shard the
+    # skip/end head over the model axis for multi-chip training
+    "vocoder": WaveNetConfig(
+        layers=10,
+        blocks=3,
+        dilation_channels=64,
+        residual_channels=64,
+        skip_channels=1024,
+        end_channels=512,
+        output_length=1024,
+        bias=True,
+        cond_channels=80,
+    ),
     # tiny config for unit tests (fast on CPU)
     "tiny": WaveNetConfig(
         layers=3,

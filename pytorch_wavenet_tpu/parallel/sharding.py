@@ -37,6 +37,9 @@ def param_pspecs(cfg: WaveNetConfig, params: Params) -> Params:
             "b_in": P(),
             "w_res": P(),
             "b_res": P(),
+            # conditioning 1x1s: small, replicated
+            "w_cond": P(),
+            "w_gcond": P(),
             # skip projection: column-parallel over model axis
             "w_skip": P(None, None, MODEL_AXIS),
             "b_skip": P(None, MODEL_AXIS),

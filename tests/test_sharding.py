@@ -174,3 +174,40 @@ def test_shard_map_batched_generation(setup):
         sharded_generate_fast_batched(
             params, cfg, mesh, k, 4, prime[:3], temperature=0.0, interpret=True
         )
+
+
+def test_sharded_conditioned_vocoder_training():
+    """Model-parallel training of a conditioned model: the conditioning
+    weights replicate, the head shards, and the step runs on a (2,4) mesh
+    (BASELINE config 5's 'model sharded across chips')."""
+    import optax
+    from pytorch_wavenet_tpu.training.trainer import cross_entropy_loss
+
+    cfg = wt.get_config("tiny", skip_channels=32, cond_channels=4)
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    specs = param_pspecs(cfg, params)
+    assert specs["layers"]["w_cond"] == P()
+
+    mesh = make_mesh(2, 4)
+    tx = reference_adam(1e-3)
+    sp, so = make_sharded_train_state(cfg, params, tx, mesh)
+    x = jax.random.randint(jax.random.PRNGKey(1), (4, cfg.item_length), 0, cfg.classes)
+    y = jax.random.randint(jax.random.PRNGKey(2), (4, cfg.output_length), 0, cfg.classes)
+    cond = jax.random.normal(jax.random.PRNGKey(3), (4, cfg.item_length, 4))
+    xb, yb = put_batch(mesh, x, y)
+    cb = jax.device_put(cond, batch_sharding(mesh))
+
+    @jax.jit
+    def step(p, o, x, y, c):
+        loss, g = jax.value_and_grad(cross_entropy_loss)(p, cfg, x, y, c)
+        up, o = tx.update(g, o, p)
+        return optax.apply_updates(p, up), o, loss
+
+    losses = []
+    for _ in range(4):
+        sp, so, loss = step(sp, so, xb, yb, cb)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    # matches the single-device conditioned loss
+    l_ref = float(cross_entropy_loss(params, cfg, x, y, cond))
+    assert abs(losses[0] - l_ref) < 5e-3
