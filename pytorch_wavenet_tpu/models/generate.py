@@ -32,7 +32,7 @@ generation input (reference: wavenet_model.py:253-269).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

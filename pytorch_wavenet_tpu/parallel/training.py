@@ -15,13 +15,12 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import WaveNetConfig
-from ..models.wavenet import wavenet_logits
 from ..training.trainer import cross_entropy_loss
-from .mesh import DATA_AXIS, make_mesh
-from .sharding import batch_sharding, param_pspecs, shard_params
+from .mesh import DATA_AXIS
+from .sharding import batch_sharding, shard_params
 
 
 def make_sharded_train_state(

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import time
 from functools import partial
-from typing import Any, Callable, Iterable
+from typing import Any
 
 import jax
 import jax.numpy as jnp
