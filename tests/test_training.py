@@ -185,3 +185,30 @@ def test_logger_generate_thread():
     logger = wt.Logger(generate_interval=1, generate_function=lambda s: ev.set())
     logger.log(1, 0.0)
     assert ev.wait(timeout=5)
+
+
+def test_tensorboard_logger_end_to_end(tiny_setup, tmp_path):
+    """Training with the TB logger writes scalar + per-parameter and
+    per-gradient histogram events (reference: model_logging.py:73-83)."""
+    cfg, params, ds = tiny_setup
+    logger = wt.TensorboardLogger(
+        log_interval=2, validation_interval=10**6, generate_interval=10**6,
+        log_dir=str(tmp_path),
+    )
+    trainer = wt.WaveNetTrainer(cfg, params, ds, lr=1e-3, logger=logger)
+    trainer.train(batch_size=4, epochs=1, max_steps=4)
+    logger.close()
+
+    from test_tensorboard import _read_records, _parse_fields
+
+    records = _read_records(logger.writer.path)
+    assert len(records) > 2
+    tags = []
+    for r in records[1:]:
+        ev = _parse_fields(r)
+        if 5 in ev:
+            for v in _parse_fields(ev[5][0])[1]:
+                tags.append(_parse_fields(v)[1][0].decode())
+    assert "loss" in tags
+    assert any(t.endswith("/grad") for t in tags)
+    assert any("w_skip" in t for t in tags)
