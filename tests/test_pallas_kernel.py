@@ -104,3 +104,18 @@ def test_fused_rejects_oversized_stream_count(tiny):
     with pytest.raises(ValueError):
         generate_fast_fused(params, cfg, jax.random.PRNGKey(0), 8, prime,
                             temperature=0.0, interpret=True)
+
+
+def test_fused_kernel_size_3():
+    """General-k tap indexing in the fused kernel (two ring reads per
+    layer)."""
+    cfg = wt.get_config("tiny", kernel_size=3)
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    prime = jax.random.randint(
+        jax.random.PRNGKey(1), (1, cfg.receptive_field), 0, cfg.classes
+    )
+    k = jax.random.PRNGKey(2)
+    _, cf = generate_fast_fused(params, cfg, k, 24, prime, temperature=0.0,
+                                interpret=True)
+    _, cx = wt.generate_fast(params, cfg, k, 24, prime, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(cf), np.asarray(cx))
