@@ -41,7 +41,10 @@ def main():
 
     import numpy as np
 
-    n = 16384 if on_tpu else 1024
+    # long run: amortizes the receptive-field priming steps, which the
+    # reference's step timer also excluded (it starts after priming,
+    # wavenet_model.py:275)
+    n = 65536 if on_tpu else 1024
     # compile; fall back to the pure-XLA path if the Pallas kernel cannot
     # compile on this runtime (the metric must always be emitted)
     try:
