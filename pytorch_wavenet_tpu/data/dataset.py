@@ -96,10 +96,16 @@ class WaveNetDataset:
         print("create dataset from audio files at", location)
         self.dataset_file = out_file
         files = list_all_audio_files(location)
+        done = [0]
+
+        def work(f):
+            q = self._featurize_one(f)
+            done[0] += 1
+            print(f"  processed {done[0]} of {len(files)} files")
+            return q
+
         with ThreadPoolExecutor(max_workers=num_workers) as ex:
-            processed = list(ex.map(self._featurize_one, files))
-        for i, q in enumerate(processed):
-            print(f"  processed {i + 1} of {len(files)} files")
+            processed = list(ex.map(work, files))
         np.savez(out_file, *processed)
 
     # ------------------------------------------------------------- indexing

@@ -18,8 +18,10 @@ Design notes (what makes this fast):
   static-modulus arithmetic;
 * everything stays **sublane-major**: activations are ``(streams, C)``
   tiles, ring rows are ``(streams, R)`` blocks at dynamic *sublane* offsets
-  (dynamic lane indexing is illegal on TPU), the sampled classes stream out
-  as ``(streams, 1)`` blocks of a ``(total*streams, 1)`` output;
+  (dynamic lane indexing is illegal on TPU); sampled classes accumulate into
+  a lane-packed ``(streams, 128)`` carry (iota-select — a ``(N, 1)`` int32
+  output would tile to ``(8, 128)`` and waste 128x VMEM) flushed as one row
+  block per 128 steps;
 * per layer: one tap dot per kernel tap (ring-tap dots don't depend on the
   current activation, so they overlap the critical path) and one fused
   ``(streams, D) @ (D, S+R)`` skip|residual output dot;
@@ -54,7 +56,8 @@ from ...ops.mulaw import mu_law_expansion_jnp
 # soft cap on kernel VMEM use (per-core VMEM is ~16 MB)
 _VMEM_BUDGET_BYTES = 13 * 1024 * 1024
 
-# output DMA chunk: samples staged in VMEM for this many steps per flush
+# output chunk: samples accumulate in a lane-packed carry for this many
+# steps per flushed row block
 _CHUNK = 128
 
 

@@ -59,7 +59,9 @@ def main():
     print(f"receptive field: {cfg.receptive_field}")
     print(f"parameter count: {cfg.parameter_count():,}")
 
-    first_samples = None
+    # default prime: one mid-class sample per stream (reference:
+    # wavenet_model.py:245-247); overridden from the dataset below
+    first_samples = jnp.full((args.num_streams, 1), cfg.classes // 2, jnp.int32)
     if args.data_dir:
         data = wt.WaveNetDataset(
             dataset_file=os.path.join(args.data_dir, "dataset.npz"),
