@@ -27,7 +27,7 @@ def tiny_setup(tmp_path_factory):
     t = np.arange(16000) / 16000.0
     wav = 0.6 * np.sin(2 * np.pi * 110 * t) * np.sin(2 * np.pi * 0.5 * t)
     wt.write_wav(str(d / "tone.wav"), wav, 16000)
-    ds = WaveNetDatasetFactory = wt.WaveNetDataset(
+    ds = wt.WaveNetDataset(
         dataset_file=str(d / "dataset.npz"),
         item_length=cfg.item_length,
         target_length=cfg.output_length,
