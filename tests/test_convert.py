@@ -187,3 +187,23 @@ def test_load_torch_snapshot(tmp_path):
     assert set(loaded) == set(sd)
     params = from_reference_state_dict(loaded, cfg)
     assert wt.parameter_count(params) == cfg.parameter_count()
+
+
+def test_config_from_state_dict_infers_shapes():
+    from pytorch_wavenet_tpu.models.convert import config_from_state_dict
+
+    cfg = wt.WaveNetConfig(
+        layers=3, blocks=2, dilation_channels=8, residual_channels=8,
+        skip_channels=16, end_channels=16, classes=32, bias=True,
+    )
+    sd = _random_state_dict(cfg, seed=11)
+    inferred = config_from_state_dict(sd)
+    assert inferred.dilation_channels == 8
+    assert inferred.residual_channels == 8
+    assert inferred.skip_channels == 16
+    assert inferred.end_channels == 16
+    assert inferred.classes == 32
+    assert inferred.kernel_size == cfg.kernel_size
+    assert inferred.bias
+    # layers*blocks can't be split from shapes alone; total count must match
+    assert inferred.layers * inferred.blocks == cfg.num_layers
