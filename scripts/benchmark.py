@@ -124,7 +124,7 @@ def main():
             generate_fast_batched,
         )
 
-        for S in (128, 256):
+        for S in (128, 256, 1024):
             primeS = jnp.tile(prime, (S, 1))
             nS = max(2048, n // 4)
 
