@@ -68,3 +68,44 @@ def test_causality_any_architecture(cfg, seed):
     np.testing.assert_allclose(
         np.asarray(y[:, 0]), np.asarray(y2[:, 0]), atol=1e-6
     )
+
+
+@settings(max_examples=6, deadline=None)
+@given(cfg=cfg_strategy, seed=st.integers(0, 2**16))
+def test_fused_kernel_any_architecture(cfg, seed):
+    """The fused VMEM Pallas kernel (interpret mode) matches the XLA path
+    for arbitrary small architectures."""
+    from pytorch_wavenet_tpu.ops.pallas.gen_kernel import generate_fast_fused
+
+    key = jax.random.PRNGKey(seed)
+    params = wt.init_wavenet(key, cfg)
+    prime = jax.random.randint(
+        jax.random.fold_in(key, 3), (1, cfg.receptive_field), 0, cfg.classes
+    )
+    n = 10
+    _, cf = generate_fast_fused(params, cfg, key, n, prime, temperature=0.0,
+                                interpret=True)
+    _, cx = wt.generate_fast(params, cfg, key, n, prime, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(cf), np.asarray(cx))
+
+
+@settings(max_examples=5, deadline=None)
+@given(cfg=cfg_strategy.filter(lambda c: c.kernel_size == 2),
+       seed=st.integers(0, 2**16))
+def test_hbm_kernel_any_architecture(cfg, seed):
+    """The HBM-ring kernel (interpret mode) matches the XLA path for
+    arbitrary small kernel-size-2 architectures."""
+    from pytorch_wavenet_tpu.ops.pallas.gen_kernel_hbm import (
+        generate_fast_batched,
+    )
+
+    key = jax.random.PRNGKey(seed)
+    params = wt.init_wavenet(key, cfg)
+    prime = jax.random.randint(
+        jax.random.fold_in(key, 4), (2, cfg.receptive_field), 0, cfg.classes
+    )
+    n = 8
+    _, cb = generate_fast_batched(params, cfg, key, n, prime, temperature=0.0,
+                                  interpret=True)
+    _, cx = wt.generate_fast(params, cfg, key, n, prime, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(cb), np.asarray(cx))
