@@ -23,6 +23,13 @@ from .models.generate import (
     generate_fast,
     generate_long,
 )
+from .models.convert import (
+    load_reference_snapshot,
+    load_torch_snapshot,
+    from_reference_state_dict,
+    to_reference_state_dict,
+    config_from_state_dict,
+)
 from .ops.mulaw import (
     mu_law_encoding,
     mu_law_expansion,

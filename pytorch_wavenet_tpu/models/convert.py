@@ -23,7 +23,10 @@ Layout mapping (torch Conv1d weight is ``(out_ch, in_ch, k)``):
 
 from __future__ import annotations
 
-from typing import Mapping
+import dataclasses
+import sys
+import types
+from typing import Mapping, Optional, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -32,23 +35,56 @@ from ..config import WaveNetConfig
 from .wavenet import Params
 
 
-def config_from_state_dict(sd: Mapping[str, np.ndarray]) -> WaveNetConfig:
-    """Infer the architecture from parameter shapes. ``layers``/``blocks``
-    are inferred from the number of per-layer convs and the dilation reset
-    pattern can't be observed from shapes alone, so the caller may override;
-    the default assumes the reference's 2^i-per-block doubling with the
-    longest pure-doubling run as the per-block layer count."""
+def config_from_state_dict(
+    sd: Mapping[str, np.ndarray],
+    *,
+    layers: Optional[int] = None,
+    blocks: Optional[int] = None,
+    output_length: Optional[int] = None,
+) -> WaveNetConfig:
+    """Infer the architecture from parameter shapes.
+
+    Channel widths, kernel size and bias are fully determined by the shapes.
+    The (layers, blocks) split is NOT: every per-layer conv has an identical
+    shape regardless of its dilation, so a flat state dict cannot reveal
+    where the doubling schedule resets (reference: wavenet_model.py:70-109).
+    Guessing wrong silently produces the wrong receptive field and a wrong
+    rollout — e.g. a 30-conv chaconne stack read as ``blocks=1`` would get a
+    2^0..2^29 schedule instead of 3x(2^0..2^9). Therefore the split must be
+    supplied: pass ``layers``/``blocks`` explicitly, or use
+    :func:`load_reference_snapshot`, which reads them off the pickled module.
+    """
     n_layer_convs = len(
         {k.split(".")[1] for k in sd if k.startswith("filter_convs.")}
     )
+    if layers is None and blocks is None:
+        raise ValueError(
+            f"state dict has {n_layer_convs} gated layers but the "
+            "(layers, blocks) split is not recoverable from parameter "
+            "shapes — pass layers= and/or blocks=, or load the whole-module "
+            "snapshot via load_reference_snapshot() which carries them"
+        )
+    if layers is None:
+        if n_layer_convs % blocks:
+            raise ValueError(f"{n_layer_convs} layers not divisible by blocks={blocks}")
+        layers = n_layer_convs // blocks
+    if blocks is None:
+        if n_layer_convs % layers:
+            raise ValueError(f"{n_layer_convs} layers not divisible by layers={layers}")
+        blocks = n_layer_convs // layers
+    if layers * blocks != n_layer_convs:
+        raise ValueError(
+            f"layers*blocks = {layers}*{blocks} != {n_layer_convs} gated "
+            "layers found in the state dict"
+        )
     D, R, k = sd["filter_convs.0.weight"].shape
     S = sd["skip_convs.0.weight"].shape[0]
     E = sd["end_conv_1.weight"].shape[0]
     C = sd["end_conv_2.weight"].shape[0]
     bias = "filter_convs.0.bias" in sd
-    return WaveNetConfig(
-        layers=n_layer_convs,  # caller should fix blocks/layers split
-        blocks=1,
+    kwargs = dict(
+        layers=layers,
+        blocks=blocks,
         dilation_channels=D,
         residual_channels=R,
         skip_channels=S,
@@ -57,6 +93,9 @@ def config_from_state_dict(sd: Mapping[str, np.ndarray]) -> WaveNetConfig:
         kernel_size=k,
         bias=bias,
     )
+    if output_length is not None:
+        kwargs["output_length"] = output_length
+    return WaveNetConfig(**kwargs)
 
 
 def from_reference_state_dict(
@@ -142,11 +181,155 @@ def to_reference_state_dict(params: Params, cfg: WaveNetConfig) -> dict:
     return sd
 
 
-def load_torch_snapshot(path: str) -> dict:
-    """Extract a numpy state dict from a reference torch snapshot file
-    (whole-module pickle, reference: wavenet_training.py:88)."""
+# Attributes the reference module carries that pin the architecture
+# (reference: wavenet_model.py:41-57,119-122). ``dilations`` is the
+# per-layer (new_dilation, init_dilation) schedule — redundant with
+# (layers, blocks) but kept for cross-checking.
+_ARCH_ATTRS = ("layers", "blocks", "kernel_size", "classes", "output_length",
+               "dilations", "receptive_field")
+
+
+def _stub_reference_modules():
+    """Build importable stand-ins for the reference's module layout so a
+    whole-module pickle (``torch.save(model, ...)``, reference:
+    wavenet_training.py:88) can be deserialized without the reference
+    package on sys.path.
+
+    Pickle reconstructs an nn.Module subclass without calling __init__
+    (``cls.__new__`` + ``__setstate__``), so an empty subclass with the
+    right module/class name is enough: the unpickled object gets the real
+    ``_parameters``/``_modules`` tree (state_dict() works) and the plain
+    attributes (``layers``, ``blocks``...) verbatim. Non-module classes in
+    the pickle (e.g. the generation queues) become featureless objects.
+    """
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
-    sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
-    return {k: v.detach().cpu().numpy() for k, v in sd.items()}
+    stubs = {}
+    for name in ("wavenet_model", "wavenet_modules"):
+        mod = types.ModuleType(name)
+        mod.__getattr__ = (
+            lambda attr, _name=name: _make_stub_class(_name, attr, torch)
+        )
+        stubs[name] = mod
+    return stubs
+
+
+def _make_stub_class(module_name: str, attr: str, torch):
+    if attr.startswith("__"):
+        raise AttributeError(attr)
+    base = (torch.nn.Module,) if attr == "WaveNetModel" else ()
+    cls = type(attr, base, {})
+    cls.__module__ = module_name
+    return cls
+
+
+def load_torch_snapshot(path: str) -> Tuple[dict, Optional[dict]]:
+    """Load a reference torch snapshot file.
+
+    Returns ``(state_dict, arch)`` where ``state_dict`` maps reference
+    parameter names to numpy arrays and ``arch`` is a dict of the pickled
+    module's architecture attributes (``layers``, ``blocks``,
+    ``kernel_size``, ...) — or ``None`` if the file held a bare state dict,
+    which carries no such metadata (see :func:`config_from_state_dict`).
+
+    Whole-module pickles (the reference's snapshot format,
+    wavenet_training.py:88) are deserialized via stub classes injected into
+    ``sys.modules`` so the reference package itself is not required.
+    """
+    import torch
+
+    stubs = _stub_reference_modules()
+    injected = [n for n in stubs if n not in sys.modules]
+    for n in injected:
+        sys.modules[n] = stubs[n]
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    finally:
+        for n in injected:
+            sys.modules.pop(n, None)
+
+    arch = None
+    if hasattr(obj, "state_dict"):
+        sd = obj.state_dict()
+        arch = {a: getattr(obj, a) for a in _ARCH_ATTRS if hasattr(obj, a)}
+    else:
+        sd = obj
+    return (
+        {k: v.detach().cpu().numpy() for k, v in sd.items()},
+        arch,
+    )
+
+
+def config_from_snapshot_arch(
+    sd: Mapping[str, np.ndarray], arch: Mapping
+) -> WaveNetConfig:
+    """Build a config from a state dict plus the pickled module's
+    architecture attributes, cross-checking the two."""
+    cfg = config_from_state_dict(
+        sd,
+        layers=int(arch["layers"]),
+        blocks=int(arch["blocks"]),
+        output_length=int(arch["output_length"]) if "output_length" in arch else None,
+    )
+    if "kernel_size" in arch and int(arch["kernel_size"]) != cfg.kernel_size:
+        raise ValueError(
+            f"module says kernel_size={arch['kernel_size']} but weights have "
+            f"k={cfg.kernel_size}"
+        )
+    if "classes" in arch and int(arch["classes"]) != cfg.classes:
+        raise ValueError(
+            f"module says classes={arch['classes']} but weights have "
+            f"C={cfg.classes}"
+        )
+    # the reference records per-layer (new_dilation, init_dilation) pairs
+    # (wavenet_model.py:70-75); cross-check against our derived schedule
+    if "dilations" in arch and arch["dilations"]:
+        got = tuple(int(d[0]) if isinstance(d, (tuple, list)) else int(d)
+                    for d in arch["dilations"])
+        if got != cfg.dilations:
+            raise ValueError(
+                f"module dilation schedule {got} does not match the "
+                f"(layers={cfg.layers}, blocks={cfg.blocks}) doubling "
+                f"schedule {cfg.dilations}"
+            )
+    if "receptive_field" in arch and int(arch["receptive_field"]) != cfg.receptive_field:
+        raise ValueError(
+            f"module receptive_field={arch['receptive_field']} != derived "
+            f"{cfg.receptive_field}"
+        )
+    return cfg
+
+
+def load_reference_snapshot(
+    path: str,
+    *,
+    layers: Optional[int] = None,
+    blocks: Optional[int] = None,
+    output_length: Optional[int] = None,
+    **config_overrides,
+) -> Tuple[Params, WaveNetConfig]:
+    """One-stop load of a reference snapshot into (stacked params, config).
+
+    Whole-module pickles carry their architecture; bare state dicts need the
+    (layers, blocks) split passed in. Explicit arguments win over pickled
+    attributes. ``config_overrides`` go to ``dataclasses.replace`` on the
+    final config (e.g. ``compute_dtype=jnp.bfloat16``).
+    """
+    sd, arch = load_torch_snapshot(path)
+    if arch is not None and "layers" in arch and "blocks" in arch:
+        if layers is not None or blocks is not None or output_length is not None:
+            cfg = config_from_state_dict(
+                sd,
+                layers=layers if layers is not None else int(arch["layers"]),
+                blocks=blocks if blocks is not None else int(arch["blocks"]),
+                output_length=output_length,
+            )
+        else:
+            cfg = config_from_snapshot_arch(sd, arch)
+    else:
+        cfg = config_from_state_dict(
+            sd, layers=layers, blocks=blocks, output_length=output_length
+        )
+    if config_overrides:
+        cfg = dataclasses.replace(cfg, **config_overrides)
+    return from_reference_state_dict(sd, cfg), cfg

@@ -32,6 +32,13 @@ def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--snapshot-path", default="snapshots")
     p.add_argument("--snapshot", default=None, help="explicit checkpoint file")
+    p.add_argument("--torch-snapshot", default=None,
+                   help="a reference torch snapshot (whole-module pickle or "
+                        "bare state dict) converted on load")
+    p.add_argument("--torch-layers", type=int, default=None,
+                   help="layers-per-block for bare state dicts (whole-module "
+                        "pickles carry it)")
+    p.add_argument("--torch-blocks", type=int, default=None)
     p.add_argument("--data-dir", default=None,
                    help="dataset dir to prime from (reference primes from "
                         "item 250000, generate_script.py:19-20)")
@@ -50,12 +57,20 @@ def main():
     args = parse_args()
     import pytorch_wavenet_tpu as wt
 
-    if args.snapshot:
+    if args.torch_snapshot:
+        params, cfg = wt.load_reference_snapshot(
+            args.torch_snapshot, layers=args.torch_layers,
+            blocks=args.torch_blocks,
+        )
+    elif args.snapshot:
         blob = wt.load_checkpoint(args.snapshot)
+        cfg = blob["config"]
+        params = blob["params"]
     else:
         blob = wt.load_latest_model_from(args.snapshot_path)
-    cfg = blob["config"]
-    params = jax.tree_util.tree_map(jnp.asarray, blob["params"])
+        cfg = blob["config"]
+        params = blob["params"]
+    params = jax.tree_util.tree_map(jnp.asarray, params)
     print(f"receptive field: {cfg.receptive_field}")
     print(f"parameter count: {cfg.parameter_count():,}")
 
