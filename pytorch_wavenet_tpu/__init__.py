@@ -38,7 +38,7 @@ from .ops.mulaw import (
 )
 from .ops.dilated import dilate, constant_pad_1d
 from .ops.queues import DilatedQueue
-from .data.dataset import WaveNetDataset, BatchIterator
+from .data.dataset import WaveNetDataset, BatchIterator, PrefetchBatchIterator
 from .data.audio_io import load_audio, write_wav, list_all_audio_files
 from .training.trainer import WaveNetTrainer, generate_audio, train_step, eval_step
 from .training.optimizers import sgd_normalized, reference_adam

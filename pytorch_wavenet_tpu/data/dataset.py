@@ -21,7 +21,6 @@ TPU-first differences:
 
 from __future__ import annotations
 
-import bisect
 import math
 import os
 from concurrent.futures import ThreadPoolExecutor
@@ -35,7 +34,20 @@ from .audio_io import list_all_audio_files, load_audio, normalize
 class WaveNetDataset:
     """Drop-in analogue of the reference ``WavenetDataset``
     (reference: audio_data.py:12-130). Constructor signature and semantics
-    match; items are integer windows instead of one-hot tensors."""
+    match; items are integer windows instead of one-hot tensors.
+
+    Windowing model: the featurized files form one logical byte stream.
+    Item ``i`` is the ``item_length + 1`` consecutive classes starting at
+    ``window_start(i)``; the first ``item_length`` are the model input and
+    the last ``target_length`` are the targets (input and target overlap by
+    ``target_length - 1`` — teacher forcing predicts each target from the
+    bytes before it). Successive items advance by ``target_length``, so
+    train targets tile the stream; every ``test_stride``-th window is
+    reserved for the test split. Rather than stitching windows out of the
+    per-file npz arrays, the stream is materialized once as a flat on-disk
+    cache and every window — batched or single — is one contiguous slice
+    of it.
+    """
 
     def __init__(
         self,
@@ -51,10 +63,6 @@ class WaveNetDataset:
         train: bool = True,
         test_stride: int = 100,
     ):
-        #           |----receptive_field----|
-        #                                 |--output_length--|
-        # example:  | | | | | | | | | | | | | | | | | | | | |
-        # target:                           | | | | | | | | | |
         self.dataset_file = dataset_file
         self._item_length = item_length
         self._test_stride = test_stride
@@ -111,42 +119,53 @@ class WaveNetDataset:
     # ------------------------------------------------------------- indexing
 
     def calculate_length(self):
-        """Cumulative per-file offsets + usable item count
-        (reference: audio_data.py:79-85)."""
-        start_samples = [0]
-        for i in range(len(self.data.files)):
-            start_samples.append(start_samples[-1] + len(self.data["arr_" + str(i)]))
-        available_length = (
-            start_samples[-1] - (self._item_length - (self.target_length - 1)) - 1
-        )
-        self._length = math.floor(available_length / self.target_length)
-        self.start_samples = start_samples
+        """Rebuild the stream geometry: per-file cumulative offsets and how
+        many full (input, target) windows fit. A window consumes
+        ``item_length + 1`` bytes but successive windows overlap all except
+        ``target_length`` of them, so after discarding the warm-up prefix
+        that can never be a target, the stream yields one window per
+        ``target_length`` bytes. Window counts and placement agree with the
+        reference by construction (pinned by tests/test_dataset.py)."""
+        sizes = [len(self.data["arr_" + str(i)]) for i in range(len(self.data.files))]
+        self.start_samples = [0] + list(np.cumsum(sizes))
+        total = self.start_samples[-1]
+        usable = total - (self._item_length - (self.target_length - 1)) - 1
+        self._length = usable // self.target_length
 
     def set_item_length(self, l):
         self._item_length = l
         self.calculate_length()
 
     def sample_index(self, idx: int) -> int:
-        """Item index -> absolute sample offset into the concatenated stream,
-        including the train/test interleave (reference: audio_data.py:91-97)."""
+        """Split-local item index -> byte offset of its window in the
+        stream. Train windows advance by ``target_length`` and additionally
+        creep forward one byte per ``test_stride - 1`` items consumed; test
+        windows sit at the fixed byte offsets ``k * test_stride - 1``. This
+        exact interleave is observable behavior a reference user depends on
+        (which item maps to which audio), so the arithmetic is pinned, odd
+        as it is — the test split covers far less of the stream than
+        1/test_stride of it (tests/test_dataset.py asserts both mappings)."""
         if self._test_stride < 2:
             return idx * self.target_length
-        elif self.train:
-            return idx * self.target_length + math.floor(
-                idx / (self._test_stride - 1)
-            )
-        else:
-            return self._test_stride * (idx + 1) - 1
+        if self.train:
+            return idx * self.target_length + idx // (self._test_stride - 1)
+        return self._test_stride * (idx + 1) - 1
 
     @property
     def flat_stream(self) -> np.ndarray:
-        """All files concatenated into one flat uint8 class stream (built
-        lazily; backs the native batched window gather)."""
+        """The concatenated class stream, memory-mapped from a one-time
+        on-disk cache next to the npz (1 byte/sample; no per-access stitch
+        work, no RAM residency requirement)."""
         if self._flat is None:
-            self._flat = np.concatenate(
-                [np.asarray(self.data["arr_" + str(i)], np.uint8)
-                 for i in range(len(self.data.files))]
-            )
+            cache = self.dataset_file + ".flat"
+            total = self.start_samples[-1]
+            if not os.path.isfile(cache) or os.path.getsize(cache) != total:
+                tmp = cache + ".tmp"
+                with open(tmp, "wb") as f:
+                    for i in range(len(self.data.files)):
+                        np.asarray(self.data["arr_" + str(i)], np.uint8).tofile(f)
+                os.replace(tmp, cache)
+            self._flat = np.memmap(cache, np.uint8, mode="r", shape=(total,))
         return self._flat
 
     def get_batch(self, idxs) -> tuple[np.ndarray, np.ndarray]:
@@ -161,44 +180,22 @@ class WaveNetDataset:
 
     def __getitem__(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
         """Return ``(input_classes (item_length,), target (target_length,))``
-        int64 windows. Index math (test interleave + cross-file stitch)
-        matches reference: audio_data.py:91-123."""
-        sample_index = self.sample_index(idx)
-
-        file_index = bisect.bisect_left(self.start_samples, sample_index) - 1
-        if file_index < 0:
-            file_index = 0
-        if file_index + 1 >= len(self.start_samples):
+        int64 windows: one contiguous slice of the flat stream."""
+        start = self.sample_index(idx)
+        stop = start + self._item_length + 1
+        stream = self.flat_stream
+        if stop > stream.shape[0]:
             raise IndexError(
-                f"sample index {sample_index} is too high (file_index {file_index})"
+                f"window [{start}, {stop}) exceeds the {stream.shape[0]}-byte stream"
             )
-        position_in_file = sample_index - self.start_samples[file_index]
-        end_position_in_next_file = (
-            sample_index + self._item_length + 1 - self.start_samples[file_index + 1]
-        )
-
-        if end_position_in_next_file < 0:
-            this_file = self.data["arr_" + str(file_index)]
-            sample = this_file[
-                position_in_file : position_in_file + self._item_length + 1
-            ]
-        else:  # stitch across adjacent files
-            file1 = self.data["arr_" + str(file_index)]
-            file2 = self.data["arr_" + str(file_index + 1)]
-            sample = np.concatenate(
-                (file1[position_in_file:], file2[:end_position_in_next_file])
-            )
-
-        example = np.asarray(sample, dtype=np.int64)
-        return example[: self._item_length], example[-self.target_length :]
+        window = np.asarray(stream[start:stop], dtype=np.int64)
+        return window[: self._item_length], window[-self.target_length :]
 
     def __len__(self) -> int:
-        """Train/test split sizes (reference: audio_data.py:125-130)."""
-        test_length = math.floor(self._length / self._test_stride)
-        if self.train:
-            return self._length - test_length
-        else:
-            return test_length
+        """Size of the active split: every ``test_stride``-th window is
+        test, the rest train (reference semantics: audio_data.py:125-130)."""
+        n_test = self._length // self._test_stride
+        return self._length - n_test if self.train else n_test
 
 
 class BatchIterator:
@@ -237,3 +234,47 @@ class BatchIterator:
             if self.drop_last and len(idxs) < self.batch_size:
                 return
             yield self.dataset.get_batch(idxs)
+
+
+class PrefetchBatchIterator(BatchIterator):
+    """A :class:`BatchIterator` whose ``get_batch`` calls run on a worker
+    pool ahead of consumption, so host featurization (window gather, and for
+    the vocoder the whole mel pipeline) overlaps device compute — the role
+    of the reference's ``DataLoader(num_workers=8)``
+    (reference: wavenet_training.py:55-59) without its process boundary.
+
+    ``depth`` bounds how many batches may be in flight: memory stays
+    bounded and a slow consumer backpressures the workers. Batch order is
+    identical to the plain iterator (futures are consumed in submission
+    order), so swapping iterators never changes what the model sees.
+    """
+
+    def __init__(self, *args, num_workers: int = 4, depth: int = 8, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.num_workers = num_workers
+        self.depth = max(depth, 1)
+
+    def __iter__(self):
+        n = len(self.dataset)
+        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        batches = []
+        for i in range(0, n, self.batch_size):
+            idxs = order[i : i + self.batch_size]
+            if self.drop_last and len(idxs) < self.batch_size:
+                break
+            batches.append(idxs)
+        if not batches:
+            return
+        self.dataset.flat_stream  # materialize the cache before fan-out
+        with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+            pending = []
+            it = iter(batches)
+            for idxs in it:
+                pending.append(ex.submit(self.dataset.get_batch, idxs))
+                if len(pending) >= self.depth:
+                    break
+            for idxs in it:
+                yield pending.pop(0).result()
+                pending.append(ex.submit(self.dataset.get_batch, idxs))
+            for fut in pending:
+                yield fut.result()

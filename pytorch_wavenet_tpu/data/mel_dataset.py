@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops.mel import log_mel_spectrogram, upsample_frames
+from ..ops.mel import log_mel_spectrogram, upsample_frames_np
 from .dataset import WaveNetDataset
 from . import native
 
@@ -34,26 +34,22 @@ class MelWaveNetDataset(WaveNetDataset):
         self.hop_length = hop_length
 
     def _mel_for_windows(self, x: np.ndarray) -> np.ndarray:
-        """(B, T) int classes -> (B, T, num_mels) upsampled log-mel."""
-        import jax.numpy as jnp
+        """(B, T) int classes -> (B, T, num_mels) upsampled log-mel.
 
+        Whole-batch host numpy: one dequantize, one vectorized STFT+matmul,
+        one interpolation — no device dispatch. (The round-1 version looped
+        per item and round-tripped jnp per item: ~0.4 s of dispatch per B=16
+        batch against a ~4 ms train step.)"""
         B, T = x.shape
-        out = np.empty((B, T, self.num_mels), np.float32)
-        for b in range(B):
-            wav = native.mu_law_dequantize(
-                x[b].astype(np.uint8), self.classes
-            )
-            frames = log_mel_spectrogram(
-                wav,
-                num_mels=self.num_mels,
-                n_fft=self.n_fft,
-                hop_length=self.hop_length,
-                sampling_rate=self.sampling_rate or 16000,
-            )
-            out[b] = np.asarray(
-                upsample_frames(jnp.asarray(frames), self.hop_length, T)
-            )
-        return out
+        wav = native.mu_law_dequantize(x.astype(np.uint8), self.classes)
+        frames = log_mel_spectrogram(
+            wav,
+            num_mels=self.num_mels,
+            n_fft=self.n_fft,
+            hop_length=self.hop_length,
+            sampling_rate=self.sampling_rate or 16000,
+        )
+        return upsample_frames_np(frames, self.hop_length, T)
 
     def get_batch(self, idxs):
         x, y = super().get_batch(idxs)

@@ -7,6 +7,8 @@ construction (HTK-style mel scale, Slaney-style area normalization off)."""
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -19,6 +21,7 @@ def mel_to_hz(m):
     return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
 
 
+@functools.lru_cache(maxsize=8)
 def mel_filterbank(
     num_mels: int = 80,
     n_fft: int = 1024,
@@ -42,6 +45,11 @@ def mel_filterbank(
     return fb
 
 
+@functools.lru_cache(maxsize=8)
+def _hann_window(n_fft: int) -> np.ndarray:
+    return np.hanning(n_fft + 1)[:-1].astype(np.float32)
+
+
 def log_mel_spectrogram(
     wav: np.ndarray,
     num_mels: int = 80,
@@ -50,28 +58,53 @@ def log_mel_spectrogram(
     sampling_rate: int = 16000,
     eps: float = 1e-5,
 ) -> np.ndarray:
-    """Waveform ``(T,)`` -> log-mel frames ``(ceil(T/hop), num_mels)``.
-    Center-padded (reflect) so frame i is centered on sample i*hop."""
+    """Waveform ``(..., T)`` -> log-mel frames ``(..., ceil(T/hop), num_mels)``.
+    Center-padded (reflect) so frame i is centered on sample i*hop. Batched:
+    leading axes are preserved, one vectorized FFT + one matmul for all
+    items (no per-item work)."""
     wav = np.asarray(wav, np.float32)
     pad = n_fft // 2
-    x = np.pad(wav, (pad, pad), mode="reflect")
-    n_frames = 1 + (len(x) - n_fft) // hop_length
+    pad_width = [(0, 0)] * (wav.ndim - 1) + [(pad, pad)]
+    x = np.pad(wav, pad_width, mode="reflect")
+    n_frames = 1 + (x.shape[-1] - n_fft) // hop_length
     idx = np.arange(n_fft)[None, :] + hop_length * np.arange(n_frames)[:, None]
-    frames = x[idx] * np.hanning(n_fft + 1)[:-1][None, :]
-    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2  # power
+    frames = x[..., idx] * _hann_window(n_fft)  # (..., n_frames, n_fft)
+    spec = np.abs(np.fft.rfft(frames, axis=-1)) ** 2  # power
     mel = spec @ mel_filterbank(num_mels, n_fft, sampling_rate)
     return np.log(mel + eps).astype(np.float32)
+
+
+def _upsample_weights(xp, F: int, hop_length: int, length: int):
+    t = xp.arange(length, dtype=xp.float32) / hop_length
+    i0 = xp.clip(xp.floor(t).astype(xp.int32), 0, F - 1)
+    i1 = xp.clip(i0 + 1, 0, F - 1)
+    w = (t - i0.astype(xp.float32))[..., None]
+    return i0, i1, w
 
 
 def upsample_frames(frames: jnp.ndarray, hop_length: int, length: int) -> jnp.ndarray:
     """Linearly interpolate conditioning frames ``(..., F, M)`` to
     per-sample resolution ``(..., length, M)`` (frame i centered at sample
-    i*hop)."""
-    F = frames.shape[-2]
-    t = jnp.arange(length, dtype=jnp.float32) / hop_length
-    i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, F - 1)
-    i1 = jnp.clip(i0 + 1, 0, F - 1)
-    w = (t - i0.astype(jnp.float32))[..., None]
+    i*hop). Device (jnp) version."""
+    i0, i1, w = _upsample_weights(jnp, frames.shape[-2], hop_length, length)
     a = jnp.take(frames, i0, axis=-2)
     b = jnp.take(frames, i1, axis=-2)
     return a * (1.0 - w) + b * w
+
+
+def upsample_frames_np(frames: np.ndarray, hop_length: int, length: int) -> np.ndarray:
+    """Host (numpy) twin of :func:`upsample_frames` — for the input
+    pipeline, where a per-batch device dispatch (~26 ms through the axon
+    tunnel) would dwarf the interpolation itself."""
+    frames = np.asarray(frames, np.float32)
+    lead = frames.shape[:-2]
+    F, M = frames.shape[-2:]
+    i0, i1, w = _upsample_weights(np, F, hop_length, length)
+    # flat (*, F, M) + colon-indexing: both np.take(axis=-2) and
+    # frames[..., i0, :] hit numpy's generic fancy-index path (~20-30x
+    # slower); contiguous w keeps the blend vectorized
+    flat = frames.reshape((-1, F, M))
+    a = flat[:, i0, :]
+    b = flat[:, i1, :]
+    out = a + (b - a) * np.ascontiguousarray(w)
+    return out.reshape(lead + (length, M))

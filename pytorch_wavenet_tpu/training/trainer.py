@@ -33,7 +33,7 @@ from ..config import WaveNetConfig
 from ..models.wavenet import wavenet_logits
 from ..utils.logging import Logger
 from ..utils import checkpoints
-from ..data.dataset import BatchIterator, WaveNetDataset
+from ..data.dataset import BatchIterator, PrefetchBatchIterator, WaveNetDataset
 from .optimizers import reference_adam
 
 
@@ -101,6 +101,7 @@ class WaveNetTrainer:
         snapshot_interval: int = 1000,
         seed: int = 0,
         sync_every: int = 25,
+        num_workers: int = 4,
     ):
         self.cfg = cfg
         # own a copy: train_step donates its params buffers, which would
@@ -119,6 +120,7 @@ class WaveNetTrainer:
         self.snapshot_interval = snapshot_interval
         self.seed = seed
         self.sync_every = sync_every
+        self.num_workers = num_workers
         self.step = 0
         self.avg_step_time = None
         self._last_grads = None
@@ -137,7 +139,15 @@ class WaveNetTrainer:
         step_t0 = None
         for current_epoch in range(epochs):
             print("epoch", current_epoch)
-            it = BatchIterator(
+            # prefetch overlaps host featurization (window gather; the full
+            # mel pipeline for the vocoder) with device compute — the role
+            # of the reference's DataLoader workers. Order is identical to
+            # the plain iterator, so num_workers never changes training.
+            it_cls = (
+                partial(PrefetchBatchIterator, num_workers=self.num_workers)
+                if self.num_workers > 0 else BatchIterator
+            )
+            it = it_cls(
                 self.dataset, batch_size, shuffle=True,
                 seed=self.seed + current_epoch,
             )

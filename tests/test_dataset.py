@@ -172,3 +172,39 @@ def test_dataset_reload_from_npz(ds, tmp_path):
     x, y = ds2[3]
     xo, yo = ds[3]
     np.testing.assert_array_equal(x, xo)
+
+
+def test_prefetch_iterator_matches_plain(ds):
+    """PrefetchBatchIterator must yield byte-identical batches in the same
+    order as BatchIterator for the same seed."""
+    from pytorch_wavenet_tpu.data.dataset import PrefetchBatchIterator
+
+    plain = list(BatchIterator(ds, batch_size=4, seed=7))
+    pre = list(PrefetchBatchIterator(ds, batch_size=4, seed=7,
+                                     num_workers=3, depth=2))
+    assert len(plain) == len(pre) > 0
+    for (xa, ya), (xb, yb) in zip(plain, pre):
+        np.testing.assert_array_equal(xa, xb)
+        np.testing.assert_array_equal(ya, yb)
+
+
+def test_prefetch_iterator_early_abandon(ds):
+    """Abandoning iteration mid-epoch must not hang the worker pool."""
+    from pytorch_wavenet_tpu.data.dataset import PrefetchBatchIterator
+
+    it = iter(PrefetchBatchIterator(ds, batch_size=4, num_workers=2, depth=2))
+    next(it)
+    del it  # generator close -> pool shutdown without deadlock
+
+
+def test_flat_stream_cache_rebuilt_when_stale(ds):
+    """The on-disk flat cache regenerates if its size no longer matches."""
+    import os
+
+    orig = np.asarray(ds.flat_stream).copy()
+    ds._flat = None  # drop the old mapping before mutating the file
+    cache = ds.dataset_file + ".flat"
+    assert os.path.getsize(cache) == orig.shape[0]
+    with open(cache, "wb") as f:
+        f.write(b"xx")
+    np.testing.assert_array_equal(np.asarray(ds.flat_stream), orig)

@@ -51,6 +51,48 @@ def test_upsample_frames():
     np.testing.assert_allclose(np.asarray(up[2]), [0.5, 15.0])  # midpoint
 
 
+def test_log_mel_batched_equals_per_item():
+    """The input pipeline computes mels for a whole batch in one vectorized
+    call; it must equal the per-item path exactly."""
+    rng = np.random.default_rng(0)
+    wavs = rng.standard_normal((3, 2048)).astype(np.float32)
+    batched = log_mel_spectrogram(wavs, num_mels=16, n_fft=256, hop_length=64)
+    for b in range(3):
+        single = log_mel_spectrogram(wavs[b], num_mels=16, n_fft=256, hop_length=64)
+        # batched FFT uses a different internal path; tiny FP noise is fine
+        np.testing.assert_allclose(batched[b], single, atol=1e-5)
+
+
+def test_upsample_frames_np_equals_jnp():
+    from pytorch_wavenet_tpu.ops.mel import upsample_frames_np
+
+    rng = np.random.default_rng(1)
+    frames = rng.standard_normal((2, 7, 5)).astype(np.float32)
+    np_up = upsample_frames_np(frames, hop_length=3, length=20)
+    j_up = np.asarray(upsample_frames(jnp.asarray(frames), 3, 20))
+    np.testing.assert_allclose(np_up, j_up, atol=1e-6)
+
+
+def test_mel_for_windows_is_host_only(monkeypatch):
+    """The batch featurizer must never dispatch to the device (the round-1
+    per-item jnp round-trip cost ~0.4 s per batch through the axon tunnel)."""
+    from pytorch_wavenet_tpu.data import mel_dataset
+
+    calls = []
+    monkeypatch.setattr(
+        jax, "device_put", lambda *a, **k: calls.append(1) or a[0]
+    )
+
+    ds = object.__new__(mel_dataset.MelWaveNetDataset)
+    ds.num_mels, ds.n_fft, ds.hop_length = 8, 256, 64
+    ds.classes, ds.sampling_rate = 256, 16000
+    x = np.random.default_rng(2).integers(0, 256, (4, 512), dtype=np.int64)
+    out = ds._mel_for_windows(x)
+    assert isinstance(out, np.ndarray)
+    assert out.shape == (4, 512, 8)
+    assert not calls
+
+
 @pytest.fixture(scope="module")
 def cond_setup():
     cfg = wt.get_config("tiny", cond_channels=6)
