@@ -47,7 +47,7 @@ _CHUNK = 128
 
 
 def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
-                 temperature: float, regularize: float):
+                 temperature: float, regularize: float, cond_rows: int = 0):
     L = cfg.num_layers
     D = cfg.dilation_channels
     S = cfg.skip_channels
@@ -57,36 +57,48 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
     periods = [d + 1 for d in dil]  # kernel_size == 2
     ring_off = np.cumsum([0] + periods).tolist()
     NS = streams
+    Mp = cond_rows  # local-conditioning rows, 0 = unconditioned
     # Cross-step tap prefetch only pays when the head is big enough to hide
     # the DMAs behind (chaconne-class skip/end widths); for small heads the
     # extra per-step predication costs more than it saves.
     prefetch = S * cfg.end_channels >= 1 << 18
 
-    def kernel(
-        seed_ref,     # (1, 1) int32
-        prime_ref,    # (n_prime_chunks*_CHUNK, NS) int32, ANY/HBM
-        w_start_ref,  # (R, C)   start conv, transposed
-        b_start_ref,  # (R, 1)
-        w_cur_ref,    # (L, 2D, R) current-tap filter|gate, transposed
-        w_old_ref,    # (L, 2D, R) lookback-tap filter|gate, transposed
-        b_in_ref,     # (L, 2D, 1)
-        w_out_ref,    # (L, S+R, D) skip|residual, transposed
-        b_out_ref,    # (L, S+R, 1)
-        w_end1_ref,   # (E, S)
-        b_end1_ref,   # (E, 1)
-        w_end2_ref,   # (C, E)
-        b_end2_ref,   # (C, 1)
-        out_ref,      # (n_chunks*_CHUNK, NS) int32, ANY/HBM
-        ring_ref,     # (sum(P_l)*R, NS) f32, ANY/HBM — queue state
-        # scratch:
-        tap_vmem,     # (L*R, NS) f32 — this step's taps
-        h_vmem,       # (L*R, NS) f32 — this step's activations (DMA source)
-        acc_vmem,     # (_CHUNK, NS) i32 — output row accumulator
-        prime_vmem,   # (_CHUNK, NS) i32 — current prime chunk
-        tap_sems,     # (L,) DMA
-        write_sems,   # (L,) DMA
-        io_sem,       # () DMA
-    ):
+    def kernel(*refs):
+        (
+            seed_ref,     # (1, 1) int32
+            prime_ref,    # (n_prime_chunks*_CHUNK, NS) int32, ANY/HBM
+            w_start_ref,  # (R, C)   start conv, transposed
+            b_start_ref,  # (R, 1)
+            w_cur_ref,    # (L, 2D, R) current-tap filter|gate, transposed
+            w_old_ref,    # (L, 2D, R) lookback-tap filter|gate, transposed
+            b_in_ref,     # (L, 2D, 1)
+            w_out_ref,    # (L, S+R, D) skip|residual, transposed
+            b_out_ref,    # (L, S+R, 1)
+            w_end1_ref,   # (E, S)
+            b_end1_ref,   # (E, 1)
+            w_end2_ref,   # (C, E)
+            b_end2_ref,   # (C, 1)
+        ) = refs[:13]
+        refs = refs[13:]
+        if Mp:
+            # cond_ref rows [t*Mp, (t+1)*Mp) are step t's (Mp, NS) slab
+            cond_ref, w_cond_ref = refs[:2]  # HBM (total*Mp, NS); (L, 2D, Mp)
+            refs = refs[2:]
+        (
+            out_ref,      # (n_chunks*_CHUNK, NS) int32, ANY/HBM
+            ring_ref,     # (sum(P_l)*R, NS) f32, ANY/HBM — queue state
+            # scratch:
+            tap_vmem,     # (L*R, NS) f32 — this step's taps
+            h_vmem,       # (L*R, NS) f32 — this step's activations (DMA source)
+            acc_vmem,     # (_CHUNK, NS) i32 — output row accumulator
+            prime_vmem,   # (_CHUNK, NS) i32 — current prime chunk
+            tap_sems,     # (L,) DMA
+            write_sems,   # (L,) DMA
+            io_sem,       # () DMA
+        ) = refs[:9]
+        refs = refs[9:]
+        if Mp:
+            cond_vmem, cond_sems = refs  # (2*Mp, NS) f32; (2,) DMA
         if temperature > 0:
             pltpu.prng_seed(seed_ref[0, 0])
 
@@ -124,6 +136,18 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
 
         fetch_prime_chunk(0)
 
+        if Mp:
+            # double-buffered per-step conditioning slab: slot t%2 holds
+            # step t's rows; t+1 is prefetched while step t computes
+            def cond_dma(t, slot):
+                return pltpu.make_async_copy(
+                    cond_ref.at[pl.ds(t * Mp, Mp), :],
+                    cond_vmem.at[pl.ds(slot * Mp, Mp), :],
+                    cond_sems.at[slot],
+                )
+
+            cond_dma(0, 0).start()
+
         def mm(a, b):
             return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
@@ -147,6 +171,14 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
             h = mm(w_start_ref[...], onehot) + b_start_ref[...]
             skip = jnp.zeros((S, NS), jnp.float32)
 
+            if Mp:
+                cond_dma(t, t % 2).wait()
+                cond_cur = cond_vmem[pl.ds((t % 2) * Mp, Mp), :]  # (Mp, NS)
+
+                @pl.when(t + 1 < total)
+                def _():
+                    cond_dma(t + 1, (t + 1) % 2).start()
+
             for l in range(L):
                 d = dil[l]
                 # stage h and start the ring write; all writes are awaited
@@ -156,6 +188,8 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                 write_dma(l, t).start()
 
                 z = mm(w_cur_ref[l], h) + b_in_ref[l]
+                if Mp:
+                    z = z + mm(w_cond_ref[l], cond_cur)
 
                 @pl.when(t >= d)
                 def _(l=l):
@@ -241,12 +275,16 @@ def generate_fast_batched(
     first_samples: jnp.ndarray,
     temperature: float = 1.0,
     regularize: float = 0.0,
+    cond: jnp.ndarray | None = None,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched fused generation with HBM queue state. Same contract as
-    ``models.generate.generate_fast``. Requirements: kernel_size == 2 (the
-    reference's setting) and the stream count a multiple of 128 (lane
-    alignment of the HBM DMAs)."""
+    ``models.generate.generate_fast``, including local conditioning:
+    ``cond`` is ``(streams, total, cond_channels)`` with row t conditioning
+    step t (the vocoder path — per step one (M, NS) slab is DMAed in,
+    double-buffered, and applied as a third K=M matmul per layer).
+    Requirements: kernel_size == 2 (the reference's setting) and the stream
+    count a multiple of 128 (lane alignment of the HBM DMAs)."""
     if cfg.kernel_size != 2:
         raise NotImplementedError("HBM kernel supports kernel_size=2")
     first_samples = jnp.atleast_2d(first_samples).astype(jnp.int32)
@@ -290,7 +328,7 @@ def generate_fast_batched(
         first_samples, ((0, 0), (0, n_prime_chunks * _CHUNK - num_given))
     ).T  # (chunks*_CHUNK, S)
 
-    args = (
+    args = [
         jax.random.randint(key, (1, 1), 0, np.iinfo(np.int32).max, jnp.int32),
         prime_rows,
         params["start"]["w"].astype(f32).T,  # (R, C)
@@ -304,36 +342,63 @@ def generate_fast_batched(
         params["end1"]["b"].reshape(E, 1).astype(f32),
         params["end2"]["w"].astype(f32).T,  # (C, E)
         params["end2"]["b"].reshape(C, 1).astype(f32),
-    )
+    ]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args)
+    in_specs[1] = pl.BlockSpec(memory_space=pl.ANY)  # prime stays in HBM
+
+    Mp = 0
+    if cond is not None:
+        M = cfg.cond_channels
+        if M == 0:
+            raise ValueError("cond given but cfg.cond_channels == 0")
+        if cond.shape != (streams, total, M):
+            raise ValueError(
+                f"cond shape {cond.shape} != (streams, num_given-1+num_samples,"
+                f" cond_channels) = {(streams, total, M)}"
+            )
+        Mp = -(-M // 8) * 8  # sublane-align each per-step slab
+        # (streams, total, M) -> (total, Mp, streams) -> (total*Mp, streams)
+        cond_cf = jnp.transpose(cond.astype(f32), (1, 2, 0))
+        cond_cf = jnp.pad(cond_cf, ((0, 0), (0, Mp - M), (0, 0)))
+        args.append(cond_cf.reshape(total * Mp, streams))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # HBM
+        # (L, M, 2D) -> (L, 2D, Mp) transposed + padded to match the slab
+        w_cond = jnp.swapaxes(lp["w_cond"].astype(f32), 1, 2)
+        args.append(jnp.pad(w_cond, ((0, 0), (0, 0), (0, Mp - M))))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
     kernel, periods = _make_kernel(
-        cfg, streams, num_given, total, float(temperature), float(regularize)
+        cfg, streams, num_given, total, float(temperature), float(regularize),
+        cond_rows=Mp,
     )
     n_chunks = -(-total // _CHUNK)
-    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args)
-    in_specs[1] = pl.BlockSpec(memory_space=pltpu.ANY)  # prime stays in HBM
+
+    scratch_shapes = [
+        pltpu.VMEM((L * R, streams), f32),
+        pltpu.VMEM((L * R, streams), f32),
+        pltpu.VMEM((_CHUNK, streams), jnp.int32),
+        pltpu.VMEM((_CHUNK, streams), jnp.int32),
+        pltpu.SemaphoreType.DMA((L,)),
+        pltpu.SemaphoreType.DMA((L,)),
+        pltpu.SemaphoreType.DMA,
+    ]
+    if Mp:
+        scratch_shapes.append(pltpu.VMEM((2 * Mp, streams), f32))
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((2,)))
 
     out, _ring = pl.pallas_call(
         kernel,
         grid=(1,),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_chunks * _CHUNK, streams), jnp.int32),
             jax.ShapeDtypeStruct((sum(periods) * R, streams), f32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((L * R, streams), f32),
-            pltpu.VMEM((L * R, streams), f32),
-            pltpu.VMEM((_CHUNK, streams), jnp.int32),
-            pltpu.VMEM((_CHUNK, streams), jnp.int32),
-            pltpu.SemaphoreType.DMA((L,)),
-            pltpu.SemaphoreType.DMA((L,)),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(*args)

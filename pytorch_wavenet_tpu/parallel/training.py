@@ -83,7 +83,7 @@ def sharded_generate_fast_batched(
     from functools import partial
 
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from ..ops.pallas.gen_kernel_hbm import generate_fast_batched
@@ -110,6 +110,6 @@ def sharded_generate_fast_batched(
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS)),
         out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(key, first_samples)

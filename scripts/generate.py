@@ -96,18 +96,27 @@ def main():
 
     # fastest available path: fused Pallas kernels on TPU, XLA scan otherwise
     gen = wt.generate_fast
-    if jax.devices()[0].platform == "tpu" and cfg.kernel_size == 2:
-        if args.num_streams % 128 == 0 and args.num_streams > 0:
-            from pytorch_wavenet_tpu.ops.pallas.gen_kernel_hbm import (
-                generate_fast_batched as gen,
-            )
-        elif args.num_streams <= 4:
-            try:
-                from pytorch_wavenet_tpu.ops.pallas.gen_kernel import (
-                    generate_fast_fused as gen,
-                )
-            except ImportError:
-                pass
+    path = "XLA scan"
+    if jax.devices()[0].platform != "tpu":
+        reason = "not on TPU"
+    elif cfg.kernel_size != 2:
+        reason = f"kernel_size={cfg.kernel_size} (fused kernels support 2)"
+    elif args.num_streams % 128 == 0 and args.num_streams > 0:
+        from pytorch_wavenet_tpu.ops.pallas.gen_kernel_hbm import (
+            generate_fast_batched as gen,
+        )
+        path, reason = "fused HBM kernel", None
+    elif args.num_streams <= 4:
+        from pytorch_wavenet_tpu.ops.pallas.gen_kernel import (
+            generate_fast_fused as gen,
+        )
+        path, reason = "fused VMEM kernel", None
+    else:
+        reason = (
+            f"{args.num_streams} streams: fused paths need <=4 (VMEM) or a "
+            "multiple of 128 (HBM)"
+        )
+    print(f"generation path: {path}" + (f" ({reason})" if reason else ""))
 
     t0 = time.perf_counter()
     wav, _ = gen(

@@ -89,3 +89,53 @@ def test_batched_rejects_kernel_size_3(tiny):
     with pytest.raises(NotImplementedError):
         generate_fast_batched(params, cfg, jax.random.PRNGKey(0), 8,
                               jnp.zeros((128, 2), jnp.int32), interpret=True)
+
+
+def test_batched_conditioned_matches_xla(tiny):
+    """Vocoder path: local conditioning through the double-buffered DMA slab
+    must reproduce the conditioned XLA rollout (and differ from the
+    unconditioned one)."""
+    cfg = wt.get_config("tiny", cond_channels=6)  # 6 -> padded to 8 rows
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    rf = cfg.receptive_field
+    n = 40
+    prime = jax.random.randint(jax.random.PRNGKey(2), (4, rf), 0, cfg.classes)
+    total = rf - 1 + n
+    cond = 0.5 * jax.random.normal(jax.random.PRNGKey(3), (4, total, 6))
+    k = jax.random.PRNGKey(4)
+    _, cb = generate_fast_batched(params, cfg, k, n, prime, temperature=0.0,
+                                  cond=cond, interpret=True)
+    _, cx = wt.generate_fast(params, cfg, k, n, prime, temperature=0.0,
+                             cond=cond)
+    np.testing.assert_array_equal(np.asarray(cb), np.asarray(cx))
+    _, cu = generate_fast_batched(params, cfg, k, n, prime, temperature=0.0,
+                                  interpret=True)
+    assert not np.array_equal(np.asarray(cb), np.asarray(cu))
+
+
+def test_batched_conditioned_aligned_channels(tiny):
+    """cond_channels already a sublane multiple (8): no padding path."""
+    cfg = wt.get_config("tiny", cond_channels=8)
+    params = wt.init_wavenet(jax.random.PRNGKey(1), cfg)
+    prime = jnp.full((2, 1), cfg.classes // 2, jnp.int32)
+    n = 24
+    cond = jax.random.normal(jax.random.PRNGKey(5), (2, n, 8))
+    k = jax.random.PRNGKey(6)
+    _, cb = generate_fast_batched(params, cfg, k, n, prime, temperature=0.0,
+                                  cond=cond, interpret=True)
+    _, cx = wt.generate_fast(params, cfg, k, n, prime, temperature=0.0,
+                             cond=cond)
+    np.testing.assert_array_equal(np.asarray(cb), np.asarray(cx))
+
+
+def test_batched_cond_shape_errors(tiny):
+    cfg = wt.get_config("tiny", cond_channels=6)
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    prime = jnp.zeros((2, 1), jnp.int32)
+    with pytest.raises(ValueError, match="cond shape"):
+        generate_fast_batched(params, cfg, jax.random.PRNGKey(0), 8, prime,
+                              cond=jnp.zeros((2, 3, 6)), interpret=True)
+    cfg0, params0 = tiny
+    with pytest.raises(ValueError, match="cond_channels == 0"):
+        generate_fast_batched(params0, cfg0, jax.random.PRNGKey(0), 8, prime,
+                              cond=jnp.zeros((2, 8, 6)), interpret=True)
