@@ -215,24 +215,35 @@ class BatchIterator:
         shuffle: bool = True,
         seed: int = 0,
         drop_last: bool = True,
+        skip_batches: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        # resume fast-forward: reproduce the epoch's permutation but start
+        # mid-stream without featurizing the already-consumed batches
+        self.skip_batches = skip_batches
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
         n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else math.ceil(n / self.batch_size)
+        total = n // self.batch_size if self.drop_last else math.ceil(n / self.batch_size)
+        return max(total - self.skip_batches, 0)
 
-    def __iter__(self):
+    def _batch_indices(self):
         n = len(self.dataset)
         order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        out = []
         for i in range(0, n, self.batch_size):
             idxs = order[i : i + self.batch_size]
             if self.drop_last and len(idxs) < self.batch_size:
-                return
+                break
+            out.append(idxs)
+        return out[self.skip_batches :]
+
+    def __iter__(self):
+        for idxs in self._batch_indices():
             yield self.dataset.get_batch(idxs)
 
 
@@ -255,14 +266,7 @@ class PrefetchBatchIterator(BatchIterator):
         self.depth = max(depth, 1)
 
     def __iter__(self):
-        n = len(self.dataset)
-        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
-        batches = []
-        for i in range(0, n, self.batch_size):
-            idxs = order[i : i + self.batch_size]
-            if self.drop_last and len(idxs) < self.batch_size:
-                break
-            batches.append(idxs)
+        batches = self._batch_indices()
         if not batches:
             return
         self.dataset.flat_stream  # materialize the cache before fan-out

@@ -71,6 +71,37 @@ def shard_params(params: Params, cfg: WaveNetConfig, mesh: Mesh) -> Params:
     )
 
 
+def shard_opt_state(opt_state, sharded_params: Params, mesh: Mesh):
+    """Place optimizer state on the mesh: subtrees that mirror the params
+    pytree (Adam's mu/nu) get the param shardings, every other leaf (step
+    counters etc.) is replicated.
+
+    Needed because neither eager ``tx.init`` nor ``jax.jit(tx.init)``
+    reliably propagates input shardings into the state (jit commits
+    constants like ``count`` to the default device, which then clashes with
+    the mesh-placed params inside the donated train step)."""
+    p_shardings = jax.tree_util.tree_map(lambda x: x.sharding, sharded_params)
+    params_def = jax.tree_util.tree_structure(sharded_params)
+    rep = NamedSharding(mesh, P())
+
+    def rec(node):
+        try:
+            if jax.tree_util.tree_structure(node) == params_def:
+                return jax.device_put(node, p_shardings)
+        except Exception:
+            pass
+        if isinstance(node, dict):
+            return {k: rec(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            mapped = [rec(c) for c in node]
+            if hasattr(node, "_fields"):  # NamedTuple (optax states)
+                return type(node)(*mapped)
+            return type(node)(mapped)
+        return jax.device_put(jnp.asarray(node), rep)
+
+    return rec(opt_state)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Training batches (and generation streams) shard over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

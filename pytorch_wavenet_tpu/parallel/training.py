@@ -20,16 +20,17 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import WaveNetConfig
 from ..training.trainer import cross_entropy_loss
 from .mesh import DATA_AXIS
-from .sharding import batch_sharding, shard_params
+from .sharding import batch_sharding, shard_opt_state, shard_params
 
 
 def make_sharded_train_state(
     cfg: WaveNetConfig, params: Any, tx: optax.GradientTransformation, mesh: Mesh
 ):
     """Shard params on the mesh and build matching-sharded optimizer state
-    (jit propagates the param shardings into the Adam moments)."""
+    (the Adam moments take the param shardings, counters replicate —
+    jit(tx.init) alone commits constants to the default device)."""
     params = shard_params(params, cfg, mesh)
-    opt_state = jax.jit(tx.init)(params)
+    opt_state = shard_opt_state(tx.init(params), params, mesh)
     return params, opt_state
 
 

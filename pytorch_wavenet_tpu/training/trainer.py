@@ -102,6 +102,7 @@ class WaveNetTrainer:
         seed: int = 0,
         sync_every: int = 25,
         num_workers: int = 4,
+        mesh=None,
     ):
         self.cfg = cfg
         # own a copy: train_step donates its params buffers, which would
@@ -111,7 +112,23 @@ class WaveNetTrainer:
         self.tx = optimizer if optimizer is not None else reference_adam(
             lr, weight_decay, gradient_clipping
         )
-        self.opt_state = self.tx.init(params)
+        # mesh mode: params/opt sharded over ('data','model'); the same
+        # jitted step and eval run data/model-parallel because sharding
+        # comes from the operands (parallel/training.py design)
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from ..parallel.sharding import (
+                batch_sharding, shard_opt_state, shard_params,
+            )
+
+            self.params = shard_params(self.params, cfg, mesh)
+            self.opt_state = shard_opt_state(
+                self.tx.init(self.params), self.params, mesh
+            )
+            self._batch_sharding = batch_sharding(mesh)
+        else:
+            self.opt_state = self.tx.init(params)
         self.logger = logger if logger is not None else Logger()
         self.logger.trainer = self  # inverted back-ref, reference:
         # wavenet_training.py:43 — validation is driven by logging cadence
@@ -124,6 +141,14 @@ class WaveNetTrainer:
         self.step = 0
         self.avg_step_time = None
         self._last_grads = None
+        self._ckpt = checkpoints.AsyncCheckpointer()
+
+    def _put(self, x):
+        """Place a host batch: sharded over the data axis in mesh mode."""
+        x = jnp.asarray(x)
+        if self._batch_sharding is not None:
+            x = jax.device_put(x, self._batch_sharding)
+        return x
 
     # ------------------------------------------------------------ training
 
@@ -134,26 +159,44 @@ class WaveNetTrainer:
         continue_training_at_step: int = 0,
         max_steps: int | None = None,
     ):
-        """reference: wavenet_training.py:50-90."""
+        """reference: wavenet_training.py:50-90.
+
+        Resume is deterministic: ``continue_training_at_step`` fast-forwards
+        to the exact epoch and intra-epoch batch the run would have reached,
+        so a resumed run consumes the same data stream as an uninterrupted
+        one (the reference restarts its shuffle from scratch and re-consumes
+        early batches, wavenet_training.py:50-60 — reproduced capability,
+        not the flaw)."""
         self.step = continue_training_at_step
         step_t0 = None
-        for current_epoch in range(epochs):
+        # prefetch overlaps host featurization (window gather; the full
+        # mel pipeline for the vocoder) with device compute — the role
+        # of the reference's DataLoader workers. Order is identical to
+        # the plain iterator, so num_workers never changes training.
+        it_cls = (
+            partial(PrefetchBatchIterator, num_workers=self.num_workers)
+            if self.num_workers > 0 else BatchIterator
+        )
+        steps_per_epoch = len(BatchIterator(self.dataset, batch_size))
+        if steps_per_epoch == 0:
+            raise ValueError(
+                f"dataset of {len(self.dataset)} items yields no batches of "
+                f"size {batch_size}"
+            )
+        start_epoch = continue_training_at_step // steps_per_epoch
+        for current_epoch in range(start_epoch, epochs):
             print("epoch", current_epoch)
-            # prefetch overlaps host featurization (window gather; the full
-            # mel pipeline for the vocoder) with device compute — the role
-            # of the reference's DataLoader workers. Order is identical to
-            # the plain iterator, so num_workers never changes training.
-            it_cls = (
-                partial(PrefetchBatchIterator, num_workers=self.num_workers)
-                if self.num_workers > 0 else BatchIterator
+            skip = (
+                continue_training_at_step - start_epoch * steps_per_epoch
+                if current_epoch == start_epoch else 0
             )
             it = it_cls(
                 self.dataset, batch_size, shuffle=True,
-                seed=self.seed + current_epoch,
+                seed=self.seed + current_epoch, skip_batches=skip,
             )
             for batch in it:
-                x, target = jnp.asarray(batch[0]), jnp.asarray(batch[1])
-                cond = jnp.asarray(batch[2]) if len(batch) > 2 else None
+                x, target = self._put(batch[0]), self._put(batch[1])
+                cond = self._put(batch[2]) if len(batch) > 2 else None
                 self.params, self.opt_state, loss, self._last_grads = train_step(
                     self.params, self.opt_state, self.cfg, self.tx, x, target,
                     cond,
@@ -189,10 +232,19 @@ class WaveNetTrainer:
 
                 self.logger.log(self.step, loss)
                 if max_steps is not None and self.step >= max_steps:
+                    self._ckpt.wait()
                     return
+        self._ckpt.wait()
 
-    def snapshot(self) -> str:
-        return checkpoints.save_checkpoint(
+    def snapshot(self, wait: bool = False) -> str:
+        """Checkpoint params + optimizer state + step. The device fetch,
+        serialization and write happen on a background thread (an on-device
+        copy protects against the next step's buffer donation); pass
+        ``wait=True`` to block until the file is on disk."""
+        path = checkpoints.checkpoint_path(
+            self.snapshot_path, self.snapshot_name, self.step
+        )
+        self._ckpt.save(
             self.snapshot_path,
             self.snapshot_name,
             self.step,
@@ -200,6 +252,9 @@ class WaveNetTrainer:
             opt_state=self.opt_state,
             cfg=self.cfg,
         )
+        if wait:
+            self._ckpt.wait()
+        return path
 
     def resume(self, location: str | None = None):
         """Load the newest snapshot (params + optimizer state + step) and
@@ -211,6 +266,15 @@ class WaveNetTrainer:
         self.params = jax.tree_util.tree_map(jnp.asarray, blob["params"])
         if blob["opt_state"] is not None:
             self.opt_state = jax.tree_util.tree_map(jnp.asarray, blob["opt_state"])
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_opt_state, shard_params
+
+            self.params = shard_params(self.params, self.cfg, self.mesh)
+            if blob["opt_state"] is None:
+                self.opt_state = self.tx.init(self.params)
+            self.opt_state = shard_opt_state(
+                self.opt_state, self.params, self.mesh
+            )
         self.step = blob["step"]
         return self.step
 
@@ -219,27 +283,32 @@ class WaveNetTrainer:
     def validate(self, batch_size: int = 16):
         """Average loss and argmax accuracy over the test split
         (reference: wavenet_training.py:92-114). Uses a temporary test-mode
-        view instead of mutating the shared dataset object."""
+        view instead of mutating the shared dataset object.
+
+        Mesh mode shards every evaluation batch over the data axis, so each
+        test item is computed exactly once across the mesh (GSPMD reduces
+        the per-shard loss mean and correct-count globally inside
+        ``eval_step``); the ragged tail that can't fill all data shards is
+        dropped there. Per-batch losses accumulate on device and sync once
+        at the end — no per-batch host round-trip."""
         was_train = self.dataset.train
         self.dataset.train = False
         try:
             it = BatchIterator(self.dataset, batch_size, shuffle=False,
-                               drop_last=False)
-            total_loss, correct, seen = 0.0, 0, 0
-            batches = 0
+                               drop_last=self.mesh is not None)
+            losses, correct = [], []
+            seen = 0
             for batch in it:
-                x, target = batch[0], batch[1]
-                cond = jnp.asarray(batch[2]) if len(batch) > 2 else None
-                loss, c = eval_step(
-                    self.params, self.cfg, jnp.asarray(x), jnp.asarray(target),
-                    cond,
-                )
-                total_loss += float(loss)
-                correct += int(c)
+                x, target = self._put(batch[0]), self._put(batch[1])
+                cond = self._put(batch[2]) if len(batch) > 2 else None
+                loss, c = eval_step(self.params, self.cfg, x, target, cond)
+                losses.append(loss)
+                correct.append(c)
                 seen += target.size
-                batches += 1
-            avg_loss = total_loss / max(batches, 1)
-            avg_accuracy = correct / max(seen, 1)
+            if not losses:
+                return float("nan"), 0.0
+            avg_loss = float(jnp.mean(jnp.stack(losses)))
+            avg_accuracy = float(sum(correct)) / max(seen, 1)
         finally:
             self.dataset.train = was_train
         return avg_loss, avg_accuracy

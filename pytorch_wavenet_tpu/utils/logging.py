@@ -123,8 +123,15 @@ class TensorboardLogger(Logger):
         self.scalar_summary("validation accuracy", avg_accuracy, current_step)
 
     def log_audio(self, step: int):
-        samples = self.generate_function()
-        self.audio_summary("audio sample", samples, step, sr=16000)
+        """Generate clips synchronously and write them as TB audio summaries
+        (reference: model_logging.py:90-93). The generate_function signature
+        is ``f(step)`` everywhere — the same callable the cadenced
+        ``generate`` hook spawns on its daemon thread."""
+        if self.generate_function is None:
+            return
+        samples = self.generate_function(step)
+        if samples is not None:
+            self.audio_summary("audio sample", samples, step, sr=16000)
 
     # thin pass-throughs matching the reference method surface
     # (reference: model_logging.py:95-157)

@@ -117,6 +117,13 @@ def main():
             generate_function=generate_and_log_samples,
         )
 
+    mesh = None
+    if args.mesh_data > 0:
+        from pytorch_wavenet_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh_data, args.mesh_model)
+        print(f"mesh: {dict(mesh.shape)}")
+
     trainer = wt.WaveNetTrainer(
         cfg,
         params,
@@ -129,6 +136,7 @@ def main():
         snapshot_name=snapshot_name,
         snapshot_interval=args.snapshot_interval,
         seed=args.seed,
+        mesh=mesh,
     )
 
     start_step = 0

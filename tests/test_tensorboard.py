@@ -150,3 +150,36 @@ def test_wav_bytes_parse():
     with wave.open(io.BytesIO(blob)) as f:
         assert f.getframerate() == 16000
         assert f.getnframes() == 1600
+
+
+def test_log_audio_through_cadence(tmp_path):
+    """The generate_function signature is f(step) at BOTH call sites: the
+    cadenced daemon-thread generate hook and log_audio (round 1 had
+    log_audio calling it with no args, so one of the two always
+    TypeErrored)."""
+    from pytorch_wavenet_tpu.utils.logging import TensorboardLogger
+
+    calls = []
+
+    def gen(step):
+        calls.append(step)
+        return np.sin(np.arange(800) * 0.05)[None, :]
+
+    lg = TensorboardLogger(
+        log_interval=10**9, validation_interval=10**9, generate_interval=2,
+        generate_function=gen, log_dir=str(tmp_path),
+    )
+    lg.log_audio(7)
+    assert calls == [7]
+
+    # cadence hook spawns the same callable on a daemon thread
+    lg.log(2, 0.0)
+    if lg.generate_thread is not None:
+        lg.generate_thread.join(timeout=10)
+    assert calls == [7, 2]
+    lg.close()
+
+    records = _read_records(lg.writer.path)
+    audio_value = _parse_fields(_parse_fields(_parse_fields(records[1])[5][0])[1][0])
+    audio = _parse_fields(audio_value[6][0])
+    assert audio[5][0] == b"audio/wav"

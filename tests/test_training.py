@@ -212,3 +212,91 @@ def test_tensorboard_logger_end_to_end(tiny_setup, tmp_path):
     assert "loss" in tags
     assert any(t.endswith("/grad") for t in tags)
     assert any("w_skip" in t for t in tags)
+
+
+class _LossRecorder(wt.Logger):
+    def __init__(self):
+        super().__init__(log_interval=10**9, validation_interval=10**9,
+                         generate_interval=10**9)
+        self.losses = []
+
+    def log(self, current_step, current_loss):
+        self.losses.append(float(current_loss))
+
+
+def test_resume_consumes_same_data_stream(tiny_setup, tmp_path):
+    """Step N's batch (hence loss) must be identical with and without an
+    intervening snapshot/resume — the epoch permutation is fast-forwarded,
+    not restarted (the reference re-consumes early batches,
+    wavenet_training.py:50-60)."""
+    cfg, params, ds = tiny_setup
+    snap = str(tmp_path / "snaps_resume")
+
+    rec_a = _LossRecorder()
+    a = wt.WaveNetTrainer(cfg, params, ds, lr=1e-3, logger=rec_a, seed=3)
+    a.train(batch_size=4, epochs=10, max_steps=8)
+
+    rec_b = _LossRecorder()
+    b = wt.WaveNetTrainer(
+        cfg, params, ds, lr=1e-3, logger=rec_b, seed=3,
+        snapshot_path=snap, snapshot_name="r", snapshot_interval=4,
+    )
+    b.train(batch_size=4, epochs=10, max_steps=4)
+
+    rec_c = _LossRecorder()
+    c = wt.WaveNetTrainer(
+        cfg, params, ds, lr=1e-3, logger=rec_c, seed=3, snapshot_path=snap,
+    )
+    step = c.resume()
+    assert step == 4
+    c.train(batch_size=4, epochs=10, continue_training_at_step=step,
+            max_steps=8)
+
+    np.testing.assert_allclose(rec_a.losses[:4], rec_b.losses, rtol=1e-6)
+    # steps 5-8 see the same batches (and the same params, thanks to exact
+    # optimizer-state resume) as the uninterrupted run
+    np.testing.assert_allclose(rec_a.losses[4:], rec_c.losses, rtol=1e-5)
+
+
+def test_resume_fast_forwards_across_epochs(tiny_setup, tmp_path):
+    """continue_training_at_step beyond one epoch lands in the right epoch's
+    permutation at the right offset."""
+    cfg, params, ds = tiny_setup
+    bs = 64  # few batches per epoch
+    spe = len(wt.BatchIterator(ds, bs))
+    assert spe >= 2
+    target = spe + 1  # one full epoch + one batch
+
+    rec_a = _LossRecorder()
+    a = wt.WaveNetTrainer(cfg, params, ds, lr=1e-3, logger=rec_a, seed=5)
+    a.train(batch_size=bs, epochs=10, max_steps=target + 2)
+
+    rec_b = _LossRecorder()
+    b = wt.WaveNetTrainer(cfg, params, ds, lr=1e-3, logger=rec_b, seed=5)
+    b.train(batch_size=bs, epochs=10, max_steps=target)
+    # continue the same trainer (params/opt state already live)
+    b.train(batch_size=bs, epochs=10, continue_training_at_step=target,
+            max_steps=target + 2)
+    np.testing.assert_allclose(rec_a.losses, rec_b.losses, rtol=1e-5)
+
+
+def test_async_snapshot_is_donation_safe(tiny_setup, tmp_path):
+    """snapshot() must capture the params at call time even though the very
+    next train step donates (invalidates) those buffers."""
+    cfg, params, ds = tiny_setup
+    snap = str(tmp_path / "snaps_async")
+    tr = wt.WaveNetTrainer(
+        cfg, params, ds, lr=1e-2, snapshot_path=snap, snapshot_name="a",
+    )
+    tr.train(batch_size=4, epochs=1, max_steps=3)
+    at_snapshot = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(),
+                                         tr.params)
+    path = tr.snapshot()  # async
+    tr.train(batch_size=4, epochs=1, continue_training_at_step=3,
+             max_steps=6)  # donates the snapshotted buffers
+    tr._ckpt.wait()
+    blob = wt.load_checkpoint(path)
+    assert blob["step"] == 3
+    for a, b in zip(jax.tree_util.tree_leaves(at_snapshot),
+                    jax.tree_util.tree_leaves(blob["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
