@@ -17,6 +17,7 @@ from .models.wavenet import (
 )
 from .models.generate import (
     GenState,
+    StreamState,
     init_gen_state,
     gen_step,
     generate,

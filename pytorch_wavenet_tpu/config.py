@@ -42,6 +42,13 @@ class WaveNetConfig:
     compute_dtype: Any = jnp.float32  # matmul input dtype (bfloat16 for perf)
     remat: bool = False  # jax.checkpoint each layer: trade FLOPs for HBM
     # when training long output windows on deep stacks
+    # Skip-path fusion: collect every layer's gated activations and apply all
+    # L skip projections as ONE (N*out, L*D) @ (L*D, S) matmul instead of L
+    # bandwidth-bound K=D matmuls plus accumulator traffic. K grows from 32
+    # to L*32=960 (chaconne), turning the skip path compute-bound on the
+    # MXU. None = auto (fuse when out_len >= 128, where the win is real and
+    # the tiny-out bitwise-pinned paths stay untouched).
+    fuse_skip: bool | None = None
 
     @property
     def num_layers(self) -> int:

@@ -63,6 +63,18 @@ class GenState(NamedTuple):
     t: jnp.ndarray  # scalar int32 global time cursor
 
 
+class StreamState(NamedTuple):
+    """Streaming handle for :func:`generate_fast`: the ring-buffer GenState
+    plus the next input class per stream. Returned with ``return_state``;
+    passing it back (``first_samples=None``) continues the rollout with no
+    re-priming — bitwise identical to an uninterrupted run at temperature 0
+    (the reference's persistent DilatedQueue capability,
+    wavenet_model.py:78-81, as an explicit value)."""
+
+    gen: GenState
+    cls: jnp.ndarray  # (S,) int32 next input class
+
+
 def buffer_length(cfg: WaveNetConfig, layer: int | None = None) -> int:
     """Ring length ``(kernel_size-1)*d + 1`` for ``layer`` (the largest
     layer's when ``layer`` is None; reference per-layer max_length at
@@ -183,8 +195,80 @@ def _sample(logits, u, classes, temperature, regularize):
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "num_samples", "temperature", "regularize"),
+    static_argnames=("cfg", "num_samples", "temperature", "regularize",
+                     "return_state"),
 )
+def _generate_fast_jit(
+    params: Params,
+    cfg: WaveNetConfig,
+    key: jax.Array,
+    num_samples: int,
+    first_samples: jnp.ndarray | None = None,
+    temperature: float = 1.0,
+    regularize: float = 0.0,
+    cond: jnp.ndarray | None = None,
+    global_cond: jnp.ndarray | None = None,
+    state: StreamState | None = None,
+    return_state: bool = False,
+):
+    """Fast-WaveNet generation (reference: wavenet_model.py:237-315).
+
+    ``first_samples``: int32 ``(S, num_given)`` prime samples per stream (or
+    ``(num_given,)`` for a single stream). Defaults to one mid-class sample
+    (reference: wavenet_model.py:245-247).
+    ``cond``: optional local conditioning ``(S, total, cond_channels)`` where
+    ``total = num_given - 1 + num_samples``; row t conditions the step that
+    consumes input sample t (vocoder mode; requires cfg.cond_channels > 0).
+    ``state``/``return_state``: streaming — see :class:`StreamState`.
+
+    Returns ``(waveform (S, num_samples) float32, classes (S, num_samples)
+    int32)`` (plus the new StreamState when requested), waveform mu-law
+    expanded like the reference (wavenet_model.py:296,314).
+    """
+    resume = state is not None
+    if resume:
+        if first_samples is not None:
+            raise ValueError("pass either first_samples or state, not both")
+        S = state.cls.shape[0]
+        first_samples = state.cls.reshape(S, 1).astype(jnp.int32)
+        num_given = 1
+    else:
+        if first_samples is None:
+            first_samples = jnp.full((1, 1), cfg.classes // 2, jnp.int32)
+        first_samples = jnp.atleast_2d(first_samples).astype(jnp.int32)
+        S, num_given = first_samples.shape
+    total = num_given - 1 + num_samples
+
+    gstate = state.gen if resume else init_gen_state(cfg, S)
+    # one uniform per (step, stream), drawn outside the scan (see _sample)
+    uniforms = jax.random.uniform(key, (total, S), jnp.float32)
+    # input class for priming step i is first_samples[:, i]; pad so the
+    # gather below stays in bounds once i+1 >= num_given.
+    given = jnp.pad(first_samples, ((0, 0), (0, max(0, total + 1 - num_given))))
+    cond_t = None if cond is None else jnp.swapaxes(cond, 0, 1)  # (total,S,M)
+
+    def step(carry, xs):
+        gstate, cur = carry
+        u, i, c = xs
+        logits, gstate = gen_step(params, cfg, gstate, cur, cond=c,
+                                  global_cond=global_cond)
+        sampled = _sample(logits, u, cfg.classes, temperature, regularize)
+        nxt = jnp.where(i + 1 < num_given, given[:, jnp.minimum(i + 1, total)], sampled)
+        return (gstate, nxt.astype(jnp.int32)), sampled
+
+    (final_gstate, final_cls), samples = lax.scan(
+        step,
+        (gstate, first_samples[:, 0]),
+        (uniforms, jnp.arange(total, dtype=jnp.int32), cond_t),
+    )
+    out = samples[num_given - 1 :].T  # (S, num_samples)
+    wav = mu_law_expansion_jnp((out.astype(jnp.float32) / cfg.classes) * 2.0 - 1.0,
+                               cfg.classes)
+    if not return_state:
+        return wav, out
+    return wav, out, StreamState(gen=final_gstate, cls=final_cls)
+
+
 def generate_fast(
     params: Params,
     cfg: WaveNetConfig,
@@ -195,52 +279,49 @@ def generate_fast(
     regularize: float = 0.0,
     cond: jnp.ndarray | None = None,
     global_cond: jnp.ndarray | None = None,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Fast-WaveNet generation (reference: wavenet_model.py:237-315).
-
-    ``first_samples``: int32 ``(S, num_given)`` prime samples per stream (or
-    ``(num_given,)`` for a single stream). Defaults to one mid-class sample
-    (reference: wavenet_model.py:245-247).
-    ``cond``: optional local conditioning ``(S, total, cond_channels)`` where
-    ``total = num_given - 1 + num_samples``; row t conditions the step that
-    consumes input sample t (vocoder mode; requires cfg.cond_channels > 0).
-
-    Returns ``(waveform (S, num_samples) float32, classes (S, num_samples)
-    int32)`` where the waveform is mu-law-expanded like the reference
-    (wavenet_model.py:296,314).
-    """
-    if first_samples is None:
-        first_samples = jnp.full((1, 1), cfg.classes // 2, jnp.int32)
-    first_samples = jnp.atleast_2d(first_samples).astype(jnp.int32)
-    S, num_given = first_samples.shape
-    total = num_given - 1 + num_samples
-
-    state = init_gen_state(cfg, S)
-    # one uniform per (step, stream), drawn outside the scan (see _sample)
-    uniforms = jax.random.uniform(key, (total, S), jnp.float32)
-    # input class for priming step i is first_samples[:, i]; pad so the
-    # gather below stays in bounds once i+1 >= num_given.
-    given = jnp.pad(first_samples, ((0, 0), (0, max(0, total + 1 - num_given))))
-    cond_t = None if cond is None else jnp.swapaxes(cond, 0, 1)  # (total,S,M)
-
-    def step(carry, xs):
-        state, cur = carry
-        u, i, c = xs
-        logits, state = gen_step(params, cfg, state, cur, cond=c,
-                                 global_cond=global_cond)
-        sampled = _sample(logits, u, cfg.classes, temperature, regularize)
-        nxt = jnp.where(i + 1 < num_given, given[:, jnp.minimum(i + 1, total)], sampled)
-        return (state, nxt.astype(jnp.int32)), sampled
-
-    (_, _), samples = lax.scan(
-        step,
-        (state, first_samples[:, 0]),
-        (uniforms, jnp.arange(total, dtype=jnp.int32), cond_t),
-    )
-    out = samples[num_given - 1 :].T  # (S, num_samples)
-    wav = mu_law_expansion_jnp((out.astype(jnp.float32) / cfg.classes) * 2.0 - 1.0,
-                               cfg.classes)
-    return wav, out
+    state: StreamState | None = None,
+    return_state: bool = False,
+    progress_callback=None,
+    progress_interval: int = 1000,
+):
+    """Public fast-generation entry (see :func:`_generate_fast_jit` for the
+    full contract). ``progress_callback(done, total)`` fires every
+    ``progress_interval`` samples (reference: wavenet_model.py:242-243,
+    308-311) — the rollout is split into streaming-state chunks at that
+    cadence, which is bitwise-free (see :class:`StreamState`)."""
+    if progress_callback is None or num_samples <= progress_interval:
+        out = _generate_fast_jit(
+            params, cfg, key, num_samples, first_samples,
+            temperature=temperature, regularize=regularize, cond=cond,
+            global_cond=global_cond, state=state, return_state=return_state,
+        )
+        if progress_callback is not None:
+            progress_callback(num_samples, num_samples)
+        return out
+    if cond is not None:
+        raise NotImplementedError(
+            "progress_callback with cond: slice cond per chunk via "
+            "generate_long-style driving instead"
+        )
+    wavs, clss = [], []
+    done = 0
+    while done < num_samples:
+        n = min(progress_interval, num_samples - done)
+        key, sub = jax.random.split(key)
+        wav, cls, state = _generate_fast_jit(
+            params, cfg, sub, n, first_samples if done == 0 else None,
+            temperature=temperature, regularize=regularize,
+            global_cond=global_cond, state=state, return_state=True,
+        )
+        wavs.append(wav)
+        clss.append(cls)
+        done += n
+        progress_callback(done, num_samples)
+    wav = jnp.concatenate(wavs, axis=1)
+    cls = jnp.concatenate(clss, axis=1)
+    if return_state:
+        return wav, cls, state
+    return wav, cls
 
 
 @partial(
@@ -318,17 +399,21 @@ def generate_long(
     chunk_size: int = 65536,
     backend=None,
     progress_callback=None,
+    streaming: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Arbitrary-length generation by chunking any backend.
 
     Runs ``backend`` (default :func:`generate_fast`; pass
-    ``ops.pallas.gen_kernel.generate_fast_fused`` on TPU) in ``chunk_size``
-    pieces, re-priming each chunk with the previous chunk's last
-    receptive-field samples — the same state the queues would carry, at a
-    ~receptive_field/chunk_size (<5%) re-prime overhead. This keeps the
-    fused kernels' on-chip output buffers bounded for clips of any length
-    and gives the reference's ``progress_callback`` hook a natural cadence
-    (reference: wavenet_model.py:242-243,308-311).
+    ``ops.pallas.gen_kernel.generate_fast_fused`` or the HBM kernel on TPU)
+    in ``chunk_size`` pieces. With ``streaming`` (default), the backend's
+    ring-buffer state flows between chunks (``state``/``return_state``), so
+    chunk boundaries are free and the whole rollout is bitwise identical to
+    a single shot at temperature 0. ``streaming=False`` falls back to
+    re-priming each chunk with the previous chunk's last receptive-field
+    samples (~rf/chunk_size overhead) for backends without state support.
+    Keeps the fused kernels' on-chip output buffers bounded for clips of
+    any length and gives the reference's ``progress_callback`` hook a
+    natural cadence (reference: wavenet_model.py:242-243,308-311).
     """
     if backend is None:
         backend = generate_fast
@@ -341,20 +426,28 @@ def generate_long(
 
     outs = []
     done = 0
+    state = None
     while done < num_samples:
         n = min(chunk_size, num_samples - done)
         key, sub = jax.random.split(key)
-        _, cls = backend(
-            params, cfg, sub, n, prime,
-            temperature=temperature, regularize=regularize,
-        )
+        if streaming:
+            _, cls, state = backend(
+                params, cfg, sub, n, prime if state is None else None,
+                temperature=temperature, regularize=regularize,
+                state=state, return_state=True,
+            )
+        else:
+            _, cls = backend(
+                params, cfg, sub, n, prime,
+                temperature=temperature, regularize=regularize,
+            )
+            # next chunk continues from the full history tail
+            hist = jnp.concatenate([prime, cls], axis=1)
+            prime = hist[:, -rf:]
         outs.append(cls)
         done += n
         if progress_callback is not None:
             progress_callback(done, num_samples)
-        # next chunk continues from the full history tail
-        hist = jnp.concatenate([prime, cls], axis=1)
-        prime = hist[:, -rf:]
 
     out = jnp.concatenate(outs, axis=1)
     wav = mu_law_expansion_jnp(

@@ -195,7 +195,18 @@ def wavenet_logits(
     N, T, R = h.shape
 
     lp = params["layers"]
-    skip = jnp.zeros((N, out_len, cfg.skip_channels), jnp.float32)
+    # Fused skip path (cfg.fuse_skip): stash each layer's surviving gated
+    # activations and run all skip projections as one K=L*D matmul after
+    # the layer walk — L bandwidth-bound matmuls plus 2*L accumulator
+    # passes over the (N, out, S) buffer become a single compute-bound dot
+    # (K=960 for chaconne). Sequential accumulation is kept for small
+    # out_len, where the skip path is negligible and the reduction order
+    # is pinned bitwise to the generation paths.
+    fuse = cfg.fuse_skip if cfg.fuse_skip is not None else (out_len >= 128)
+    skip = None if fuse else jnp.zeros(
+        (N, out_len, cfg.skip_channels), jnp.float32
+    )
+    gated_units: list = []
 
     # The layer loop is a statically-unrolled python loop: each layer's
     # dilation is a compile-time constant, so every tap is a *static* slice
@@ -226,23 +237,38 @@ def wavenet_logits(
             u = jnp.tanh(f) * jax.nn.sigmoid(g)  # (N, T, D)
 
             # Skip: only the positions that survive the final slice.
-            s = _mm(u[:, T - out_len :, :], lp["w_skip"][l], cdt)
-            if "b_skip" in lp:
-                s = s + lp["b_skip"][l]
+            if fuse:
+                s = u[:, T - out_len :, :]  # projected after the layer walk
+            else:
+                s = _mm(u[:, T - out_len :, :], lp["w_skip"][l], cdt)
+                if "b_skip" in lp:
+                    s = s + lp["b_skip"][l]
+                s = skip + s
 
             # Residual: position-aligned add
             # (reference: wavenet_model.py:164-165).
             r = _mm(u, lp["w_res"][l], cdt)
             if "b_res" in lp:
                 r = r + lp["b_res"][l]
-            return r + h, skip + s
+            return r + h, s
 
         # remat: recompute the layer in the backward pass instead of saving
         # its activations — HBM for FLOPs when training long output windows
         return jax.checkpoint(layer_fn) if cfg.remat else layer_fn
 
     for l, d in enumerate(cfg.dilations):
-        h, skip = make_layer(l, d)(h, skip, cond, lp)
+        h, out = make_layer(l, d)(h, skip, cond, lp)
+        if fuse:
+            gated_units.append(out)
+        else:
+            skip = out
+
+    if fuse:
+        L, D = cfg.num_layers, cfg.dilation_channels
+        ucat = jnp.concatenate(gated_units, axis=-1)  # (N, out, L*D)
+        skip = _mm(ucat, lp["w_skip"].reshape(L * D, -1), cdt)
+        if "b_skip" in lp:
+            skip = skip + jnp.sum(lp["b_skip"], axis=0)
 
     # Head: relu -> 1x1 -> relu -> 1x1 (reference: wavenet_model.py:167-170).
     y = jax.nn.relu(skip)

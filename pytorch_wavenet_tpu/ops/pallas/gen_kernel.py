@@ -41,6 +41,7 @@ use the sharded XLA path (``parallel.training.sharded_generate_fast``).
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +53,20 @@ from jax.experimental.pallas import tpu as pltpu
 from ...config import WaveNetConfig
 from ...models.wavenet import Params
 from ...ops.mulaw import mu_law_expansion_jnp
+
+
+class FusedGenState(NamedTuple):
+    """Streaming state for :func:`generate_fast_fused`: the VMEM kernel's
+    ring buffers round-tripped through HBM between calls, plus the global
+    time cursor and the next input class per stream. Passing this back in
+    continues the rollout exactly where it stopped — no re-priming, bitwise
+    identical to an uninterrupted run at temperature 0 (the persistent-queue
+    capability of the reference's DilatedQueue objects,
+    wavenet_model.py:78-81, as an explicit value)."""
+
+    rings: tuple          # L arrays, (P_l * streams, R) f32
+    t: jnp.ndarray        # () int32 — absolute steps completed
+    cls: jnp.ndarray      # (streams,) int32 — next input class
 
 # soft cap on kernel VMEM use (per-core VMEM is ~16 MB)
 _VMEM_BUDGET_BYTES = 13 * 1024 * 1024
@@ -92,7 +107,7 @@ def fused_vmem_bytes(cfg: WaveNetConfig, streams: int = 1,
 
 
 def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
-                 temperature: float, regularize: float):
+                 temperature: float, regularize: float, resume: bool = False):
     L = cfg.num_layers
     k = cfg.kernel_size
     D = cfg.dilation_channels
@@ -101,29 +116,43 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
     periods = [(k - 1) * d + 1 for d in dil]
     Sst = streams
 
-    def kernel(
-        seed_ref,    # (1, 1) int32
-        prime_ref,   # (num_given*Sst, 1) int32, sublane-major per step
-        w_start_ref, # (C, R)
-        b_start_ref, # (1, R)
-        w_tap_ref,   # (L, k, R, 2D) fused filter+gate per tap
-        b_in_ref,    # (L, 2D)
-        w_out_ref,   # (L, D, S+R) fused skip|residual
-        b_out_ref,   # (L, S+R)
-        w_end1_ref,  # (S, E)
-        b_end1_ref,  # (1, E)
-        w_end2_ref,  # (E, C)
-        b_end2_ref,  # (1, C)
-        out_ref,     # (n_chunks*Sst, _CHUNK) int32 — samples packed into
-        #              lanes, one (Sst, _CHUNK) row block per chunk of
-        #              steps. (A (N,1) int32 buffer would tile to (8,128)
-        #              and waste 128x VMEM.)
-        *buf_refs,   # L ring buffers, (P_l*Sst, R) each
-    ):
+    def kernel(*refs):
+        (
+            seed_ref,    # (1, 1) int32
+            prime_ref,   # (num_given*Sst, 1) int32, sublane-major per step
+            w_start_ref, # (C, R)
+            b_start_ref, # (1, R)
+            w_tap_ref,   # (L, k, R, 2D) fused filter+gate per tap
+            b_in_ref,    # (L, 2D)
+            w_out_ref,   # (L, D, S+R) fused skip|residual
+            b_out_ref,   # (L, S+R)
+            w_end1_ref,  # (S, E)
+            b_end1_ref,  # (1, E)
+            w_end2_ref,  # (E, C)
+            b_end2_ref,  # (1, C)
+        ) = refs[:12]
+        refs = refs[12:]
+        if resume:
+            t0_ref = refs[0]           # (1, 1) int32 absolute start time
+            ring_in_refs = refs[1 : 1 + L]
+            refs = refs[1 + L :]
+        # outputs:
+        out_ref = refs[0]  # (n_chunks*Sst, _CHUNK) int32 — samples packed
+        #                    into lanes, one (Sst, _CHUNK) row block per
+        #                    chunk of steps. (A (N,1) int32 buffer would
+        #                    tile to (8,128) and waste 128x VMEM.)
+        buf_refs = refs[1:]  # L ring buffers, (P_l*Sst, R) each
+
         if temperature > 0:  # static; argmax path never consumes randomness
             pltpu.prng_seed(seed_ref[0, 0])
-        for b in buf_refs:
-            b[...] = jnp.zeros_like(b)
+        if resume:
+            toff = t0_ref[0, 0]
+            for b, b_in in zip(buf_refs, ring_in_refs):
+                b[...] = b_in[...]
+        else:
+            toff = 0
+            for b in buf_refs:
+                b[...] = jnp.zeros_like(b)
 
         if regularize != 0.0:
             reg = (
@@ -143,17 +172,18 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
             h = h + b_start_ref[...]  # (Sst, R)
             skip = jnp.zeros((Sst, S), jnp.float32)
 
+            ta = t + toff  # absolute time: ring slots persist across calls
             for l in range(L):  # statically unrolled
                 d, P = dil[l], periods[l]
                 buf = buf_refs[l]
                 # k taps: current h plus k-1 ring reads at row block
-                # ((t - (k-1-j)*d) mod P) * Sst (reference dequeue,
+                # ((ta - (k-1-j)*d) mod P) * Sst (reference dequeue,
                 # wavenet_modules.py:59-72)
                 z = jnp.dot(
                     h, w_tap_ref[l, k - 1], preferred_element_type=jnp.float32
                 ) + b_in_ref[pl.ds(l, 1), :]
                 for j in range(k - 1):
-                    ridx = (t - (k - 1 - j) * d) % P
+                    ridx = (ta - (k - 1 - j) * d) % P
                     tap = buf[pl.ds(ridx * Sst, Sst), :]
                     z = z + jnp.dot(
                         tap, w_tap_ref[l, j], preferred_element_type=jnp.float32
@@ -167,7 +197,7 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                 skip = skip + sr[:, :S]
                 # ring write after the reads (reference enqueue,
                 # wavenet_modules.py:55-57)
-                buf[pl.ds((t % P) * Sst, Sst), :] = h
+                buf[pl.ds((ta % P) * Sst, Sst), :] = h
                 h = h + sr[:, S:]
 
             # head (reference: wavenet_model.py:167-170)
@@ -232,7 +262,8 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "num_samples", "temperature", "regularize", "interpret"),
+    static_argnames=("cfg", "num_samples", "temperature", "regularize",
+                     "return_state", "interpret"),
 )
 def generate_fast_fused(
     params: Params,
@@ -242,21 +273,41 @@ def generate_fast_fused(
     first_samples: jnp.ndarray | None = None,
     temperature: float = 1.0,
     regularize: float = 0.0,
+    state: FusedGenState | None = None,
+    return_state: bool = False,
     interpret: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+):
     """Fused generation for a small number of streams (VMEM-resident state).
 
     Same contract as ``models.generate.generate_fast``: returns
-    ``(waveform (S, num_samples), classes (S, num_samples))``. The stream
-    count is bounded by VMEM (see :func:`fused_vmem_bytes`); use the sharded
-    XLA path for large batches."""
-    if first_samples is None:
-        first_samples = jnp.full((1, 1), cfg.classes // 2, jnp.int32)
-    first_samples = jnp.atleast_2d(first_samples).astype(jnp.int32)
-    streams, num_given = first_samples.shape
+    ``(waveform (S, num_samples), classes (S, num_samples))`` — plus a
+    :class:`FusedGenState` when ``return_state`` is true. Passing that state
+    back (with ``first_samples=None``) continues the rollout without
+    re-priming: chunked streaming equals a single shot bitwise at
+    temperature 0. The stream count is bounded by VMEM (see
+    :func:`fused_vmem_bytes`); use the sharded XLA path for large batches."""
+    resume = state is not None
+    if resume:
+        if first_samples is not None:
+            raise ValueError("pass either first_samples or state, not both")
+        streams = state.cls.shape[0]
+        # the carried class is the single "given" input of this call
+        first_samples = state.cls.reshape(streams, 1).astype(jnp.int32)
+        num_given = 1
+    else:
+        if first_samples is None:
+            first_samples = jnp.full((1, 1), cfg.classes // 2, jnp.int32)
+        first_samples = jnp.atleast_2d(first_samples).astype(jnp.int32)
+        streams, num_given = first_samples.shape
     total = num_given - 1 + num_samples
 
     need = fused_vmem_bytes(cfg, streams, total)
+    if resume:  # ring inputs live alongside the ring outputs
+        need += sum(
+            _tiled_bytes(((cfg.kernel_size - 1) * d + 1) * streams,
+                         cfg.residual_channels)
+            for d in cfg.dilations
+        )
     if need > _VMEM_BUDGET_BYTES:
         raise ValueError(
             f"{streams} streams x {total} steps need ~{need/1e6:.1f} MB of "
@@ -288,7 +339,7 @@ def generate_fast_fused(
     # sublane-major prime: step t's classes are rows [t*S : (t+1)*S]
     prime_col = first_samples.T.reshape(num_given * streams, 1)
 
-    args = (
+    args = [
         jax.random.randint(key, (1, 1), 0, np.iinfo(np.int32).max, jnp.int32),
         prime_col,
         params["start"]["w"].astype(f32),
@@ -301,29 +352,46 @@ def generate_fast_fused(
         params["end1"]["b"].reshape(1, E).astype(f32),
         params["end2"]["w"].astype(f32),
         params["end2"]["b"].reshape(1, C).astype(f32),
-    )
-
+    ]
     kernel, periods = _make_kernel(
-        cfg, streams, num_given, total, float(temperature), float(regularize)
+        cfg, streams, num_given, total, float(temperature), float(regularize),
+        resume=resume,
     )
+    if resume:
+        args.append(state.t.astype(jnp.int32).reshape(1, 1))
+        args.extend(r.astype(f32) for r in state.rings)
+
     n_chunks = -(-total // _CHUNK)
-    out = pl.pallas_call(
+    out, *rings_out = pl.pallas_call(
         kernel,
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args),
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_chunks * streams, _CHUNK), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((P * streams, R), f32) for P in periods],
+        out_specs=tuple(
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + len(periods))
+        ),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((n_chunks * streams, _CHUNK), jnp.int32)]
+            + [jax.ShapeDtypeStruct((P * streams, R), f32) for P in periods]
+        ),
         interpret=interpret,
     )(*args)
 
     # (n_chunks, streams, _CHUNK) -> (streams, total)
-    cls = (
+    all_cls = (
         out.reshape(n_chunks, streams, _CHUNK)
         .transpose(1, 0, 2)
-        .reshape(streams, n_chunks * _CHUNK)[:, num_given - 1 : total]
+        .reshape(streams, n_chunks * _CHUNK)
     )
+    cls = all_cls[:, num_given - 1 : total]
     wav = mu_law_expansion_jnp(
         (cls.astype(jnp.float32) / cfg.classes) * 2.0 - 1.0, cfg.classes
     )
-    return wav, cls
+    if not return_state:
+        return wav, cls
+    t0 = state.t if resume else jnp.zeros((), jnp.int32)
+    new_state = FusedGenState(
+        rings=tuple(rings_out),
+        t=t0 + total,
+        cls=all_cls[:, total - 1],
+    )
+    return wav, cls, new_state

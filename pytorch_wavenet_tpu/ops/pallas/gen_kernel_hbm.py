@@ -31,6 +31,7 @@ are unaligned.)
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -46,8 +47,20 @@ from ...ops.mulaw import mu_law_expansion_jnp
 _CHUNK = 128
 
 
+class HbmGenState(NamedTuple):
+    """Streaming state for :func:`generate_fast_batched`: the HBM-resident
+    ring state (aliased straight back into the next call — no copy), the
+    absolute time cursor, and the next input class per stream. Chunked
+    streaming equals a single shot bitwise at temperature 0."""
+
+    ring: jnp.ndarray     # (sum(P_l) * R, streams) f32
+    t: jnp.ndarray        # () int32 — absolute steps completed
+    cls: jnp.ndarray      # (streams,) int32 — next input class
+
+
 def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
-                 temperature: float, regularize: float, cond_rows: int = 0):
+                 temperature: float, regularize: float, cond_rows: int = 0,
+                 resume: bool = False):
     L = cfg.num_layers
     D = cfg.dilation_channels
     S = cfg.skip_channels
@@ -84,6 +97,11 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
             # cond_ref rows [t*Mp, (t+1)*Mp) are step t's (Mp, NS) slab
             cond_ref, w_cond_ref = refs[:2]  # HBM (total*Mp, NS); (L, 2D, Mp)
             refs = refs[2:]
+        if resume:
+            # (1,1) int32 absolute start time; the ring input itself is
+            # aliased onto the ring output buffer and never read directly
+            t0_ref = refs[0]
+            refs = refs[2:]
         (
             out_ref,      # (n_chunks*_CHUNK, NS) int32, ANY/HBM
             ring_ref,     # (sum(P_l)*R, NS) f32, ANY/HBM — queue state
@@ -99,6 +117,8 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
         refs = refs[9:]
         if Mp:
             cond_vmem, cond_sems = refs  # (2*Mp, NS) f32; (2,) DMA
+        toff = t0_ref[0, 0] if resume else 0
+
         if temperature > 0:
             pltpu.prng_seed(seed_ref[0, 0])
 
@@ -152,6 +172,7 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
             return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
         def step(t, cls):  # cls: (1, NS) int32
+            ta = t + toff  # absolute time: ring slots persist across calls
             # Tap reads for dilation-1 layers depend on the previous step's
             # write, so they are issued here; with prefetch enabled, taps
             # for d>=2 layers were issued at the END of the previous step
@@ -160,9 +181,9 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
             # head+sampling compute.
             for l in range(L):
                 if dil[l] == 1 or not prefetch:
-                    @pl.when(t >= dil[l])
+                    @pl.when(ta >= dil[l])
                     def _(l=l):
-                        tap_dma(l, t).start()
+                        tap_dma(l, ta).start()
 
             # embed: one-hot (C, NS), h = w_startT @ onehot -> (R, NS)
             onehot = (
@@ -185,18 +206,18 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                 # at the end of the step, before any slot can be re-read
                 # (minimum lookback is 1 step)
                 h_vmem[pl.ds(l * R, R), :] = h
-                write_dma(l, t).start()
+                write_dma(l, ta).start()
 
                 z = mm(w_cur_ref[l], h) + b_in_ref[l]
                 if Mp:
                     z = z + mm(w_cond_ref[l], cond_cur)
 
-                @pl.when(t >= d)
+                @pl.when(ta >= d)
                 def _(l=l):
-                    tap_dma(l, t).wait()
+                    tap_dma(l, ta).wait()
                 tap = tap_vmem[pl.ds(l * R, R), :]
                 zt = z + mm(w_old_ref[l], tap)
-                z = jnp.where(t >= d, zt, z)
+                z = jnp.where(ta >= d, zt, z)
 
                 u = jnp.tanh(z[:D, :]) * jax.nn.sigmoid(z[D:, :])  # (D, NS)
                 sr = mm(w_out_ref[l], u) + b_out_ref[l]  # (S+R, NS)
@@ -236,15 +257,15 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
 
             # all ring writes must land before the next step reads them
             for l in range(L):
-                write_dma(l, t).wait()
+                write_dma(l, ta).wait()
 
             # prefetch next step's taps for d>=2 layers (see top of step)
             if prefetch:
                 for l in range(L):
                     if dil[l] >= 2:
-                        @pl.when((t + 1 >= dil[l]) & (t + 1 < total))
+                        @pl.when((ta + 1 >= dil[l]) & (t + 1 < total))
                         def _(l=l):
-                            tap_dma(l, t + 1).start()
+                            tap_dma(l, ta + 1).start()
 
             # next input
             if num_given > 1:
@@ -265,30 +286,50 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "num_samples", "temperature", "regularize", "interpret"),
+    static_argnames=("cfg", "num_samples", "temperature", "regularize",
+                     "return_state", "interpret"),
 )
 def generate_fast_batched(
     params: Params,
     cfg: WaveNetConfig,
     key: jax.Array,
     num_samples: int,
-    first_samples: jnp.ndarray,
+    first_samples: jnp.ndarray | None = None,
     temperature: float = 1.0,
     regularize: float = 0.0,
     cond: jnp.ndarray | None = None,
+    state: HbmGenState | None = None,
+    return_state: bool = False,
     interpret: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+):
     """Batched fused generation with HBM queue state. Same contract as
     ``models.generate.generate_fast``, including local conditioning:
     ``cond`` is ``(streams, total, cond_channels)`` with row t conditioning
     step t (the vocoder path — per step one (M, NS) slab is DMAed in,
     double-buffered, and applied as a third K=M matmul per layer).
+
+    Streaming: with ``return_state`` the call also returns an
+    :class:`HbmGenState`; passing it back (``first_samples=None``)
+    continues without re-priming — the ring buffer is aliased into the
+    next call's output, so chunk boundaries cost no state copies and the
+    chunked rollout equals a single shot bitwise at temperature 0.
+
     Requirements: kernel_size == 2 (the reference's setting) and the stream
     count a multiple of 128 (lane alignment of the HBM DMAs)."""
     if cfg.kernel_size != 2:
         raise NotImplementedError("HBM kernel supports kernel_size=2")
-    first_samples = jnp.atleast_2d(first_samples).astype(jnp.int32)
-    streams, num_given = first_samples.shape
+    resume = state is not None
+    if resume:
+        if first_samples is not None:
+            raise ValueError("pass either first_samples or state, not both")
+        streams = state.cls.shape[0]
+        first_samples = state.cls.reshape(streams, 1).astype(jnp.int32)
+        num_given = 1
+    else:
+        if first_samples is None:
+            first_samples = jnp.full((1, 1), cfg.classes // 2, jnp.int32)
+        first_samples = jnp.atleast_2d(first_samples).astype(jnp.int32)
+        streams, num_given = first_samples.shape
     if streams % 128 != 0 and not interpret:
         raise ValueError(
             f"stream count {streams} must be a multiple of 128; use the "
@@ -367,9 +408,19 @@ def generate_fast_batched(
         args.append(jnp.pad(w_cond, ((0, 0), (0, 0), (0, Mp - M))))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
+    io_aliases = {}
+    if resume:
+        args.append(state.t.astype(jnp.int32).reshape(1, 1))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        # ring input aliased onto ring output (output index 1): the state
+        # stays in place in HBM, no copy at chunk boundaries
+        io_aliases[len(args)] = 1
+        args.append(state.ring.astype(f32))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+
     kernel, periods = _make_kernel(
         cfg, streams, num_given, total, float(temperature), float(regularize),
-        cond_rows=Mp,
+        cond_rows=Mp, resume=resume,
     )
     n_chunks = -(-total // _CHUNK)
 
@@ -386,7 +437,7 @@ def generate_fast_batched(
         scratch_shapes.append(pltpu.VMEM((2 * Mp, streams), f32))
         scratch_shapes.append(pltpu.SemaphoreType.DMA((2,)))
 
-    out, _ring = pl.pallas_call(
+    out, ring = pl.pallas_call(
         kernel,
         grid=(1,),
         in_specs=in_specs,
@@ -399,12 +450,20 @@ def generate_fast_batched(
             jax.ShapeDtypeStruct((sum(periods) * R, streams), f32),
         ),
         scratch_shapes=scratch_shapes,
+        input_output_aliases=io_aliases,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(*args)
 
-    cls = out.T[:, num_given - 1 : total]  # (streams, num_samples)
+    all_cls = out.T  # (streams, n_chunks*_CHUNK)
+    cls = all_cls[:, num_given - 1 : total]  # (streams, num_samples)
     wav = mu_law_expansion_jnp(
         (cls.astype(jnp.float32) / cfg.classes) * 2.0 - 1.0, cfg.classes
     )
-    return wav, cls
+    if not return_state:
+        return wav, cls
+    t0 = state.t if resume else jnp.zeros((), jnp.int32)
+    new_state = HbmGenState(
+        ring=ring, t=t0 + total, cls=all_cls[:, total - 1]
+    )
+    return wav, cls, new_state

@@ -139,3 +139,51 @@ def test_batched_cond_shape_errors(tiny):
     with pytest.raises(ValueError, match="cond_channels == 0"):
         generate_fast_batched(params0, cfg0, jax.random.PRNGKey(0), 8, prime,
                               cond=jnp.zeros((2, 8, 6)), interpret=True)
+
+
+def test_batched_streaming_state_bitwise(tiny):
+    """Chunked rollout with HbmGenState (ring aliased between calls)
+    equals single-shot bitwise; ring wraparound crossed mid-stream."""
+    cfg, params = tiny
+    from pytorch_wavenet_tpu.models.generate import buffer_length
+
+    rf = cfg.receptive_field
+    n = 2 * buffer_length(cfg) + 7
+    prime = jax.random.randint(jax.random.PRNGKey(31), (4, rf), 0, cfg.classes)
+    k = jax.random.PRNGKey(32)
+    _, c_all = generate_fast_batched(params, cfg, k, n, prime, temperature=0.0,
+                                     interpret=True)
+    n1 = n // 3
+    n2 = n - n1
+    _, c1, st = generate_fast_batched(params, cfg, k, n1, prime,
+                                      temperature=0.0, return_state=True,
+                                      interpret=True)
+    _, c2 = generate_fast_batched(params, cfg, k, n2, None, temperature=0.0,
+                                  state=st, interpret=True)
+    chunked = np.concatenate([np.asarray(c1), np.asarray(c2)], axis=1)
+    np.testing.assert_array_equal(chunked, np.asarray(c_all))
+
+
+def test_batched_streaming_conditioned(tiny):
+    """Streaming + local conditioning: per-chunk cond slices line up."""
+    cfg = wt.get_config("tiny", cond_channels=6)
+    params = wt.init_wavenet(jax.random.PRNGKey(1), cfg)
+    rf = cfg.receptive_field
+    n1, n2 = 30, 26
+    prime = jax.random.randint(jax.random.PRNGKey(33), (2, rf), 0, cfg.classes)
+    total = rf - 1 + n1 + n2
+    cond = 0.5 * jax.random.normal(jax.random.PRNGKey(34), (2, total, 6))
+    k = jax.random.PRNGKey(35)
+    _, ca = generate_fast_batched(params, cfg, k, n1 + n2, prime,
+                                  temperature=0.0, cond=cond, interpret=True)
+    _, cb1, st = generate_fast_batched(params, cfg, k, n1, prime,
+                                       temperature=0.0,
+                                       cond=cond[:, : rf - 1 + n1],
+                                       return_state=True, interpret=True)
+    _, cb2 = generate_fast_batched(params, cfg, k, n2, None, temperature=0.0,
+                                   cond=cond[:, rf - 1 + n1 :], state=st,
+                                   interpret=True)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(cb1), np.asarray(cb2)], axis=1),
+        np.asarray(ca),
+    )

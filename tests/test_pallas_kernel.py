@@ -119,3 +119,22 @@ def test_fused_kernel_size_3():
                                 interpret=True)
     _, cx = wt.generate_fast(params, cfg, k, 24, prime, temperature=0.0)
     np.testing.assert_array_equal(np.asarray(cf), np.asarray(cx))
+
+
+def test_fused_streaming_state_bitwise(tiny):
+    """Chunked rollout with FusedGenState equals single-shot bitwise."""
+    cfg, params = tiny
+    rf = cfg.receptive_field
+    prime = jax.random.randint(jax.random.PRNGKey(21), (2, rf), 0, cfg.classes)
+    k = jax.random.PRNGKey(22)
+    _, c_all = generate_fast_fused(params, cfg, k, 60, prime, temperature=0.0,
+                                   interpret=True)
+    _, c1, st = generate_fast_fused(params, cfg, k, 25, prime, temperature=0.0,
+                                    return_state=True, interpret=True)
+    _, c2, st = generate_fast_fused(params, cfg, k, 20, None, temperature=0.0,
+                                    state=st, return_state=True, interpret=True)
+    _, c3 = generate_fast_fused(params, cfg, k, 15, None, temperature=0.0,
+                                state=st, interpret=True)
+    chunked = np.concatenate([np.asarray(c) for c in (c1, c2, c3)], axis=1)
+    np.testing.assert_array_equal(chunked, np.asarray(c_all))
+    assert int(st.t) == rf - 1 + 45
