@@ -3,8 +3,8 @@
 The reference leans on librosa for decode/resample/normalize/write
 (reference: audio_data.py:69-73, generate_script.py:35). Librosa isn't part
 of this image, so WAV/AIFF parsing, channel mixdown, resampling, and peak
-normalization are implemented here on numpy; mp3 decoding is gated on an
-optional librosa/soundfile install.
+normalization are implemented here on numpy; mp3 decoding falls back
+through librosa -> soundfile -> an ffmpeg subprocess, whichever exists.
 """
 
 from __future__ import annotations
@@ -136,21 +136,71 @@ def load_audio(
     elif lower.endswith((".aif", ".aiff")):
         data, sr = _read_aiff(path)
     else:
-        try:  # optional decoders for mp3 etc.
-            import librosa  # type: ignore
-
-            y, sr = librosa.load(path, sr=sampling_rate, mono=mono)
-            return y.astype(np.float32), int(sr)
-        except ImportError as e:
-            raise ValueError(
-                f"cannot decode {path}: install librosa/soundfile for mp3"
-            ) from e
+        return _decode_compressed(path, sampling_rate, mono)
     if mono and data.ndim == 2:
         data = data.mean(axis=1)
     else:
         data = data.reshape(-1)
     data = resample(data.astype(np.float32), sr, sampling_rate)
     return data, sampling_rate
+
+
+def _decode_compressed(
+    path: str, sampling_rate: int, mono: bool
+) -> tuple[np.ndarray, int]:
+    """Decode mp3/other compressed audio through whichever backend exists
+    (reference decodes via librosa, audio_data.py:69-71). Fallback chain:
+    librosa -> soundfile -> ffmpeg subprocess; the error names every
+    backend tried so the remedy is obvious."""
+    tried = []
+    try:
+        import librosa  # type: ignore
+
+        y, sr = librosa.load(path, sr=sampling_rate, mono=mono)
+        return y.astype(np.float32), int(sr)
+    except ImportError:
+        tried.append("librosa (not installed)")
+
+    try:
+        import soundfile  # type: ignore
+
+        data, sr = soundfile.read(path, dtype="float32", always_2d=True)
+        if mono:
+            data = data.mean(axis=1)
+        else:
+            data = data.reshape(-1)
+        return resample(data, sr, sampling_rate), sampling_rate
+    except ImportError:
+        tried.append("soundfile (not installed)")
+
+    import shutil
+    import subprocess
+
+    if shutil.which("ffmpeg"):
+        # decode straight to mono float32 PCM at the target rate on stdout
+        cmd = [
+            "ffmpeg", "-v", "error", "-i", path,
+            "-f", "f32le", "-acodec", "pcm_f32le",
+            "-ar", str(sampling_rate),
+        ]
+        if mono:
+            cmd += ["-ac", "1"]
+        cmd += ["pipe:1"]
+        proc = subprocess.run(cmd, capture_output=True, timeout=600)
+        if proc.returncode == 0 and proc.stdout:
+            y = np.frombuffer(proc.stdout, dtype="<f4").astype(np.float32)
+            return y, sampling_rate
+        tried.append(
+            f"ffmpeg (exit {proc.returncode}: "
+            f"{proc.stderr.decode(errors='replace')[:200].strip()})"
+        )
+    else:
+        tried.append("ffmpeg (not on PATH)")
+
+    raise ValueError(
+        f"cannot decode {path}; tried: {', '.join(tried)}. Install librosa "
+        "or soundfile, or put ffmpeg on PATH, or convert to wav/aiff."
+    )
 
 
 def write_wav(path: str, x: np.ndarray, sr: int = 16000) -> None:

@@ -14,9 +14,9 @@ are unaligned.)
 
 * weights (pre-transposed) live in VMEM for the whole clip;
 * per-layer ring buffers live in **HBM**, touched only via async DMA: per
-  step, one ``(R, S)`` tap read and one ``(R, S)`` activation write per
-  layer; all tap reads are issued up front so transfers overlap the layer
-  walk;
+  step, one ``(R, S)`` tap read per lookback tap (kernel_size - 1 of them)
+  and one ``(R, S)`` activation write per layer; all tap reads are issued
+  up front so transfers overlap the layer walk;
 * ring buffers are not zero-initialized — a tap with lookback ``d`` is
   predicated on ``t >= d`` instead (the reference's zero-filled queues,
   wavenet_modules.py:74-77, contribute exactly zero there);
@@ -67,7 +67,9 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
     R = cfg.residual_channels
     C = cfg.classes
     dil = cfg.dilations
-    periods = [d + 1 for d in dil]  # kernel_size == 2
+    k = cfg.kernel_size
+    nt = k - 1  # lookback taps per layer (tap j looks back (nt-j)*d steps)
+    periods = [(k - 1) * d + 1 for d in dil]
     ring_off = np.cumsum([0] + periods).tolist()
     NS = streams
     Mp = cond_rows  # local-conditioning rows, 0 = unconditioned
@@ -83,7 +85,7 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
             w_start_ref,  # (R, C)   start conv, transposed
             b_start_ref,  # (R, 1)
             w_cur_ref,    # (L, 2D, R) current-tap filter|gate, transposed
-            w_old_ref,    # (L, 2D, R) lookback-tap filter|gate, transposed
+            w_old_ref,    # (L, nt, 2D, R) lookback taps filter|gate, transp.
             b_in_ref,     # (L, 2D, 1)
             w_out_ref,    # (L, S+R, D) skip|residual, transposed
             b_out_ref,    # (L, S+R, 1)
@@ -106,11 +108,11 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
             out_ref,      # (n_chunks*_CHUNK, NS) int32, ANY/HBM
             ring_ref,     # (sum(P_l)*R, NS) f32, ANY/HBM — queue state
             # scratch:
-            tap_vmem,     # (L*R, NS) f32 — this step's taps
+            tap_vmem,     # (L*nt*R, NS) f32 — this step's taps
             h_vmem,       # (L*R, NS) f32 — this step's activations (DMA source)
             acc_vmem,     # (_CHUNK, NS) i32 — output row accumulator
             prime_vmem,   # (_CHUNK, NS) i32 — current prime chunk
-            tap_sems,     # (L,) DMA
+            tap_sems,     # (L*nt,) DMA
             write_sems,   # (L,) DMA
             io_sem,       # () DMA
         ) = refs[:9]
@@ -129,12 +131,13 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
         else:
             reg = None
 
-        def tap_dma(l, t):
-            ridx = (t - dil[l]) % periods[l]
+        def tap_dma(l, j, t):
+            # tap j of layer l looks back (nt - j) * d steps
+            ridx = (t - (nt - j) * dil[l]) % periods[l]
             return pltpu.make_async_copy(
                 ring_ref.at[pl.ds((ring_off[l] + ridx) * R, R), :],
-                tap_vmem.at[pl.ds(l * R, R), :],
-                tap_sems.at[l],
+                tap_vmem.at[pl.ds((l * nt + j) * R, R), :],
+                tap_sems.at[l * nt + j],
             )
 
         def write_dma(l, t):
@@ -181,9 +184,10 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
             # head+sampling compute.
             for l in range(L):
                 if dil[l] == 1 or not prefetch:
-                    @pl.when(ta >= dil[l])
-                    def _(l=l):
-                        tap_dma(l, ta).start()
+                    for j in range(nt):
+                        @pl.when(ta >= (nt - j) * dil[l])
+                        def _(l=l, j=j):
+                            tap_dma(l, j, ta).start()
 
             # embed: one-hot (C, NS), h = w_startT @ onehot -> (R, NS)
             onehot = (
@@ -212,12 +216,15 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                 if Mp:
                     z = z + mm(w_cond_ref[l], cond_cur)
 
-                @pl.when(ta >= d)
-                def _(l=l):
-                    tap_dma(l, ta).wait()
-                tap = tap_vmem[pl.ds(l * R, R), :]
-                zt = z + mm(w_old_ref[l], tap)
-                z = jnp.where(ta >= d, zt, z)
+                for j in range(nt):
+                    m = (nt - j) * d  # this tap's lookback
+
+                    @pl.when(ta >= m)
+                    def _(l=l, j=j):
+                        tap_dma(l, j, ta).wait()
+                    tap = tap_vmem[pl.ds((l * nt + j) * R, R), :]
+                    zt = z + mm(w_old_ref[l, j], tap)
+                    z = jnp.where(ta >= m, zt, z)
 
                 u = jnp.tanh(z[:D, :]) * jax.nn.sigmoid(z[D:, :])  # (D, NS)
                 sr = mm(w_out_ref[l], u) + b_out_ref[l]  # (S+R, NS)
@@ -259,13 +266,17 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
             for l in range(L):
                 write_dma(l, ta).wait()
 
-            # prefetch next step's taps for d>=2 layers (see top of step)
+            # prefetch next step's taps for d>=2 layers (see top of step;
+            # a tap with lookback m can only collide with the previous
+            # step's write when m == 1, i.e. d == 1)
             if prefetch:
                 for l in range(L):
                     if dil[l] >= 2:
-                        @pl.when((ta + 1 >= dil[l]) & (t + 1 < total))
-                        def _(l=l):
-                            tap_dma(l, ta + 1).start()
+                        for j in range(nt):
+                            @pl.when((ta + 1 >= (nt - j) * dil[l])
+                                     & (t + 1 < total))
+                            def _(l=l, j=j):
+                                tap_dma(l, j, ta + 1).start()
 
             # next input
             if num_given > 1:
@@ -314,10 +325,9 @@ def generate_fast_batched(
     next call's output, so chunk boundaries cost no state copies and the
     chunked rollout equals a single shot bitwise at temperature 0.
 
-    Requirements: kernel_size == 2 (the reference's setting) and the stream
-    count a multiple of 128 (lane alignment of the HBM DMAs)."""
-    if cfg.kernel_size != 2:
-        raise NotImplementedError("HBM kernel supports kernel_size=2")
+    Requirement: the stream count a multiple of 128 (lane alignment of the
+    HBM DMAs). Any kernel_size works — each of the k-1 lookback taps gets
+    its own DMA slot and K=R matmul."""
     resume = state is not None
     if resume:
         if first_samples is not None:
@@ -347,9 +357,10 @@ def generate_fast_batched(
     lp = params["layers"]
 
     # transposed weights: (out_ch, in_ch) for channels-first matmuls
+    k_sz = cfg.kernel_size
     w_in = lp["w_in"].astype(f32)  # (L, k, R, 2D)
-    w_old = jnp.swapaxes(w_in[:, 0], 1, 2)  # (L, 2D, R)
-    w_cur = jnp.swapaxes(w_in[:, 1], 1, 2)
+    w_old = jnp.swapaxes(w_in[:, : k_sz - 1], 2, 3)  # (L, k-1, 2D, R)
+    w_cur = jnp.swapaxes(w_in[:, k_sz - 1], 1, 2)  # (L, 2D, R)
     w_out = jnp.concatenate(
         [lp["w_skip"].astype(f32), lp["w_res"].astype(f32)], axis=2
     )  # (L, D, S+R)
@@ -424,12 +435,13 @@ def generate_fast_batched(
     )
     n_chunks = -(-total // _CHUNK)
 
+    nt = k_sz - 1
     scratch_shapes = [
-        pltpu.VMEM((L * R, streams), f32),
+        pltpu.VMEM((L * nt * R, streams), f32),
         pltpu.VMEM((L * R, streams), f32),
         pltpu.VMEM((_CHUNK, streams), jnp.int32),
         pltpu.VMEM((_CHUNK, streams), jnp.int32),
-        pltpu.SemaphoreType.DMA((L,)),
+        pltpu.SemaphoreType.DMA((L * nt,)),
         pltpu.SemaphoreType.DMA((L,)),
         pltpu.SemaphoreType.DMA,
     ]

@@ -37,24 +37,45 @@ from ..data.dataset import BatchIterator, PrefetchBatchIterator, WaveNetDataset
 from .optimizers import reference_adam
 
 
+def _expand_cond(cond, cond_hop: int | None, T: int):
+    """Mel frames -> per-sample rows inside jit. The input pipeline ships
+    cond at frame resolution (B, F, M) when it can (hop_length x less
+    host->device transfer — the scarce resource through the device tunnel);
+    a cond already at (B, T, M) passes through untouched."""
+    if cond is None or cond.shape[1] == T:
+        return cond
+    if cond_hop is None:
+        raise ValueError(
+            f"cond has {cond.shape[1]} rows for {T} samples but no cond_hop "
+            "was given to upsample it"
+        )
+    from ..ops.mel import upsample_frames
+
+    return upsample_frames(cond, cond_hop, T)
+
+
 def cross_entropy_loss(
     params: Any, cfg: WaveNetConfig, x: jnp.ndarray, target: jnp.ndarray,
-    cond: jnp.ndarray | None = None,
+    cond: jnp.ndarray | None = None, cond_hop: int | None = None,
 ) -> jnp.ndarray:
     """Mean softmax cross-entropy over the flattened (N*output_length)
     predictions (reference: wavenet_training.py:68-69). ``cond`` enables the
-    mel-conditioned vocoder objective."""
+    mel-conditioned vocoder objective — per-sample rows (N, T, M) or frames
+    (N, F, M) plus ``cond_hop``."""
+    cond = _expand_cond(cond, cond_hop, x.shape[1])
     logits = wavenet_logits(params, cfg, x, cfg.output_length, cond=cond)
     losses = optax.softmax_cross_entropy_with_integer_labels(logits, target)
     return jnp.mean(losses)
 
 
-@partial(jax.jit, static_argnames=("cfg", "tx"), donate_argnums=(0, 1))
-def train_step(params, opt_state, cfg: WaveNetConfig, tx, x, target, cond=None):
+@partial(jax.jit, static_argnames=("cfg", "tx", "cond_hop"),
+         donate_argnums=(0, 1))
+def train_step(params, opt_state, cfg: WaveNetConfig, tx, x, target, cond=None,
+               cond_hop: int | None = None):
     """One fused optimization step. ``tx`` must be hashable (optax
     transforms built at trainer construction are reused across calls)."""
     loss, grads = jax.value_and_grad(cross_entropy_loss)(
-        params, cfg, x, target, cond
+        params, cfg, x, target, cond, cond_hop
     )
     updates, opt_state = tx.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
@@ -62,10 +83,12 @@ def train_step(params, opt_state, cfg: WaveNetConfig, tx, x, target, cond=None):
     return params, opt_state, loss, grads
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def eval_step(params, cfg: WaveNetConfig, x, target, cond=None):
+@partial(jax.jit, static_argnames=("cfg", "cond_hop"))
+def eval_step(params, cfg: WaveNetConfig, x, target, cond=None,
+              cond_hop: int | None = None):
     """Loss + argmax-accuracy counts for validation
     (reference: wavenet_training.py:97-111)."""
+    cond = _expand_cond(cond, cond_hop, x.shape[1])
     logits = wavenet_logits(params, cfg, x, cfg.output_length, cond=cond)
     losses = optax.softmax_cross_entropy_with_integer_labels(logits, target)
     correct = jnp.sum(jnp.argmax(logits, axis=-1) == target)
@@ -142,6 +165,12 @@ class WaveNetTrainer:
         self.avg_step_time = None
         self._last_grads = None
         self._ckpt = checkpoints.AsyncCheckpointer()
+        # frame-resolution conditioning (MelWaveNetDataset.device_upsample):
+        # the step upsamples on device with this hop
+        self._cond_hop = (
+            getattr(dataset, "hop_length", None)
+            if getattr(dataset, "device_upsample", False) else None
+        )
 
     def _put(self, x):
         """Place a host batch: sharded over the data axis in mesh mode."""
@@ -199,7 +228,7 @@ class WaveNetTrainer:
                 cond = self._put(batch[2]) if len(batch) > 2 else None
                 self.params, self.opt_state, loss, self._last_grads = train_step(
                     self.params, self.opt_state, self.cfg, self.tx, x, target,
-                    cond,
+                    cond, self._cond_hop,
                 )
                 # loss stays a device scalar — converting here would sync
                 # every step and pay the full dispatch round-trip latency;
@@ -301,7 +330,8 @@ class WaveNetTrainer:
             for batch in it:
                 x, target = self._put(batch[0]), self._put(batch[1])
                 cond = self._put(batch[2]) if len(batch) > 2 else None
-                loss, c = eval_step(self.params, self.cfg, x, target, cond)
+                loss, c = eval_step(self.params, self.cfg, x, target, cond,
+                                    self._cond_hop)
                 losses.append(loss)
                 correct.append(c)
                 seen += target.size

@@ -99,8 +99,6 @@ def main():
     path = "XLA scan"
     if jax.devices()[0].platform != "tpu":
         reason = "not on TPU"
-    elif cfg.kernel_size != 2:
-        reason = f"kernel_size={cfg.kernel_size} (fused kernels support 2)"
     elif args.num_streams % 128 == 0 and args.num_streams > 0:
         from pytorch_wavenet_tpu.ops.pallas.gen_kernel_hbm import (
             generate_fast_batched as gen,

@@ -208,3 +208,48 @@ def test_flat_stream_cache_rebuilt_when_stale(ds):
     with open(cache, "wb") as f:
         f.write(b"xx")
     np.testing.assert_array_equal(np.asarray(ds.flat_stream), orig)
+
+
+def _has_any_mp3_decoder():
+    import importlib.util
+    import shutil
+
+    return (
+        importlib.util.find_spec("librosa") is not None
+        or importlib.util.find_spec("soundfile") is not None
+        or shutil.which("ffmpeg") is not None
+    )
+
+
+def test_mp3_error_names_every_backend(tmp_path):
+    """Without any decoder, the error enumerates the fallback chain
+    (librosa -> soundfile -> ffmpeg) and the remedies."""
+    if _has_any_mp3_decoder():
+        pytest.skip("a decoder exists in this image; error path unreachable")
+    p = tmp_path / "x.mp3"
+    p.write_bytes(b"\xff\xfb\x90\x00" + b"\x00" * 64)
+    with pytest.raises(ValueError) as ei:
+        load_audio(str(p))
+    msg = str(ei.value)
+    assert "librosa" in msg and "soundfile" in msg and "ffmpeg" in msg
+
+
+@pytest.mark.skipif(not _has_any_mp3_decoder(), reason="no mp3 decoder in image")
+def test_mp3_decodes_through_fallback_chain(tmp_path):
+    """With any backend present, an mp3 fixture decodes to a mono waveform
+    at the requested rate (reference capability: audio_data.py:69-71)."""
+    import shutil
+    import subprocess
+
+    p = tmp_path / "tone.mp3"
+    if shutil.which("ffmpeg"):
+        wav = tmp_path / "tone.wav"
+        t = np.arange(8000) / 16000.0
+        write_wav(str(wav), 0.5 * np.sin(2 * np.pi * 440 * t), 16000)
+        subprocess.run(["ffmpeg", "-v", "error", "-i", str(wav), str(p)],
+                       check=True)
+    else:
+        pytest.skip("cannot author an mp3 fixture without ffmpeg")
+    y, sr = load_audio(str(p), sampling_rate=16000)
+    assert sr == 16000 and y.ndim == 1 and len(y) > 4000
+    assert np.abs(y).max() > 0.1

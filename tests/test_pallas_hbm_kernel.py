@@ -83,12 +83,40 @@ def test_batched_rejects_unaligned_streams_on_hw(tiny):
                               temperature=0.0, interpret=False)
 
 
-def test_batched_rejects_kernel_size_3(tiny):
+def test_batched_kernel_size_3_matches_xla(tiny):
+    """k=3: two lookback taps per layer, each with its own DMA slot —
+    round 1 rejected this with NotImplementedError."""
     cfg = wt.get_config("tiny", kernel_size=3)
     params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
-    with pytest.raises(NotImplementedError):
-        generate_fast_batched(params, cfg, jax.random.PRNGKey(0), 8,
-                              jnp.zeros((128, 2), jnp.int32), interpret=True)
+    rf = cfg.receptive_field
+    prime = jax.random.randint(jax.random.PRNGKey(41), (2, rf), 0, cfg.classes)
+    k = jax.random.PRNGKey(42)
+    _, cb = generate_fast_batched(params, cfg, k, 32, prime, temperature=0.0,
+                                  interpret=True)
+    _, cx = wt.generate_fast(params, cfg, k, 32, prime, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(cb), np.asarray(cx))
+
+
+def test_batched_kernel_size_3_cold_rings_and_streaming(tiny):
+    """k=3 with a 1-sample prime (cold rings, per-tap predication) and a
+    streaming chunk boundary."""
+    cfg = wt.get_config("tiny", kernel_size=3)
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    prime = jnp.full((2, 1), cfg.classes // 2, jnp.int32)
+    key = jax.random.PRNGKey(43)
+    _, c_all = generate_fast_batched(params, cfg, key, 40, prime,
+                                     temperature=0.0, interpret=True)
+    _, cx = wt.generate_fast(params, cfg, key, 40, prime, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(c_all), np.asarray(cx))
+    _, c1, st = generate_fast_batched(params, cfg, key, 18, prime,
+                                      temperature=0.0, return_state=True,
+                                      interpret=True)
+    _, c2 = generate_fast_batched(params, cfg, key, 22, None,
+                                  temperature=0.0, state=st, interpret=True)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(c1), np.asarray(c2)], axis=1),
+        np.asarray(c_all),
+    )
 
 
 def test_batched_conditioned_matches_xla(tiny):

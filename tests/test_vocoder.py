@@ -86,6 +86,7 @@ def test_mel_for_windows_is_host_only(monkeypatch):
     ds = object.__new__(mel_dataset.MelWaveNetDataset)
     ds.num_mels, ds.n_fft, ds.hop_length = 8, 256, 64
     ds.classes, ds.sampling_rate = 256, 16000
+    ds.device_upsample = False  # exercise the host-upsampled variant
     x = np.random.default_rng(2).integers(0, 256, (4, 512), dtype=np.int64)
     out = ds._mel_for_windows(x)
     assert isinstance(out, np.ndarray)
@@ -160,21 +161,38 @@ def test_mel_dataset_and_vocoder_training(tmp_path):
         n_fft=256,
         hop_length=64,
     )
+    # default: frame-resolution cond (device_upsample), ~hop x smaller
     x, y, cond = ds.get_batch([0, 1, 2])
-    assert cond.shape == (3, cfg.item_length, 8)
+    n_frames = 1 + cfg.item_length // 64
+    assert cond.shape == (3, n_frames, 8)
     assert np.isfinite(cond).all()
     x1, y1, c1 = ds[0]
     np.testing.assert_array_equal(x1, x[0])
     np.testing.assert_allclose(c1, cond[0], atol=1e-5)
 
+    # host-upsampled mode matches device upsampling of the frames
+    from pytorch_wavenet_tpu.ops.mel import upsample_frames
+
+    ds.device_upsample = False
+    _, _, cond_rows = ds.get_batch([0, 1, 2])
+    ds.device_upsample = True
+    assert cond_rows.shape == (3, cfg.item_length, 8)
+    np.testing.assert_allclose(
+        np.asarray(upsample_frames(jnp.asarray(cond), 64, cfg.item_length)),
+        cond_rows, atol=1e-5,
+    )
+
     params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
     trainer = wt.WaveNetTrainer(cfg, params, ds, lr=3e-3)
+    assert trainer._cond_hop == 64  # frame cond auto-detected
     xb, yb, cb = ds.get_batch(list(range(8)))
     l0 = float(cross_entropy_loss(trainer.params, cfg, jnp.asarray(xb),
-                                  jnp.asarray(yb), jnp.asarray(cb)))
+                                  jnp.asarray(yb), jnp.asarray(cb),
+                                  cond_hop=64))
     trainer.train(batch_size=8, epochs=50, max_steps=15)
     l1 = float(cross_entropy_loss(trainer.params, cfg, jnp.asarray(xb),
-                                  jnp.asarray(yb), jnp.asarray(cb)))
+                                  jnp.asarray(yb), jnp.asarray(cb),
+                                  cond_hop=64))
     assert l1 < l0
     loss, acc = trainer.validate(batch_size=4)
     assert np.isfinite(loss) and 0 <= acc <= 1
