@@ -266,3 +266,82 @@ def test_sharded_trainer_snapshot_resume_validate(tmp_path_factory):
                         jax.tree_util.tree_map(lambda x: np.asarray(x),
                                                tr2.params))):
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_time_sharded_logits_match_unsharded():
+    """Context parallelism (SURVEY §5): the trunk with T sharded over 8
+    chips and per-layer halo exchange equals the unsharded trunk."""
+    from pytorch_wavenet_tpu.parallel.time_sharding import (
+        max_halo, time_sharded_logits,
+    )
+
+    cfg = wt.get_config("tiny")  # max halo (k-1)*4 = 4
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(8, 1)
+    T = 8 * 16  # 16 per shard >= halo 4
+    assert T // 8 >= max_halo(cfg)
+    x = jax.random.randint(jax.random.PRNGKey(1), (2, T), 0, cfg.classes)
+
+    ref = np.asarray(wt.wavenet_logits(params, cfg, x, out_len=T))
+    sharded = np.asarray(time_sharded_logits(params, cfg, x, mesh))
+    np.testing.assert_allclose(sharded, ref, atol=2e-4)
+
+
+def test_time_sharded_logits_kernel_size_3():
+    from pytorch_wavenet_tpu.parallel.time_sharding import time_sharded_logits
+
+    cfg = wt.get_config("tiny", kernel_size=3)  # halo 2*4 = 8
+    params = wt.init_wavenet(jax.random.PRNGKey(2), cfg)
+    mesh = make_mesh(4, 2)  # time over the 4-way axis
+    T = 4 * 12
+    x = jax.random.randint(jax.random.PRNGKey(3), (1, T), 0, cfg.classes)
+    ref = np.asarray(wt.wavenet_logits(params, cfg, x, out_len=T))
+    sharded = np.asarray(time_sharded_logits(params, cfg, x, mesh))
+    np.testing.assert_allclose(sharded, ref, atol=2e-4)
+
+
+def test_time_sharded_loss_and_grads_match():
+    """Masked CE over the valid suffix: value and gradients agree with the
+    unsharded computation (training over sharded time is exact)."""
+    from pytorch_wavenet_tpu.parallel.time_sharding import time_sharded_loss
+
+    cfg = wt.get_config("tiny")
+    params = wt.init_wavenet(jax.random.PRNGKey(4), cfg)
+    mesh = make_mesh(8, 1)
+    T = 8 * 8
+    rf = cfg.receptive_field
+    x = jax.random.randint(jax.random.PRNGKey(5), (2, T), 0, cfg.classes)
+    tgt = jax.random.randint(jax.random.PRNGKey(6), (2, T), 0, cfg.classes)
+
+    def ref_loss(p):
+        logits = wt.wavenet_logits(p, cfg, x, out_len=T)
+        valid = (jnp.arange(T)[None, :] >= rf - 1).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        return jnp.sum(nll * valid) / (jnp.sum(valid) * x.shape[0])
+
+    l_ref, g_ref = jax.value_and_grad(ref_loss)(params)
+    l_sh, g_sh = jax.value_and_grad(
+        lambda p: time_sharded_loss(p, cfg, x, tgt, mesh)
+    )(params)
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
+
+
+def test_time_sharded_rejects_small_shards():
+    from pytorch_wavenet_tpu.parallel.time_sharding import time_sharded_logits
+
+    cfg = wt.get_config("tiny")
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(8, 1)
+    with pytest.raises(ValueError, match="halo"):
+        time_sharded_logits(
+            params, cfg, jnp.zeros((1, 16), jnp.int32), mesh
+        )
+    with pytest.raises(ValueError, match="divisible"):
+        time_sharded_logits(
+            params, cfg, jnp.zeros((1, 129), jnp.int32), mesh
+        )
