@@ -38,6 +38,13 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--optimizer", default="adam",
+                   choices=["adam", "sgd_normalized"],
+                   help="adam (the reference trainer's default, "
+                        "wavenet_training.py:24) or the reference's "
+                        "SGDNormalized (optimizers.py:4)")
+    p.add_argument("--momentum", type=float, default=0.0,
+                   help="sgd_normalized momentum")
     p.add_argument("--weight-decay", type=float, default=0.0)
     p.add_argument("--clip", type=float, default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -124,10 +131,18 @@ def main():
         mesh = make_mesh(args.mesh_data, args.mesh_model)
         print(f"mesh: {dict(mesh.shape)}")
 
+    optimizer = None
+    if args.optimizer == "sgd_normalized":
+        optimizer = wt.sgd_normalized(
+            lr=args.lr, momentum=args.momentum,
+            weight_decay=args.weight_decay,
+        )
+
     trainer = wt.WaveNetTrainer(
         cfg,
         params,
         data,
+        optimizer=optimizer,
         lr=args.lr,
         weight_decay=args.weight_decay,
         gradient_clipping=args.clip,
