@@ -14,6 +14,7 @@ from .models.wavenet import (
     wavenet_logits,
     forward,
     parameter_count,
+    upsample_cond,
 )
 from .models.generate import (
     GenState,

@@ -38,6 +38,13 @@ class WaveNetConfig:
     cond_channels: int = 0
     # Global conditioning (e.g. speaker embedding, WaveNet paper eq. 3)
     gcond_channels: int = 0
+    # Learnable conditioning upsampler: per-stage stride factors of a
+    # transposed-conv stack turning frame-rate cond (B, F, M) into
+    # sample-rate (B, T, M); their product must equal the feature hop
+    # (e.g. (16, 16) for hop 256). () = non-learned linear interpolation.
+    # Initialized to reproduce linear interpolation exactly, so enabling it
+    # changes nothing until training moves the weights.
+    cond_upsample: tuple[int, ...] = ()
     # TPU-specific knobs (no reference analogue):
     compute_dtype: Any = jnp.float32  # matmul input dtype (bfloat16 for perf)
     remat: bool = False  # jax.checkpoint each layer: trade FLOPs for HBM
@@ -98,6 +105,10 @@ class WaveNetConfig:
         n += self.num_layers * per_layer
         n += s * e + e  # end_conv_1 (always bias, reference: wavenet_model.py:111-114)
         n += e * c + c  # end_conv_2 (always bias, reference: wavenet_model.py:116-119)
+        if self.cond_channels and self.cond_upsample:
+            # learnable upsampler: per stage r, two (r, M, M) tap banks
+            m = self.cond_channels
+            n += sum(2 * r * m * m for r in self.cond_upsample)
         return n
 
     def to_json(self) -> str:
@@ -109,6 +120,9 @@ class WaveNetConfig:
     def from_json(cls, s: str) -> "WaveNetConfig":
         d = json.loads(s)
         d["compute_dtype"] = jnp.dtype(d["compute_dtype"])
+        # json has no tuples; the config must stay hashable for static jit args
+        if "cond_upsample" in d:
+            d["cond_upsample"] = tuple(d["cond_upsample"])
         return cls(**d)
 
 

@@ -115,7 +115,45 @@ def init_wavenet(key: jax.Array, cfg: WaveNetConfig) -> Params:
         params["layers"]["w_gcond"] = _conv_init(
             gk, (L, cfg.gcond_channels, 2 * D), cfg.gcond_channels
         )
+    if cfg.cond_channels and cfg.cond_upsample:
+        # learnable conditioning upsampler (transposed-conv stack);
+        # linear-interpolation init so the model starts bit-for-bit at the
+        # non-learned behavior (ops/mel.py upsample_frames_conv docstring)
+        from ..ops.mel import linear_init_upsampler
+
+        params["cond_up"] = {
+            k: jnp.asarray(v)
+            for k, v in linear_init_upsampler(
+                cfg.cond_upsample, cfg.cond_channels
+            ).items()
+        }
     return params
+
+
+def upsample_cond(
+    params: Params, cfg: WaveNetConfig, frames: jnp.ndarray,
+    hop_length: int, length: int,
+) -> jnp.ndarray:
+    """Frame-rate conditioning ``(..., F, M)`` -> sample-rate
+    ``(..., length, M)``, through the learnable transposed-conv stack when
+    the config enables one (``cfg.cond_upsample``), else linear
+    interpolation. The learnable path requires ``prod(cfg.cond_upsample) ==
+    hop_length`` so frame i still lands at sample ``i * hop``."""
+    from ..ops import mel
+
+    if cfg.cond_upsample and "cond_up" in params:
+        total = 1
+        for r in cfg.cond_upsample:
+            total *= r
+        if total != hop_length:
+            raise ValueError(
+                f"cond_upsample factors {cfg.cond_upsample} multiply to "
+                f"{total} but the conditioning hop is {hop_length}"
+            )
+        return mel.upsample_frames_conv(
+            params["cond_up"], frames, cfg.cond_upsample, length
+        )
+    return mel.upsample_frames(frames, hop_length, length)
 
 
 def parameter_count(params: Params) -> int:

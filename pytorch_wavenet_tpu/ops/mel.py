@@ -92,6 +92,58 @@ def upsample_frames(frames: jnp.ndarray, hop_length: int, length: int) -> jnp.nd
     return a * (1.0 - w) + b * w
 
 
+def upsample_frames_conv(
+    up_params: dict, frames: jnp.ndarray, factors: tuple[int, ...], length: int
+) -> jnp.ndarray:
+    """Learnable transposed-conv upsampling of conditioning frames
+    ``(..., F, M)`` to ``(..., length, M)``.
+
+    Each stage ``i`` with stride ``r = factors[i]`` is a two-tap learned
+    interpolation — a stride-``r`` transposed conv with kernel ``2r``, where
+    every output sample mixes exactly its two bracketing inputs:
+
+        out[..., f*r + j, :] = x[f] @ w[0, j] + x[min(f+1, F-1)] @ w[1, j]
+
+    with ``w = up_params[f"s{i}"]`` of shape ``(2, r, M, M)``. Expressed as
+    two batched (..., F, M) x (M, M) einsums per stage, so the whole
+    upsampler runs as a handful of MXU matmuls — no gather, no dynamic
+    shapes. With the linear-interpolation initialization
+    (:func:`linear_init_upsampler` weights) the stack reproduces
+    :func:`upsample_frames` exactly for any factorization, because linearly
+    interpolating an already piecewise-linear signal on a finer grid is the
+    identity refinement.
+    """
+    x = frames
+    for i, r in enumerate(factors):
+        w = up_params[f"s{i}"]  # (2, r, M, M)
+        nxt = jnp.concatenate([x[..., 1:, :], x[..., -1:, :]], axis=-2)
+        a = jnp.einsum("...fm,jmn->...fjn", x, w[0])
+        b = jnp.einsum("...fm,jmn->...fjn", nxt, w[1])
+        y = a + b  # (..., F, r, M)
+        x = y.reshape(x.shape[:-2] + (x.shape[-2] * r, x.shape[-1]))
+    if x.shape[-2] < length:
+        raise ValueError(
+            f"upsampled cond has {x.shape[-2]} rows "
+            f"({frames.shape[-2]} frames x stride {factors}) but {length} "
+            "samples were requested; provide more frames or larger factors"
+        )
+    return x[..., :length, :]
+
+
+def linear_init_upsampler(
+    factors: tuple[int, ...], channels: int, dtype=np.float32
+) -> dict:
+    """Upsampler weights that make :func:`upsample_frames_conv` reproduce
+    linear interpolation: stage ``r`` mixes ``x[f]`` with weight ``1 - j/r``
+    and ``x[f+1]`` with ``j/r`` through identity channel maps."""
+    up = {}
+    eye = np.eye(channels, dtype=dtype)
+    for i, r in enumerate(factors):
+        t = (np.arange(r, dtype=dtype) / r)[:, None, None]
+        up[f"s{i}"] = np.stack([(1.0 - t) * eye, t * eye])  # (2, r, M, M)
+    return up
+
+
 def upsample_frames_np(frames: np.ndarray, hop_length: int, length: int) -> np.ndarray:
     """Host (numpy) twin of :func:`upsample_frames` — for the input
     pipeline, where a per-batch device dispatch (~26 ms through the axon

@@ -50,6 +50,9 @@ def param_pspecs(cfg: WaveNetConfig, params: Params) -> Params:
     }
 
     def pick(path, leaf):
+        # learnable cond upsampler stages: small (2, r, M, M) banks, replicated
+        if path and path[0].key == "cond_up":
+            return P()
         node = specs
         for p in path:
             node = node[p.key]

@@ -37,11 +37,14 @@ from ..data.dataset import BatchIterator, PrefetchBatchIterator, WaveNetDataset
 from .optimizers import reference_adam
 
 
-def _expand_cond(cond, cond_hop: int | None, T: int):
+def _expand_cond(params, cfg, cond, cond_hop: int | None, T: int):
     """Mel frames -> per-sample rows inside jit. The input pipeline ships
     cond at frame resolution (B, F, M) when it can (hop_length x less
     host->device transfer — the scarce resource through the device tunnel);
-    a cond already at (B, T, M) passes through untouched."""
+    a cond already at (B, T, M) passes through untouched. When the config
+    carries a learnable upsampler (cfg.cond_upsample) the expansion runs
+    through its transposed-conv stack, so its weights train with the rest
+    of the model."""
     if cond is None or cond.shape[1] == T:
         return cond
     if cond_hop is None:
@@ -49,9 +52,9 @@ def _expand_cond(cond, cond_hop: int | None, T: int):
             f"cond has {cond.shape[1]} rows for {T} samples but no cond_hop "
             "was given to upsample it"
         )
-    from ..ops.mel import upsample_frames
+    from ..models.wavenet import upsample_cond
 
-    return upsample_frames(cond, cond_hop, T)
+    return upsample_cond(params, cfg, cond, cond_hop, T)
 
 
 def cross_entropy_loss(
@@ -62,7 +65,7 @@ def cross_entropy_loss(
     predictions (reference: wavenet_training.py:68-69). ``cond`` enables the
     mel-conditioned vocoder objective — per-sample rows (N, T, M) or frames
     (N, F, M) plus ``cond_hop``."""
-    cond = _expand_cond(cond, cond_hop, x.shape[1])
+    cond = _expand_cond(params, cfg, cond, cond_hop, x.shape[1])
     logits = wavenet_logits(params, cfg, x, cfg.output_length, cond=cond)
     losses = optax.softmax_cross_entropy_with_integer_labels(logits, target)
     return jnp.mean(losses)
@@ -88,7 +91,7 @@ def eval_step(params, cfg: WaveNetConfig, x, target, cond=None,
               cond_hop: int | None = None):
     """Loss + argmax-accuracy counts for validation
     (reference: wavenet_training.py:97-111)."""
-    cond = _expand_cond(cond, cond_hop, x.shape[1])
+    cond = _expand_cond(params, cfg, cond, cond_hop, x.shape[1])
     logits = wavenet_logits(params, cfg, x, cfg.output_length, cond=cond)
     losses = optax.softmax_cross_entropy_with_integer_labels(logits, target)
     correct = jnp.sum(jnp.argmax(logits, axis=-1) == target)

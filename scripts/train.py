@@ -34,7 +34,17 @@ def parse_args():
     p.add_argument("--dataset-file", default=None,
                    help="npz cache (default: <data-dir>/dataset.npz)")
     p.add_argument("--config", default="chaconne",
-                   help="preset name (chaconne|saber|test_small|tiny)")
+                   help="preset name (chaconne|saber|chaconne_wide|vocoder|"
+                        "test_small|tiny)")
+    p.add_argument("--n-fft", type=int, default=1024,
+                   help="mel STFT size (conditioned configs)")
+    p.add_argument("--hop-length", type=int, default=256,
+                   help="mel hop in samples (conditioned configs)")
+    p.add_argument("--cond-upsample", default=None,
+                   help="comma-separated stride factors enabling the "
+                        "learnable conditioning upsampler, e.g. 16,16 — "
+                        "their product must equal --hop-length (default: "
+                        "non-learned linear interpolation)")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--lr", type=float, default=1e-4)
@@ -71,7 +81,12 @@ def main():
     import pytorch_wavenet_tpu as wt
     from pytorch_wavenet_tpu.utils.visualize import param_summary
 
-    cfg = wt.get_config(args.config)
+    overrides = {}
+    if args.cond_upsample:
+        overrides["cond_upsample"] = tuple(
+            int(r) for r in args.cond_upsample.split(",")
+        )
+    cfg = wt.get_config(args.config, **overrides)
     params = wt.init_wavenet(jax.random.PRNGKey(args.seed), cfg)
     print(f"config: {args.config} {cfg}")
     print(f"receptive field: {cfg.receptive_field}")
@@ -79,7 +94,7 @@ def main():
     print(param_summary(params))
 
     dataset_file = args.dataset_file or os.path.join(args.data_dir, "dataset.npz")
-    data = wt.WaveNetDataset(
+    ds_kwargs = dict(
         dataset_file=dataset_file,
         item_length=cfg.item_length,
         target_length=cfg.output_length,
@@ -87,6 +102,20 @@ def main():
         classes=cfg.classes,
         test_stride=args.test_stride,
     )
+    if cfg.cond_channels:
+        # conditioned config (e.g. the vocoder preset): the dataset also
+        # computes log-mel frames per window; the jitted train step
+        # upsamples them on device (learnably when --cond-upsample is set)
+        from pytorch_wavenet_tpu.data.mel_dataset import MelWaveNetDataset
+
+        data = MelWaveNetDataset(
+            **ds_kwargs,
+            num_mels=cfg.cond_channels,
+            n_fft=args.n_fft,
+            hop_length=args.hop_length,
+        )
+    else:
+        data = wt.WaveNetDataset(**ds_kwargs)
     print(f"the dataset has {len(data)} items")
 
     snapshot_name = args.snapshot_name or f"{args.config}_model"

@@ -198,6 +198,87 @@ def test_mel_dataset_and_vocoder_training(tmp_path):
     assert np.isfinite(loss) and 0 <= acc <= 1
 
 
+def test_upsample_conv_linear_init_matches_linear():
+    """With linear-interpolation init, the learnable transposed-conv stack
+    must reproduce upsample_frames exactly — for any factorization of the
+    hop, including multi-stage (refining a piecewise-linear signal on a
+    finer grid is the identity)."""
+    from pytorch_wavenet_tpu.ops.mel import (
+        linear_init_upsampler,
+        upsample_frames_conv,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = jnp.asarray(rng.standard_normal((2, 9, 5)).astype(np.float32))
+    for factors in [(12,), (3, 4), (2, 2, 3)]:
+        up = {k: jnp.asarray(v) for k, v in
+              linear_init_upsampler(factors, 5).items()}
+        got = upsample_frames_conv(up, frames, factors, 100)
+        want = upsample_frames(frames, 12, 100)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5,
+            err_msg=f"factors={factors}",
+        )
+    # too few frames for the requested length is a hard error
+    with pytest.raises(ValueError):
+        upsample_frames_conv(up, frames, (2, 2, 3), 109)
+
+
+def test_learnable_upsampler_model_integration():
+    """cond_upsample config: params carry the stack, parameter_count
+    agrees, upsample_cond starts bit-equal to linear interpolation and
+    rejects a mismatched hop, and the config survives a JSON roundtrip."""
+    from pytorch_wavenet_tpu.config import WaveNetConfig
+
+    cfg = wt.get_config("tiny", cond_channels=6, cond_upsample=(4, 4))
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    assert "cond_up" in params
+    assert params["cond_up"]["s0"].shape == (2, 4, 6, 6)
+    assert wt.parameter_count(params) == cfg.parameter_count()
+
+    frames = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 6))
+    got = wt.upsample_cond(params, cfg, frames, hop_length=16, length=70)
+    want = upsample_frames(frames, 16, 70)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    with pytest.raises(ValueError):
+        wt.upsample_cond(params, cfg, frames, hop_length=64, length=70)
+
+    cfg2 = WaveNetConfig.from_json(cfg.to_json())
+    assert cfg2 == cfg and isinstance(cfg2.cond_upsample, tuple)
+    # hashability matters: the config is a static jit argument
+    hash(cfg2)
+
+
+def test_learnable_upsampler_trains(tmp_path):
+    """End-to-end: with cond_upsample enabled the trainer must move the
+    upsampler weights (they sit inside the jitted loss) and reduce loss."""
+    from pytorch_wavenet_tpu.data.mel_dataset import MelWaveNetDataset
+
+    cfg = wt.get_config("tiny", cond_channels=8, cond_upsample=(8, 8))
+    d = tmp_path / "audio"
+    d.mkdir()
+    t = np.arange(12000) / 16000.0
+    wav = 0.5 * np.sin(2 * np.pi * 330 * t) * np.sin(2 * np.pi * 3 * t)
+    wt.write_wav(str(d / "tone.wav"), wav, 16000)
+    ds = MelWaveNetDataset(
+        dataset_file=str(d / "ds.npz"),
+        item_length=cfg.item_length,
+        target_length=cfg.output_length,
+        file_location=str(d),
+        classes=cfg.classes,
+        test_stride=20,
+        num_mels=8,
+        n_fft=256,
+        hop_length=64,
+    )
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    before = np.asarray(params["cond_up"]["s0"]).copy()
+    trainer = wt.WaveNetTrainer(cfg, params, ds, lr=3e-3)
+    trainer.train(batch_size=4, epochs=50, max_steps=8)
+    after = np.asarray(trainer.params["cond_up"]["s0"])
+    assert np.abs(after - before).max() > 1e-6
+
+
 def test_global_conditioning():
     """Speaker-embedding-style global conditioning: affects output, is
     broadcast over time, and fast == naive under it."""
