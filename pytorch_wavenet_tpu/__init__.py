@@ -24,6 +24,7 @@ from .models.generate import (
     generate,
     generate_fast,
     generate_long,
+    synthesize,
 )
 from .models.convert import (
     load_reference_snapshot,

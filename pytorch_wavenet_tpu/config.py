@@ -201,6 +201,20 @@ PRESETS: dict[str, WaveNetConfig] = {
         output_length=4,
         bias=True,
     ),
+    # tiny mel-conditioned config: the vocoder flow (train + synthesize)
+    # at unit-test scale
+    "tiny_vocoder": WaveNetConfig(
+        layers=3,
+        blocks=2,
+        dilation_channels=8,
+        residual_channels=8,
+        skip_channels=16,
+        end_channels=16,
+        classes=32,
+        output_length=4,
+        bias=True,
+        cond_channels=8,
+    ),
 }
 
 

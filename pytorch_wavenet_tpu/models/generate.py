@@ -388,6 +388,70 @@ def generate(
     return wav, out
 
 
+def synthesize(
+    params: Params,
+    cfg: WaveNetConfig,
+    key: jax.Array,
+    mel: jnp.ndarray,
+    hop_length: int,
+    first_samples: jnp.ndarray | None = None,
+    temperature: float = 1.0,
+    regularize: float = 0.0,
+    global_cond: jnp.ndarray | None = None,
+    num_samples: int | None = None,
+    backend=None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Mel frames -> audio: the vocoder serving entry point.
+
+    ``mel`` is ``(S, F, cond_channels)`` (or ``(F, cond_channels)`` for one
+    stream) of log-mel frames at ``hop_length``-sample resolution — the
+    output of :func:`ops.mel.log_mel_spectrogram` or any acoustic model
+    emitting the same features. The frames are upsampled to per-sample
+    conditioning rows through :func:`models.wavenet.upsample_cond` (the
+    learnable transposed-conv stack when ``cfg.cond_upsample`` enables one,
+    else linear interpolation) and drive a conditioned autoregressive
+    rollout. Capability target: BASELINE config 5's mel-conditioned
+    vocoder; the unconditional reference has no analogue (its closest
+    surface is generate_fast, wavenet_model.py:237).
+
+    ``num_samples`` defaults to ``F * hop_length - num_given + 1`` so the
+    rollout consumes exactly the conditioned timeline. ``backend`` is any
+    generator with :func:`generate_fast`'s signature (e.g. the fused
+    ``ops.pallas.gen_kernel_hbm.generate_fast_batched`` for many streams) —
+    all take the same ``cond=(S, total, M)`` contract.
+
+    Returns ``(waveform (S, num_samples) float32, classes int32)``.
+    """
+    if backend is None:
+        backend = generate_fast
+    if mel.ndim == 2:
+        mel = mel[None]
+    S, F, M = mel.shape
+    if cfg.cond_channels != M:
+        raise ValueError(
+            f"mel has {M} channels but cfg.cond_channels is {cfg.cond_channels}"
+        )
+    if first_samples is None:
+        first_samples = jnp.full((S, 1), cfg.classes // 2, jnp.int32)
+    first_samples = jnp.atleast_2d(first_samples).astype(jnp.int32)
+    if first_samples.shape[0] == 1 and S > 1:
+        first_samples = jnp.broadcast_to(
+            first_samples, (S, first_samples.shape[1])
+        )
+    num_given = first_samples.shape[1]
+    if num_samples is None:
+        num_samples = F * hop_length - num_given + 1
+    total = num_given - 1 + num_samples
+    from .wavenet import upsample_cond
+
+    cond = upsample_cond(params, cfg, mel, hop_length, total)
+    return backend(
+        params, cfg, key, num_samples, first_samples,
+        temperature=temperature, regularize=regularize, cond=cond,
+        global_cond=global_cond,
+    )
+
+
 def generate_long(
     params: Params,
     cfg: WaveNetConfig,

@@ -44,6 +44,17 @@ def parse_args():
                         "item 250000, generate_script.py:19-20)")
     p.add_argument("--prime-index", type=int, default=0)
     p.add_argument("--num-samples", type=int, default=16000)
+    p.add_argument("--mel-file", default=None,
+                   help="npy of log-mel frames (F, M) or (S, F, M): run the "
+                        "conditioned vocoder over them (model must have "
+                        "cond_channels == M)")
+    p.add_argument("--vocode-wav", default=None,
+                   help="copy-synthesis: featurize this wav to log-mels and "
+                        "re-synthesize it through the vocoder")
+    p.add_argument("--hop-length", type=int, default=256,
+                   help="mel hop in samples (vocoder modes)")
+    p.add_argument("--n-fft", type=int, default=1024,
+                   help="mel STFT size (--vocode-wav)")
     p.add_argument("--num-streams", type=int, default=1)
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--regularize", type=float, default=0.0)
@@ -92,6 +103,27 @@ def main():
             np.tile(prime[None, :], (args.num_streams, 1))
         )
 
+    # vocoder modes: conditioning mel frames from a file or copy-synthesis
+    mel = None
+    if args.vocode_wav:
+        from pytorch_wavenet_tpu.data.audio_io import load_audio
+        from pytorch_wavenet_tpu.ops.mel import log_mel_spectrogram
+
+        wav_in, sr = load_audio(args.vocode_wav, sampling_rate=args.sr)
+        mel = log_mel_spectrogram(
+            wav_in, num_mels=cfg.cond_channels, n_fft=args.n_fft,
+            hop_length=args.hop_length, sampling_rate=sr,
+        )
+        print(f"copy-synthesis: {len(wav_in)} samples -> {mel.shape[0]} mel frames")
+    elif args.mel_file:
+        mel = np.load(args.mel_file).astype(np.float32)
+        print(f"mel frames: {mel.shape}")
+    if mel is not None and cfg.cond_channels == 0:
+        raise SystemExit("vocoder mode needs a conditioned model "
+                         "(cfg.cond_channels > 0)")
+    if mel is not None and mel.ndim == 2 and args.num_streams > 1:
+        mel = np.tile(mel[None], (args.num_streams, 1, 1))
+
     import time
 
     # fastest available path: fused Pallas kernels on TPU, XLA scan otherwise
@@ -99,6 +131,11 @@ def main():
     path = "XLA scan"
     if jax.devices()[0].platform != "tpu":
         reason = "not on TPU"
+    elif mel is not None and not (
+        args.num_streams % 128 == 0 and args.num_streams > 0
+    ):
+        # conditioned rollouts: HBM kernel (cond DMA) or XLA scan only
+        reason = "conditioned generation needs streams % 128 == 0 for the HBM kernel"
     elif args.num_streams % 128 == 0 and args.num_streams > 0:
         from pytorch_wavenet_tpu.ops.pallas.gen_kernel_hbm import (
             generate_fast_batched as gen,
@@ -117,10 +154,18 @@ def main():
     print(f"generation path: {path}" + (f" ({reason})" if reason else ""))
 
     t0 = time.perf_counter()
-    wav, _ = gen(
-        params, cfg, jax.random.PRNGKey(args.seed), args.num_samples,
-        first_samples, temperature=args.temperature, regularize=args.regularize,
-    )
+    if mel is not None:
+        wav, _ = wt.synthesize(
+            params, cfg, jax.random.PRNGKey(args.seed), jnp.asarray(mel),
+            args.hop_length, first_samples, temperature=args.temperature,
+            regularize=args.regularize, backend=gen,
+        )
+    else:
+        wav, _ = gen(
+            params, cfg, jax.random.PRNGKey(args.seed), args.num_samples,
+            first_samples, temperature=args.temperature,
+            regularize=args.regularize,
+        )
     wav = np.asarray(wav)
     dt = time.perf_counter() - t0
     total = wav.shape[0] * wav.shape[1]

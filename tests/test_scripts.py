@@ -63,6 +63,44 @@ def test_train_and_generate_cli(audio_dir, tmp_path):
     assert os.path.exists(out)
 
 
+def test_vocoder_cli_flow(audio_dir, tmp_path):
+    """Train the tiny conditioned preset with the learnable upsampler from
+    the CLI, then copy-synthesize a wav through the vocoder path."""
+    snaps = str(tmp_path / "snaps")
+    r = run([
+        "scripts/train.py", "--data-dir", str(audio_dir), "--config",
+        "tiny_vocoder", "--batch-size", "4", "--epochs", "1",
+        "--max-steps", "4", "--snapshot-path", snaps,
+        "--snapshot-interval", "3", "--hop-length", "64", "--n-fft", "256",
+        "--cond-upsample", "8,8", "--log-interval", "2",
+        "--validation-interval", "100000", "--generate-interval", "100000",
+        "--test-stride", "50",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert any(f.endswith(".ckpt") for f in os.listdir(snaps))
+
+    sys.path.insert(0, REPO)
+    from pytorch_wavenet_tpu.data.audio_io import write_wav
+
+    short = str(tmp_path / "short.wav")
+    t = np.arange(1500) / 16000.0
+    write_wav(short, 0.4 * np.sin(2 * np.pi * 300 * t), 16000)
+    out = str(tmp_path / "vocoded.wav")
+    r = run([
+        "scripts/generate.py", "--snapshot-path", snaps,
+        "--vocode-wav", short, "--hop-length", "64", "--n-fft", "256",
+        "--temperature", "0.5", "--out", out,
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "copy-synthesis" in r.stdout
+    assert os.path.exists(out)
+    import wave
+
+    with wave.open(out) as w:
+        # 1500 samples -> 24 mel frames at hop 64 -> 24*64 output samples
+        assert w.getnframes() == (1 + 1500 // 64) * 64
+
+
 def test_bench_cli_emits_json():
     r = run(["bench.py"], timeout=420)
     assert r.returncode == 0, r.stderr[-2000:]

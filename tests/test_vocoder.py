@@ -279,6 +279,41 @@ def test_learnable_upsampler_trains(tmp_path):
     assert np.abs(after - before).max() > 1e-6
 
 
+def test_synthesize_api():
+    """synthesize() = upsample_cond + generate_fast, exactly: the vocoder
+    serving entry must match the manual composition at temperature 0, with
+    both the linear and the learnable upsampling path."""
+    from pytorch_wavenet_tpu.ops.mel import upsample_frames
+
+    hop, F, M = 16, 6, 6
+    key = jax.random.PRNGKey(9)
+    for upsample in [(), (4, 4)]:
+        cfg = wt.get_config("tiny", cond_channels=M, cond_upsample=upsample)
+        params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+        mel = jax.random.normal(jax.random.PRNGKey(1), (2, F, M))
+        wav, cls = wt.synthesize(params, cfg, key, mel, hop, temperature=0.0)
+        total = F * hop  # default: one mid-class prime sample, num_given=1
+        assert cls.shape == (2, total)
+        assert wav.shape == (2, total)
+        cond = wt.upsample_cond(params, cfg, mel, hop, total)
+        _, want = wt.generate_fast(
+            params, cfg, key, total, temperature=0.0, cond=cond,
+            first_samples=jnp.full((2, 1), cfg.classes // 2, jnp.int32),
+        )
+        np.testing.assert_array_equal(np.asarray(cls), np.asarray(want))
+
+    # single-stream (F, M) mel and explicit num_samples both work
+    wav1, cls1 = wt.synthesize(
+        params, cfg, key, mel[0], hop, temperature=0.0, num_samples=30
+    )
+    assert cls1.shape == (1, 30)
+    np.testing.assert_array_equal(np.asarray(cls1[0]), np.asarray(cls[0, :30]))
+
+    # channel mismatch is a hard error
+    with pytest.raises(ValueError):
+        wt.synthesize(params, cfg, key, mel[..., :3], hop)
+
+
 def test_global_conditioning():
     """Speaker-embedding-style global conditioning: affects output, is
     broadcast over time, and fast == naive under it."""
