@@ -107,7 +107,8 @@ def fused_vmem_bytes(cfg: WaveNetConfig, streams: int = 1,
 
 
 def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
-                 temperature: float, regularize: float, resume: bool = False):
+                 temperature: float, regularize: float, resume: bool = False,
+                 has_cond: bool = False, has_gcond: bool = False):
     L = cfg.num_layers
     k = cfg.kernel_size
     D = cfg.dilation_channels
@@ -132,6 +133,17 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
             b_end2_ref,  # (1, C)
         ) = refs[:12]
         refs = refs[12:]
+        if has_cond:
+            # pre-projected conditioning, HBM: (total*L*Sst, 2Dp) — step t's
+            # slab is rows [t*L*Sst, (t+1)*L*Sst), layer l at offset l*Sst.
+            # The M->2D projection ran OUTSIDE the kernel as one batched
+            # MXU einsum over all steps; inside the serial loop conditioning
+            # is a DMA-prefetched add, not a per-step dot.
+            cond_ref = refs[0]
+            refs = refs[1:]
+        if has_gcond:
+            gproj_ref = refs[0]  # (L*Sst, 2D) VMEM: per-layer global add
+            refs = refs[1:]
         if resume:
             t0_ref = refs[0]           # (1, 1) int32 absolute start time
             ring_in_refs = refs[1 : 1 + L]
@@ -141,10 +153,24 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
         #                    into lanes, one (Sst, _CHUNK) row block per
         #                    chunk of steps. (A (N,1) int32 buffer would
         #                    tile to (8,128) and waste 128x VMEM.)
-        buf_refs = refs[1:]  # L ring buffers, (P_l*Sst, R) each
+        buf_refs = refs[1 : 1 + L]  # L ring buffers, (P_l*Sst, R) each
+        refs = refs[1 + L :]
+        if has_cond:
+            # scratch: double-buffered cond slab + its DMA semaphores
+            cond_vmem, cond_sems = refs  # (2*L*Sst, 2Dp) f32; (2,) DMA
 
         if temperature > 0:  # static; argmax path never consumes randomness
             pltpu.prng_seed(seed_ref[0, 0])
+
+        if has_cond:
+            def cond_dma(t, slot):
+                return pltpu.make_async_copy(
+                    cond_ref.at[pl.ds(t * L * Sst, L * Sst), :],
+                    cond_vmem.at[pl.ds(slot * L * Sst, L * Sst), :],
+                    cond_sems.at[slot],
+                )
+
+            cond_dma(0, 0).start()
         if resume:
             toff = t0_ref[0, 0]
             for b, b_in in zip(buf_refs, ring_in_refs):
@@ -172,6 +198,15 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
             h = h + b_start_ref[...]  # (Sst, R)
             skip = jnp.zeros((Sst, S), jnp.float32)
 
+            if has_cond:
+                # wait for this step's slab, prefetch the next behind it
+                cond_dma(t, t % 2).wait()
+                slot_base = (t % 2) * L * Sst
+
+                @pl.when(t + 1 < total)
+                def _prefetch():
+                    cond_dma(t + 1, (t + 1) % 2).start()
+
             ta = t + toff  # absolute time: ring slots persist across calls
             for l in range(L):  # statically unrolled
                 d, P = dil[l], periods[l]
@@ -188,6 +223,10 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                     z = z + jnp.dot(
                         tap, w_tap_ref[l, j], preferred_element_type=jnp.float32
                     )
+                if has_cond:
+                    z = z + cond_vmem[pl.ds(slot_base + l * Sst, Sst), : 2 * D]
+                if has_gcond:
+                    z = z + gproj_ref[pl.ds(l * Sst, Sst), :]
                 u = jnp.tanh(z[:, :D]) * jax.nn.sigmoid(z[:, D:])  # (Sst, D)
                 sr = (
                     jnp.dot(u, w_out_ref[l],
@@ -273,19 +312,30 @@ def generate_fast_fused(
     first_samples: jnp.ndarray | None = None,
     temperature: float = 1.0,
     regularize: float = 0.0,
+    cond: jnp.ndarray | None = None,
+    global_cond: jnp.ndarray | None = None,
     state: FusedGenState | None = None,
     return_state: bool = False,
     interpret: bool = False,
 ):
     """Fused generation for a small number of streams (VMEM-resident state).
 
-    Same contract as ``models.generate.generate_fast``: returns
-    ``(waveform (S, num_samples), classes (S, num_samples))`` — plus a
-    :class:`FusedGenState` when ``return_state`` is true. Passing that state
-    back (with ``first_samples=None``) continues the rollout without
-    re-priming: chunked streaming equals a single shot bitwise at
-    temperature 0. The stream count is bounded by VMEM (see
-    :func:`fused_vmem_bytes`); use the sharded XLA path for large batches."""
+    Same contract as ``models.generate.generate_fast``, including
+    conditioning: ``cond`` is ``(streams, total, cond_channels)`` with row t
+    conditioning step t (the vocoder path), ``global_cond`` is
+    ``(streams, gcond_channels)``. Both are pre-projected to per-layer gate
+    inputs OUTSIDE the kernel (one batched MXU einsum over every step at
+    once); the serial loop sees conditioning as a DMA-prefetched add —
+    double-buffered (L*streams, 2D) slabs from HBM for ``cond``, a
+    VMEM-resident table for ``global_cond`` — so the per-step critical path
+    gains no dots. Returns ``(waveform (S, num_samples), classes
+    (S, num_samples))`` — plus a :class:`FusedGenState` when
+    ``return_state`` is true. Passing that state back (with
+    ``first_samples=None``) continues the rollout without re-priming:
+    chunked streaming equals a single shot bitwise at temperature 0 (pass
+    the matching cond rows per chunk). The stream count is bounded by VMEM
+    (see :func:`fused_vmem_bytes`); use the sharded XLA path or the HBM
+    kernel for large batches."""
     resume = state is not None
     if resume:
         if first_samples is not None:
@@ -307,6 +357,15 @@ def generate_fast_fused(
             _tiled_bytes(((cfg.kernel_size - 1) * d + 1) * streams,
                          cfg.residual_channels)
             for d in cfg.dilations
+        )
+    if cond is not None:  # double-buffered pre-projected cond slabs
+        need += _tiled_bytes(
+            2 * cfg.num_layers * streams,
+            -(-2 * cfg.dilation_channels // 128) * 128,
+        )
+    if global_cond is not None:
+        need += _tiled_bytes(
+            cfg.num_layers * streams, 2 * cfg.dilation_channels
         )
     if need > _VMEM_BUDGET_BYTES:
         raise ValueError(
@@ -339,6 +398,39 @@ def generate_fast_fused(
     # sublane-major prime: step t's classes are rows [t*S : (t+1)*S]
     prime_col = first_samples.T.reshape(num_given * streams, 1)
 
+    cond_args, cond_specs, cond_scratch = [], [], []
+    if cond is not None:
+        if cfg.cond_channels == 0:
+            raise ValueError("cond given but cfg.cond_channels == 0")
+        if cond.shape != (streams, total, cfg.cond_channels):
+            raise ValueError(
+                f"cond shape {cond.shape} != (streams, num_given-1+"
+                f"num_samples, cond_channels) = "
+                f"{(streams, total, cfg.cond_channels)}"
+            )
+        # project every step's cond rows through every layer's w_cond in one
+        # batched matmul; row (t*L + l)*Sst + s of the result is step t,
+        # layer l, stream s. Lane-pad 2D to a 128 multiple: HBM DMA slices
+        # need full-tile lane widths.
+        proj = jnp.einsum(
+            "stm,lmd->tlsd", cond.astype(f32), lp["w_cond"].astype(f32)
+        ).reshape(total * L * streams, 2 * D)
+        Dp = -(-2 * D // 128) * 128
+        cond_args.append(jnp.pad(proj, ((0, 0), (0, Dp - 2 * D))))
+        cond_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # stays in HBM
+        cond_scratch = [
+            pltpu.VMEM((2 * L * streams, Dp), f32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    if global_cond is not None:
+        if cfg.gcond_channels == 0:
+            raise ValueError("global_cond given but cfg.gcond_channels == 0")
+        gproj = jnp.einsum(
+            "sg,lgd->lsd", global_cond.astype(f32), lp["w_gcond"].astype(f32)
+        ).reshape(L * streams, 2 * D)
+        cond_args.append(gproj)
+        cond_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
     args = [
         jax.random.randint(key, (1, 1), 0, np.iinfo(np.int32).max, jnp.int32),
         prime_col,
@@ -353,19 +445,26 @@ def generate_fast_fused(
         params["end2"]["w"].astype(f32),
         params["end2"]["b"].reshape(1, C).astype(f32),
     ]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args)
+    args.extend(cond_args)
+    in_specs.extend(cond_specs)
     kernel, periods = _make_kernel(
         cfg, streams, num_given, total, float(temperature), float(regularize),
-        resume=resume,
+        resume=resume, has_cond=cond is not None,
+        has_gcond=global_cond is not None,
     )
     if resume:
         args.append(state.t.astype(jnp.int32).reshape(1, 1))
         args.extend(r.astype(f32) for r in state.rings)
+        in_specs.extend(
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + len(periods))
+        )
 
     n_chunks = -(-total // _CHUNK)
     out, *rings_out = pl.pallas_call(
         kernel,
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args),
+        in_specs=in_specs,
         out_specs=tuple(
             [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + len(periods))
         ),
@@ -373,6 +472,7 @@ def generate_fast_fused(
             [jax.ShapeDtypeStruct((n_chunks * streams, _CHUNK), jnp.int32)]
             + [jax.ShapeDtypeStruct((P * streams, R), f32) for P in periods]
         ),
+        scratch_shapes=cond_scratch,
         interpret=interpret,
     )(*args)
 

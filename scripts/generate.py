@@ -131,11 +131,6 @@ def main():
     path = "XLA scan"
     if jax.devices()[0].platform != "tpu":
         reason = "not on TPU"
-    elif mel is not None and not (
-        args.num_streams % 128 == 0 and args.num_streams > 0
-    ):
-        # conditioned rollouts: HBM kernel (cond DMA) or XLA scan only
-        reason = "conditioned generation needs streams % 128 == 0 for the HBM kernel"
     elif args.num_streams % 128 == 0 and args.num_streams > 0:
         from pytorch_wavenet_tpu.ops.pallas.gen_kernel_hbm import (
             generate_fast_batched as gen,
