@@ -60,7 +60,7 @@ class HbmGenState(NamedTuple):
 
 def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                  temperature: float, regularize: float, cond_rows: int = 0,
-                 resume: bool = False):
+                 has_gcond: bool = False, resume: bool = False):
     L = cfg.num_layers
     D = cfg.dilation_channels
     S = cfg.skip_channels
@@ -99,6 +99,11 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
             # cond_ref rows [t*Mp, (t+1)*Mp) are step t's (Mp, NS) slab
             cond_ref, w_cond_ref = refs[:2]  # HBM (total*Mp, NS); (L, 2D, Mp)
             refs = refs[2:]
+        if has_gcond:
+            # per-layer global-conditioning adds, pre-projected on host:
+            # rows [l*2D, (l+1)*2D) are layer l's (2D, NS) gate offsets
+            gproj_ref = refs[0]  # (L*2D, NS) f32, VMEM
+            refs = refs[1:]
         if resume:
             # (1,1) int32 absolute start time; the ring input itself is
             # aliased onto the ring output buffer and never read directly
@@ -215,6 +220,8 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                 z = mm(w_cur_ref[l], h) + b_in_ref[l]
                 if Mp:
                     z = z + mm(w_cond_ref[l], cond_cur)
+                if has_gcond:
+                    z = z + gproj_ref[pl.ds(l * 2 * D, 2 * D), :]
 
                 for j in range(nt):
                     m = (nt - j) * d  # this tap's lookback
@@ -309,6 +316,7 @@ def generate_fast_batched(
     temperature: float = 1.0,
     regularize: float = 0.0,
     cond: jnp.ndarray | None = None,
+    global_cond: jnp.ndarray | None = None,
     state: HbmGenState | None = None,
     return_state: bool = False,
     interpret: bool = False,
@@ -318,6 +326,10 @@ def generate_fast_batched(
     ``cond`` is ``(streams, total, cond_channels)`` with row t conditioning
     step t (the vocoder path — per step one (M, NS) slab is DMAed in,
     double-buffered, and applied as a third K=M matmul per layer).
+    ``global_cond`` ``(streams, gcond_channels)`` is constant per stream, so
+    it is pre-projected on host to a per-layer (2D, NS) add table that
+    stays VMEM-resident — zero per-step cost (VMEM: L*2D*NS*4 bytes;
+    at very high stream counts prefer folding speaker identity into cond).
 
     Streaming: with ``return_state`` the call also returns an
     :class:`HbmGenState`; passing it back (``first_samples=None``)
@@ -419,6 +431,21 @@ def generate_fast_batched(
         args.append(jnp.pad(w_cond, ((0, 0), (0, 0), (0, Mp - M))))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
+    if global_cond is not None:
+        if cfg.gcond_channels == 0:
+            raise ValueError("global_cond given but cfg.gcond_channels == 0")
+        if global_cond.shape != (streams, cfg.gcond_channels):
+            raise ValueError(
+                f"global_cond shape {global_cond.shape} != "
+                f"{(streams, cfg.gcond_channels)}"
+            )
+        # channels-first per-layer add table: rows [l*2D, (l+1)*2D)
+        gproj = jnp.einsum(
+            "sg,lgd->lds", global_cond.astype(f32), lp["w_gcond"].astype(f32)
+        ).reshape(L * 2 * D, streams)
+        args.append(gproj)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
     io_aliases = {}
     if resume:
         args.append(state.t.astype(jnp.int32).reshape(1, 1))
@@ -431,7 +458,7 @@ def generate_fast_batched(
 
     kernel, periods = _make_kernel(
         cfg, streams, num_given, total, float(temperature), float(regularize),
-        cond_rows=Mp, resume=resume,
+        cond_rows=Mp, has_gcond=global_cond is not None, resume=resume,
     )
     n_chunks = -(-total // _CHUNK)
 

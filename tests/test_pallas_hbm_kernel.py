@@ -215,3 +215,34 @@ def test_batched_streaming_conditioned(tiny):
         np.concatenate([np.asarray(cb1), np.asarray(cb2)], axis=1),
         np.asarray(ca),
     )
+
+
+def test_batched_global_cond_matches_xla(tiny):
+    """Global (speaker) conditioning: the VMEM-resident pre-projected add
+    table must reproduce the XLA rollout, alone and combined with local
+    conditioning."""
+    cfg = wt.get_config("tiny", cond_channels=6, gcond_channels=4)
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    rf = cfg.receptive_field
+    n = 32
+    prime = jax.random.randint(jax.random.PRNGKey(2), (4, rf), 0, cfg.classes)
+    g = jax.random.normal(jax.random.PRNGKey(3), (4, 4))
+    k = jax.random.PRNGKey(4)
+    _, cb = generate_fast_batched(params, cfg, k, n, prime, temperature=0.0,
+                                  global_cond=g, interpret=True)
+    _, cx = wt.generate_fast(params, cfg, k, n, prime, temperature=0.0,
+                             global_cond=g)
+    np.testing.assert_array_equal(np.asarray(cb), np.asarray(cx))
+
+    cond = 0.5 * jax.random.normal(jax.random.PRNGKey(5), (4, rf - 1 + n, 6))
+    _, bb = generate_fast_batched(params, cfg, k, n, prime, temperature=0.0,
+                                  cond=cond, global_cond=g, interpret=True)
+    _, bx = wt.generate_fast(params, cfg, k, n, prime, temperature=0.0,
+                             cond=cond, global_cond=g)
+    np.testing.assert_array_equal(np.asarray(bb), np.asarray(bx))
+    assert not np.array_equal(np.asarray(bb), np.asarray(cb))
+
+    with pytest.raises(ValueError, match="gcond_channels == 0"):
+        cfg0, params0 = tiny
+        generate_fast_batched(params0, cfg0, k, 8, prime[:, :1],
+                              global_cond=g, interpret=True)
