@@ -47,6 +47,12 @@ class WaveNetConfig:
     cond_upsample: tuple[int, ...] = ()
     # TPU-specific knobs (no reference analogue):
     compute_dtype: Any = jnp.float32  # matmul input dtype (bfloat16 for perf)
+    # Residual-stream storage dtype in the training trunk. The serial
+    # per-layer chain is HBM-bandwidth-bound at chaconne widths (K=32-64
+    # matmuls, ~16 FLOPs/byte); storing the inter-layer stream in bfloat16
+    # halves that traffic. Accumulation stays f32 (matmuls accumulate in
+    # f32; the residual add runs f32 then rounds once per layer).
+    stream_dtype: Any = jnp.float32
     remat: bool = False  # jax.checkpoint each layer: trade FLOPs for HBM
     # when training long output windows on deep stacks
     # Skip-path fusion: collect every layer's gated activations and apply all
@@ -114,12 +120,16 @@ class WaveNetConfig:
     def to_json(self) -> str:
         d = dataclasses.asdict(self)
         d["compute_dtype"] = jnp.dtype(self.compute_dtype).name
+        d["stream_dtype"] = jnp.dtype(self.stream_dtype).name
         return json.dumps(d)
 
     @classmethod
     def from_json(cls, s: str) -> "WaveNetConfig":
         d = json.loads(s)
         d["compute_dtype"] = jnp.dtype(d["compute_dtype"])
+        # older snapshots predate the stream_dtype knob
+        if "stream_dtype" in d:
+            d["stream_dtype"] = jnp.dtype(d["stream_dtype"])
         # json has no tuples; the config must stay hashable for static jit args
         if "cond_upsample" in d:
             d["cond_upsample"] = tuple(d["cond_upsample"])

@@ -229,7 +229,13 @@ def wavenet_logits(
                 f"({x.shape[0]}, {x.shape[1]}, {cfg.cond_channels})"
             )
 
-    h = embed_inputs(params, cfg, x)  # (N, T, R)
+    # The residual stream is stored in cfg.stream_dtype between layers
+    # (bfloat16 halves the serial chain's HBM traffic — the trunk is
+    # bandwidth-bound at chaconne widths); every matmul still accumulates
+    # in f32 and the residual add runs f32 before rounding once per layer.
+    # f32 (the default) is bitwise-identical to the pre-knob behavior.
+    sdt = cfg.stream_dtype
+    h = embed_inputs(params, cfg, x).astype(sdt)  # (N, T, R)
     N, T, R = h.shape
 
     lp = params["layers"]
@@ -288,7 +294,7 @@ def wavenet_logits(
             r = _mm(u, lp["w_res"][l], cdt)
             if "b_res" in lp:
                 r = r + lp["b_res"][l]
-            return r + h, s
+            return (r + h).astype(sdt), s
 
         # remat: recompute the layer in the backward pass instead of saving
         # its activations — HBM for FLOPs when training long output windows

@@ -169,3 +169,26 @@ def test_output_independent_of_extra_history(tiny):
     np.testing.assert_allclose(
         np.asarray(y_full), np.asarray(y_win), atol=2e-3
     )
+
+
+def test_bf16_residual_stream():
+    """cfg.stream_dtype=bfloat16: logits stay within bf16 rounding of the
+    f32 trunk, the config roundtrips, and f32 remains the exact default."""
+    import jax.numpy as jnp
+    from pytorch_wavenet_tpu.config import WaveNetConfig
+
+    cfg = wt.get_config("tiny")
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    x = jax.random.randint(jax.random.PRNGKey(1), (2, cfg.item_length), 0,
+                           cfg.classes)
+    y32 = np.asarray(wt.wavenet_logits(params, cfg, x))
+    cfg16 = wt.get_config("tiny", stream_dtype=jnp.bfloat16)
+    y16 = np.asarray(wt.wavenet_logits(params, cfg16, x))
+    assert y16.dtype == np.float32  # head stays f32
+    # bf16 has ~3 decimal digits; logits are O(1) at init
+    np.testing.assert_allclose(y16, y32, atol=0.15, rtol=0.05)
+    assert np.abs(y16 - y32).max() > 0  # the knob actually engaged
+
+    cfg2 = WaveNetConfig.from_json(cfg16.to_json())
+    assert cfg2 == cfg16 and cfg2.stream_dtype == jnp.bfloat16
+    hash(cfg2)
