@@ -53,14 +53,15 @@ class HbmGenState(NamedTuple):
     absolute time cursor, and the next input class per stream. Chunked
     streaming equals a single shot bitwise at temperature 0."""
 
-    ring: jnp.ndarray     # (sum(P_l) * R, streams) f32
+    ring: jnp.ndarray     # (sum(P_l) * R, streams), ring_dtype (f32 default)
     t: jnp.ndarray        # () int32 — absolute steps completed
     cls: jnp.ndarray      # (streams,) int32 — next input class
 
 
 def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                  temperature: float, regularize: float, cond_rows: int = 0,
-                 has_gcond: bool = False, resume: bool = False):
+                 has_gcond: bool = False, resume: bool = False,
+                 ring_dtype=jnp.float32):
     L = cfg.num_layers
     D = cfg.dilation_channels
     S = cfg.skip_channels
@@ -111,10 +112,11 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
             refs = refs[2:]
         (
             out_ref,      # (n_chunks*_CHUNK, NS) int32, ANY/HBM
-            ring_ref,     # (sum(P_l)*R, NS) f32, ANY/HBM — queue state
+            ring_ref,     # (sum(P_l)*R, NS) ring_dtype, ANY/HBM — queue state
             # scratch:
-            tap_vmem,     # (L*nt*R, NS) f32 — this step's taps
-            h_vmem,       # (L*R, NS) f32 — this step's activations (DMA source)
+            tap_vmem,     # (L*nt*R, NS) ring_dtype — this step's taps
+            h_vmem,       # (L*R, NS) ring_dtype — this step's activations
+                          # (DMA source)
             acc_vmem,     # (_CHUNK, NS) i32 — output row accumulator
             prime_vmem,   # (_CHUNK, NS) i32 — current prime chunk
             tap_sems,     # (L*nt,) DMA
@@ -213,8 +215,9 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                 d = dil[l]
                 # stage h and start the ring write; all writes are awaited
                 # at the end of the step, before any slot can be re-read
-                # (minimum lookback is 1 step)
-                h_vmem[pl.ds(l * R, R), :] = h
+                # (minimum lookback is 1 step). With bf16 rings the staged
+                # copy rounds once here; in-register h stays f32 this step.
+                h_vmem[pl.ds(l * R, R), :] = h.astype(ring_dtype)
                 write_dma(l, ta).start()
 
                 z = mm(w_cur_ref[l], h) + b_in_ref[l]
@@ -230,7 +233,7 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                     def _(l=l, j=j):
                         tap_dma(l, j, ta).wait()
                     tap = tap_vmem[pl.ds((l * nt + j) * R, R), :]
-                    zt = z + mm(w_old_ref[l, j], tap)
+                    zt = z + mm(w_old_ref[l, j], tap.astype(jnp.float32))
                     z = jnp.where(ta >= m, zt, z)
 
                 u = jnp.tanh(z[:D, :]) * jax.nn.sigmoid(z[D:, :])  # (D, NS)
@@ -305,7 +308,7 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
 @partial(
     jax.jit,
     static_argnames=("cfg", "num_samples", "temperature", "regularize",
-                     "return_state", "interpret"),
+                     "return_state", "interpret", "ring_dtype"),
 )
 def generate_fast_batched(
     params: Params,
@@ -320,6 +323,7 @@ def generate_fast_batched(
     state: HbmGenState | None = None,
     return_state: bool = False,
     interpret: bool = False,
+    ring_dtype=jnp.float32,
 ):
     """Batched fused generation with HBM queue state. Same contract as
     ``models.generate.generate_fast``, including local conditioning:
@@ -339,7 +343,15 @@ def generate_fast_batched(
 
     Requirement: the stream count a multiple of 128 (lane alignment of the
     HBM DMAs). Any kernel_size works — each of the k-1 lookback taps gets
-    its own DMA slot and K=R matmul."""
+    its own DMA slot and K=R matmul.
+
+    ``ring_dtype=jnp.bfloat16`` stores the ring buffers and the tap/
+    activation staging in bf16: halves the per-step DMA traffic and the
+    VMEM staging footprint (the VMEM ceiling on stream count), at one
+    rounding of the residual stream per layer per step. Matmuls still
+    accumulate in f32. Needs residual_channels % 16 == 0 on hardware
+    (bf16 sublane tile); rollouts are no longer bitwise vs the f32-ring
+    kernel but stay within bf16 rounding at the logits level."""
     resume = state is not None
     if resume:
         if first_samples is not None:
@@ -357,6 +369,12 @@ def generate_fast_batched(
             f"stream count {streams} must be a multiple of 128; use the "
             "VMEM kernel (generate_fast_fused) or the XLA path for smaller "
             "batches"
+        )
+    rdt = jnp.dtype(ring_dtype)
+    if rdt.itemsize == 2 and cfg.residual_channels % 16 != 0 and not interpret:
+        raise ValueError(
+            f"ring_dtype {rdt.name} needs residual_channels % 16 == 0 "
+            f"(sublane tile of 2-byte types), got {cfg.residual_channels}"
         )
     total = num_given - 1 + num_samples
 
@@ -453,19 +471,20 @@ def generate_fast_batched(
         # ring input aliased onto ring output (output index 1): the state
         # stays in place in HBM, no copy at chunk boundaries
         io_aliases[len(args)] = 1
-        args.append(state.ring.astype(f32))
+        args.append(state.ring.astype(rdt))
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
 
     kernel, periods = _make_kernel(
         cfg, streams, num_given, total, float(temperature), float(regularize),
         cond_rows=Mp, has_gcond=global_cond is not None, resume=resume,
+        ring_dtype=rdt,
     )
     n_chunks = -(-total // _CHUNK)
 
     nt = k_sz - 1
     scratch_shapes = [
-        pltpu.VMEM((L * nt * R, streams), f32),
-        pltpu.VMEM((L * R, streams), f32),
+        pltpu.VMEM((L * nt * R, streams), rdt),
+        pltpu.VMEM((L * R, streams), rdt),
         pltpu.VMEM((_CHUNK, streams), jnp.int32),
         pltpu.VMEM((_CHUNK, streams), jnp.int32),
         pltpu.SemaphoreType.DMA((L * nt,)),
@@ -486,7 +505,7 @@ def generate_fast_batched(
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_chunks * _CHUNK, streams), jnp.int32),
-            jax.ShapeDtypeStruct((sum(periods) * R, streams), f32),
+            jax.ShapeDtypeStruct((sum(periods) * R, streams), rdt),
         ),
         scratch_shapes=scratch_shapes,
         input_output_aliases=io_aliases,

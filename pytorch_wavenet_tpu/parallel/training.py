@@ -73,6 +73,7 @@ def data_parallel_batch_iterator(it, mesh: Mesh):
 def sharded_generate_fast_batched(
     params, cfg, mesh: Mesh, key, num_samples, first_samples,
     temperature: float = 1.0, regularize: float = 0.0, interpret: bool = False,
+    ring_dtype=None,
 ):
     """Pod-scale generation: every chip runs the fused HBM-ring kernel
     (ops/pallas/gen_kernel_hbm) on its shard of the streams via shard_map —
@@ -99,10 +100,11 @@ def sharded_generate_fast_batched(
 
     def per_chip(key, prime_shard):
         shard_key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+        extra = {} if ring_dtype is None else {"ring_dtype": ring_dtype}
         wav, cls = generate_fast_batched(
             params, cfg, shard_key, num_samples, prime_shard,
             temperature=temperature, regularize=regularize,
-            interpret=interpret,
+            interpret=interpret, **extra,
         )
         return wav, cls
 

@@ -124,25 +124,31 @@ def main():
             generate_fast_batched,
         )
 
-        for S in (128, 256, 1024):
+        sweep = [(128, jnp.float32), (256, jnp.float32), (1024, jnp.float32)]
+        if cfg.residual_channels % 16 == 0:
+            # bf16 rings halve DMA traffic and the VMEM staging that caps S
+            sweep += [(1024, jnp.bfloat16), (2048, jnp.bfloat16)]
+        for S, rdt in sweep:
             primeS = jnp.tile(prime, (S, 1))
             nS = max(2048, n // 4)
+            tag = "" if rdt == jnp.float32 else " bf16-ring"
 
             def gen_hbm():
                 wav, _ = generate_fast_batched(
                     params, cfg, jax.random.PRNGKey(6), nS, primeS,
-                    temperature=1.0,
+                    temperature=1.0, ring_dtype=rdt,
                 )
                 np.asarray(wav)
 
             try:
                 dt = timed(gen_hbm, reps=2)
             except Exception as e:  # e.g. VMEM staging overflow at high S
-                print(f"gen fused-HBM {S}-stream: skipped ({type(e).__name__})")
+                print(f"gen fused-HBM {S}-stream{tag}: skipped "
+                      f"({type(e).__name__})")
                 continue
             agg = S * nS / dt
-            print(f"gen fused-HBM {S}-stream: {agg:,.0f} samples/s aggregate "
-                  f"({agg/16000:.0f}x realtime, "
+            print(f"gen fused-HBM {S}-stream{tag}: {agg:,.0f} samples/s "
+                  f"aggregate ({agg/16000:.0f}x realtime, "
                   f"{dt*1e6/(nS+cfg.receptive_field):.1f} us/step)")
 
     # ---------------- host pipeline

@@ -56,6 +56,10 @@ def parse_args():
     p.add_argument("--n-fft", type=int, default=1024,
                    help="mel STFT size (--vocode-wav)")
     p.add_argument("--num-streams", type=int, default=1)
+    p.add_argument("--bf16-rings", action="store_true",
+                   help="store the HBM generation ring buffers in bfloat16 "
+                        "(halves DMA traffic / VMEM staging; needs "
+                        "residual_channels %% 16 == 0)")
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--regularize", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=0)
@@ -132,10 +136,17 @@ def main():
     if jax.devices()[0].platform != "tpu":
         reason = "not on TPU"
     elif args.num_streams % 128 == 0 and args.num_streams > 0:
+        from functools import partial
+
         from pytorch_wavenet_tpu.ops.pallas.gen_kernel_hbm import (
-            generate_fast_batched as gen,
+            generate_fast_batched,
         )
+
+        gen = generate_fast_batched
         path, reason = "fused HBM kernel", None
+        if args.bf16_rings:
+            gen = partial(generate_fast_batched, ring_dtype=jnp.bfloat16)
+            path += " (bf16 rings)"
     elif args.num_streams <= 4:
         from pytorch_wavenet_tpu.ops.pallas.gen_kernel import (
             generate_fast_fused as gen,

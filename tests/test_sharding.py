@@ -175,6 +175,14 @@ def test_shard_map_batched_generation(setup):
             params, cfg, mesh, k, 4, prime[:3], temperature=0.0, interpret=True
         )
 
+    # bf16 rings thread through shard_map; tiny-scale rollouts stay close
+    # to the f32 rollout (bf16 rounds the residual stream once per layer)
+    _, o16 = sharded_generate_fast_batched(
+        params, cfg, mesh, k, 16, prime, temperature=0.0, interpret=True,
+        ring_dtype=jnp.bfloat16,
+    )
+    assert (np.asarray(o16) == np.asarray(ref)).mean() >= 0.9
+
 
 def test_sharded_conditioned_vocoder_training():
     """Model-parallel training of a conditioned model: the conditioning
