@@ -25,6 +25,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -45,6 +46,11 @@ def parse_args():
                         "learnable conditioning upsampler, e.g. 16,16 — "
                         "their product must equal --hop-length (default: "
                         "non-learned linear interpolation)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 matmul inputs + residual-stream storage "
+                        "in the training trunk (cfg.compute_dtype / "
+                        "cfg.stream_dtype); ~3%% faster at chaconne widths, "
+                        "accumulation stays f32")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--lr", type=float, default=1e-4)
@@ -86,6 +92,9 @@ def main():
         overrides["cond_upsample"] = tuple(
             int(r) for r in args.cond_upsample.split(",")
         )
+    if args.bf16:
+        overrides["compute_dtype"] = jnp.bfloat16
+        overrides["stream_dtype"] = jnp.bfloat16
     cfg = wt.get_config(args.config, **overrides)
     params = wt.init_wavenet(jax.random.PRNGKey(args.seed), cfg)
     print(f"config: {args.config} {cfg}")

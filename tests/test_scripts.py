@@ -108,3 +108,43 @@ def test_bench_cli_emits_json():
     blob = json.loads(line)
     assert {"metric", "value", "unit", "vs_baseline"} <= set(blob)
     assert blob["value"] > 0
+
+
+def test_make_demo_data_cli(tmp_path):
+    out = str(tmp_path / "demo")
+    r = run([
+        "scripts/make_demo_data.py", "--out", out, "--minutes", "0.05",
+        "--files", "2",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    import wave
+
+    files = sorted(os.listdir(out))
+    assert files == ["demo_0.wav", "demo_1.wav"]
+    frames = 0
+    for f in files:
+        with wave.open(os.path.join(out, f)) as w:
+            assert w.getframerate() == 16000
+            frames += w.getnframes()
+    assert frames == int(0.05 * 60 * 16000)
+    # deterministic: same seed -> same bytes
+    out2 = str(tmp_path / "demo2")
+    run(["scripts/make_demo_data.py", "--out", out2, "--minutes", "0.05",
+         "--files", "2"])
+    with open(os.path.join(out, "demo_0.wav"), "rb") as a, \
+         open(os.path.join(out2, "demo_0.wav"), "rb") as b:
+        assert a.read() == b.read()
+
+
+def test_train_cli_bf16(audio_dir, tmp_path):
+    snaps = str(tmp_path / "snaps16")
+    r = run([
+        "scripts/train.py", "--data-dir", str(audio_dir), "--config", "tiny",
+        "--bf16", "--batch-size", "2", "--epochs", "1", "--max-steps", "3",
+        "--snapshot-path", snaps, "--snapshot-interval", "2",
+        "--log-interval", "1", "--validation-interval", "100000",
+        "--generate-interval", "100000", "--test-stride", "50",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "bfloat16" in r.stdout  # cfg repr shows the dtype override
+    assert "loss at step 1" in r.stdout
