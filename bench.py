@@ -30,7 +30,16 @@ def main():
     from pytorch_wavenet_tpu.ops.pallas.gen_kernel import generate_fast_fused
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    gen = generate_fast_fused if on_tpu else wt.generate_fast
+    if on_tpu:
+        # fuse_res pre-multiplies each layer's residual 1x1 into the next
+        # layer's gate weights so the serial chain is one dot per layer —
+        # mathematically identical rollout, ~1.5x lower step latency
+        # (docs/PERF.md "serial chain" notes).
+        from functools import partial
+
+        gen = partial(generate_fast_fused, fuse_res=True)
+    else:
+        gen = wt.generate_fast
 
     # reference: profiling.ipynb cell 1 — 10 layers x 4 blocks, 32ch, out 64
     cfg = wt.get_config("saber")

@@ -108,7 +108,8 @@ def fused_vmem_bytes(cfg: WaveNetConfig, streams: int = 1,
 
 def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                  temperature: float, regularize: float, resume: bool = False,
-                 has_cond: bool = False, has_gcond: bool = False):
+                 has_cond: bool = False, has_gcond: bool = False,
+                 fuse_res: bool = False):
     L = cfg.num_layers
     k = cfg.kernel_size
     D = cfg.dilation_channels
@@ -133,6 +134,12 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
             b_end2_ref,  # (1, C)
         ) = refs[:12]
         refs = refs[12:]
+        if fuse_res:
+            # pre-multiplied chain weights (see generate_fast_fused):
+            # wf[l] = w_res[l] @ w_cur[l+1], bf[l] = b_res[l] @ w_cur[l+1]
+            # + b_in[l+1]
+            wf_ref, bf_ref = refs[:2]  # (L-1, D, 2D); (L-1, 2D)
+            refs = refs[2:]
         if has_cond:
             # pre-projected conditioning, HBM: (total*L*Sst, 2Dp) — step t's
             # slab is rows [t*L*Sst, (t+1)*L*Sst), layer l at offset l*Sst.
@@ -208,36 +215,97 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                     cond_dma(t + 1, (t + 1) % 2).start()
 
             ta = t + toff  # absolute time: ring slots persist across calls
-            for l in range(L):  # statically unrolled
-                d, P = dil[l], periods[l]
-                buf = buf_refs[l]
-                # k taps: current h plus k-1 ring reads at row block
-                # ((ta - (k-1-j)*d) mod P) * Sst (reference dequeue,
-                # wavenet_modules.py:59-72)
-                z = jnp.dot(
-                    h, w_tap_ref[l, k - 1], preferred_element_type=jnp.float32
-                ) + b_in_ref[pl.ds(l, 1), :]
-                for j in range(k - 1):
-                    ridx = (ta - (k - 1 - j) * d) % P
-                    tap = buf[pl.ds(ridx * Sst, Sst), :]
-                    z = z + jnp.dot(
-                        tap, w_tap_ref[l, j], preferred_element_type=jnp.float32
+
+            # Ring-tap dots for EVERY layer depend only on previous steps'
+            # state (a tap's slot (ta - m*d) mod P never equals this step's
+            # write slot ta mod P for 0 < m*d < P), so they are hoisted off
+            # the serial layer chain here and can overlap it. The adds below
+            # keep the original order, so logits stay bitwise identical.
+            tap_dots = [
+                [
+                    jnp.dot(
+                        buf_refs[l][
+                            pl.ds(
+                                ((ta - (k - 1 - j) * dil[l]) % periods[l])
+                                * Sst,
+                                Sst,
+                            ),
+                            :,
+                        ],
+                        w_tap_ref[l, j],
+                        preferred_element_type=jnp.float32,
                     )
+                    for j in range(k - 1)
+                ]
+                for l in range(L)
+            ]
+
+            def z_extras(l, z):
+                """State-only additions for layer l: hoisted tap dots plus
+                conditioning — none depend on the current activation."""
+                for j in range(k - 1):
+                    z = z + tap_dots[l][j]
                 if has_cond:
                     z = z + cond_vmem[pl.ds(slot_base + l * Sst, Sst), : 2 * D]
                 if has_gcond:
                     z = z + gproj_ref[pl.ds(l * Sst, Sst), :]
-                u = jnp.tanh(z[:, :D]) * jax.nn.sigmoid(z[:, D:])  # (Sst, D)
-                sr = (
-                    jnp.dot(u, w_out_ref[l],
+                return z
+
+            if not fuse_res:
+                for l in range(L):  # statically unrolled
+                    buf = buf_refs[l]
+                    # k taps: current h plus k-1 hoisted ring-tap dots
+                    # (reference dequeue, wavenet_modules.py:59-72)
+                    z = jnp.dot(
+                        h, w_tap_ref[l, k - 1],
+                        preferred_element_type=jnp.float32,
+                    ) + b_in_ref[pl.ds(l, 1), :]
+                    z = z_extras(l, z)
+                    u = jnp.tanh(z[:, :D]) * jax.nn.sigmoid(z[:, D:])
+                    sr = (
+                        jnp.dot(u, w_out_ref[l],
+                                preferred_element_type=jnp.float32)
+                        + b_out_ref[pl.ds(l, 1), :]
+                    )  # (Sst, S+R)
+                    skip = skip + sr[:, :S]
+                    # ring write after the reads (reference enqueue,
+                    # wavenet_modules.py:55-57)
+                    buf[pl.ds((ta % periods[l]) * Sst, Sst), :] = h
+                    h = h + sr[:, S:]
+            else:
+                # fuse_res: the serial chain is one dot per layer —
+                # z[l+1] = (h[l] @ w_cur[l+1] + bf[l] + extras[l+1])
+                #          + u[l] @ wf[l]
+                # with wf[l] = w_res[l] @ w_cur[l+1] pre-multiplied on host.
+                # The h-dependent "pre" term and the residual/skip updates
+                # have a full layer of slack, so only act -> dot(wf) chains.
+                z = z_extras(
+                    0,
+                    jnp.dot(h, w_tap_ref[0, k - 1],
                             preferred_element_type=jnp.float32)
-                    + b_out_ref[pl.ds(l, 1), :]
-                )  # (Sst, S+R)
-                skip = skip + sr[:, :S]
-                # ring write after the reads (reference enqueue,
-                # wavenet_modules.py:55-57)
-                buf[pl.ds((ta % P) * Sst, Sst), :] = h
-                h = h + sr[:, S:]
+                    + b_in_ref[pl.ds(0, 1), :],
+                )
+                for l in range(L):
+                    buf_refs[l][pl.ds((ta % periods[l]) * Sst, Sst), :] = h
+                    if l + 1 < L:
+                        pre = (
+                            jnp.dot(h, w_tap_ref[l + 1, k - 1],
+                                    preferred_element_type=jnp.float32)
+                            + bf_ref[pl.ds(l, 1), :]
+                        )
+                        pre = z_extras(l + 1, pre)
+                    u = jnp.tanh(z[:, :D]) * jax.nn.sigmoid(z[:, D:])
+                    if l + 1 < L:
+                        z = pre + jnp.dot(
+                            u, wf_ref[l], preferred_element_type=jnp.float32
+                        )
+                    sr = (
+                        jnp.dot(u, w_out_ref[l],
+                                preferred_element_type=jnp.float32)
+                        + b_out_ref[pl.ds(l, 1), :]
+                    )
+                    skip = skip + sr[:, :S]
+                    h = h + sr[:, S:]
 
             # head (reference: wavenet_model.py:167-170)
             y = jnp.maximum(skip, 0.0)
@@ -302,7 +370,7 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
 @partial(
     jax.jit,
     static_argnames=("cfg", "num_samples", "temperature", "regularize",
-                     "return_state", "interpret"),
+                     "return_state", "interpret", "fuse_res"),
 )
 def generate_fast_fused(
     params: Params,
@@ -317,6 +385,7 @@ def generate_fast_fused(
     state: FusedGenState | None = None,
     return_state: bool = False,
     interpret: bool = False,
+    fuse_res: bool = False,
 ):
     """Fused generation for a small number of streams (VMEM-resident state).
 
@@ -335,7 +404,17 @@ def generate_fast_fused(
     chunked streaming equals a single shot bitwise at temperature 0 (pass
     the matching cond rows per chunk). The stream count is bounded by VMEM
     (see :func:`fused_vmem_bytes`); use the sharded XLA path or the HBM
-    kernel for large batches."""
+    kernel for large batches.
+
+    ``fuse_res=True`` shortens the serial per-layer chain to ONE matmul:
+    the next layer's gate input is rewritten as
+    ``z[l+1] = h[l] @ w_cur[l+1] + u[l] @ (w_res[l] @ w_cur[l+1]) + ...``
+    with the weight product pre-multiplied on host, so only
+    ``act -> dot`` chains layer to layer and the residual/skip updates
+    gain a full layer of slack. Mathematically identical but floating-
+    point-reassociated: logits agree to ~1e-5 with the exact path, so
+    argmax rollouts can diverge on near-ties — the default stays exact
+    (bitwise-pinned to the XLA and naive paths)."""
     resume = state is not None
     if resume:
         if first_samples is not None:
@@ -367,6 +446,10 @@ def generate_fast_fused(
         need += _tiled_bytes(
             cfg.num_layers * streams, 2 * cfg.dilation_channels
         )
+    if fuse_res:  # pre-multiplied chain weights
+        need += (cfg.num_layers - 1) * _tiled_bytes(
+            cfg.dilation_channels, 2 * cfg.dilation_channels
+        ) + _tiled_bytes(cfg.num_layers - 1, 2 * cfg.dilation_channels)
     if need > _VMEM_BUDGET_BYTES:
         raise ValueError(
             f"{streams} streams x {total} steps need ~{need/1e6:.1f} MB of "
@@ -446,12 +529,23 @@ def generate_fast_fused(
         params["end2"]["b"].reshape(1, C).astype(f32),
     ]
     in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args)
+    if fuse_res:
+        # chain weights: wf[l] = w_res[l] @ w_cur[l+1]  (D, 2D), and the
+        # folded bias bf[l] = b_res[l] @ w_cur[l+1] + b_in[l+1]
+        w_res = lp["w_res"].astype(f32)  # (L, D, R)
+        w_cur = w_tap[:, k - 1]  # (L, R, 2D)
+        b_res = lp.get("b_res", jnp.zeros((L, R))).astype(f32)
+        args.append(jnp.einsum("ldr,lrm->ldm", w_res[:-1], w_cur[1:]))
+        args.append(
+            jnp.einsum("lr,lrm->lm", b_res[:-1], w_cur[1:]) + b_in[1:]
+        )
+        in_specs.extend([pl.BlockSpec(memory_space=pltpu.VMEM)] * 2)
     args.extend(cond_args)
     in_specs.extend(cond_specs)
     kernel, periods = _make_kernel(
         cfg, streams, num_given, total, float(temperature), float(regularize),
         resume=resume, has_cond=cond is not None,
-        has_gcond=global_cond is not None,
+        has_gcond=global_cond is not None, fuse_res=fuse_res,
     )
     if resume:
         args.append(state.t.astype(jnp.int32).reshape(1, 1))

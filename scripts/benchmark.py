@@ -104,6 +104,18 @@ def main():
               f"({dt*1e6/(n+cfg.receptive_field):.2f} us/step, "
               f"{n/dt/16000:.2f}x realtime)")
 
+        def gen_fused_res():
+            wav, _ = generate_fast_fused(
+                params, cfg, jax.random.PRNGKey(5), n, prime,
+                temperature=1.0, fuse_res=True
+            )
+            np.asarray(wav)
+
+        dt = timed(gen_fused_res, reps=2)
+        print(f"gen fused 1-stream (fuse_res): {n/dt:,.0f} samples/s "
+              f"({dt*1e6/(n+cfg.receptive_field):.2f} us/step, "
+              f"{n/dt/16000:.2f}x realtime)")
+
     for S in (64, 256):
         primeS = jnp.tile(prime, (S, 1))
         nS = max(2048, n // 4)

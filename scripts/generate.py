@@ -56,6 +56,11 @@ def parse_args():
     p.add_argument("--n-fft", type=int, default=1024,
                    help="mel STFT size (--vocode-wav)")
     p.add_argument("--num-streams", type=int, default=1)
+    p.add_argument("--exact-chain", action="store_true",
+                   help="VMEM kernel: keep the exact per-layer dot chain "
+                        "instead of the ~1.5x-faster fuse_res rewrite "
+                        "(pre-multiplied residual weights; same math, "
+                        "floating-point-reassociated)")
     p.add_argument("--bf16-rings", action="store_true",
                    help="store the HBM generation ring buffers in bfloat16 "
                         "(halves DMA traffic / VMEM staging; needs "
@@ -148,10 +153,17 @@ def main():
             gen = partial(generate_fast_batched, ring_dtype=jnp.bfloat16)
             path += " (bf16 rings)"
     elif args.num_streams <= 4:
+        from functools import partial
+
         from pytorch_wavenet_tpu.ops.pallas.gen_kernel import (
-            generate_fast_fused as gen,
+            generate_fast_fused,
         )
+
+        gen = generate_fast_fused
         path, reason = "fused VMEM kernel", None
+        if not args.exact_chain:
+            gen = partial(generate_fast_fused, fuse_res=True)
+            path += " (fuse_res)"
     else:
         reason = (
             f"{args.num_streams} streams: fused paths need <=4 (VMEM) or a "

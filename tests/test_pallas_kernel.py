@@ -223,3 +223,31 @@ def test_synthesize_on_fused_backend():
     )
     _, cls_x = wt.synthesize(params, cfg, k, mel, 8, temperature=0.0)
     np.testing.assert_array_equal(np.asarray(cls_f), np.asarray(cls_x))
+
+
+def test_fuse_res_near_parity(tiny):
+    """fuse_res pre-multiplies w_res[l] @ w_cur[l+1]: mathematically the
+    same rollout, floating-point-reassociated — argmax classes agree on
+    (nearly) every step, and conditioning composes with it."""
+    cfg, params = tiny
+    prime = jax.random.randint(
+        jax.random.PRNGKey(2), (1, cfg.receptive_field), 0, cfg.classes
+    )
+    k = jax.random.PRNGKey(3)
+    _, ce = generate_fast_fused(params, cfg, k, 48, prime, temperature=0.0,
+                                interpret=True)
+    _, cf = generate_fast_fused(params, cfg, k, 48, prime, temperature=0.0,
+                                fuse_res=True, interpret=True)
+    assert (np.asarray(ce) == np.asarray(cf)).mean() >= 0.9
+
+    cfgc = wt.get_config("tiny", cond_channels=6)
+    pc = wt.init_wavenet(jax.random.PRNGKey(1), cfgc)
+    n = 24
+    rf = cfgc.receptive_field
+    primec = jax.random.randint(jax.random.PRNGKey(5), (1, rf), 0, cfgc.classes)
+    cond = 0.5 * jax.random.normal(jax.random.PRNGKey(6), (1, rf - 1 + n, 6))
+    _, cce = generate_fast_fused(pc, cfgc, k, n, primec, temperature=0.0,
+                                 cond=cond, interpret=True)
+    _, ccf = generate_fast_fused(pc, cfgc, k, n, primec, temperature=0.0,
+                                 cond=cond, fuse_res=True, interpret=True)
+    assert (np.asarray(cce) == np.asarray(ccf)).mean() >= 0.9
