@@ -61,7 +61,7 @@ class HbmGenState(NamedTuple):
 def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                  temperature: float, regularize: float, cond_rows: int = 0,
                  has_gcond: bool = False, resume: bool = False,
-                 ring_dtype=jnp.float32):
+                 ring_dtype=jnp.float32, fuse_res: bool = False):
     L = cfg.num_layers
     D = cfg.dilation_channels
     S = cfg.skip_channels
@@ -96,6 +96,12 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
             b_end2_ref,   # (C, 1)
         ) = refs[:13]
         refs = refs[13:]
+        if fuse_res:
+            # pre-multiplied chain weights (see generate_fast_batched):
+            # wf[l] = w_cur[l+1] @ w_res[l]^T  (2D, D), and the folded bias
+            # bf[l] = w_cur[l+1] @ b_res[l] + b_in[l+1]
+            wf_ref, bf_ref = refs[:2]  # (L-1, 2D, D); (L-1, 2D, 1)
+            refs = refs[2:]
         if Mp:
             # cond_ref rows [t*Mp, (t+1)*Mp) are step t's (Mp, NS) slab
             cond_ref, w_cond_ref = refs[:2]  # HBM (total*Mp, NS); (L, 2D, Mp)
@@ -211,23 +217,12 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                 def _():
                     cond_dma(t + 1, (t + 1) % 2).start()
 
-            for l in range(L):
-                d = dil[l]
-                # stage h and start the ring write; all writes are awaited
-                # at the end of the step, before any slot can be re-read
-                # (minimum lookback is 1 step). With bf16 rings the staged
-                # copy rounds once here; in-register h stays f32 this step.
-                h_vmem[pl.ds(l * R, R), :] = h.astype(ring_dtype)
-                write_dma(l, ta).start()
-
-                z = mm(w_cur_ref[l], h) + b_in_ref[l]
-                if Mp:
-                    z = z + mm(w_cond_ref[l], cond_cur)
-                if has_gcond:
-                    z = z + gproj_ref[pl.ds(l * 2 * D, 2 * D), :]
-
+            def z_extras(l, z):
+                """State-only additions for layer l: ring-tap dots (waiting
+                their DMAs just in time), conditioning, global conditioning —
+                none depend on the current step's activation chain."""
                 for j in range(nt):
-                    m = (nt - j) * d  # this tap's lookback
+                    m = (nt - j) * dil[l]  # this tap's lookback
 
                     @pl.when(ta >= m)
                     def _(l=l, j=j):
@@ -235,11 +230,49 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                     tap = tap_vmem[pl.ds((l * nt + j) * R, R), :]
                     zt = z + mm(w_old_ref[l, j], tap.astype(jnp.float32))
                     z = jnp.where(ta >= m, zt, z)
+                if Mp:
+                    z = z + mm(w_cond_ref[l], cond_cur)
+                if has_gcond:
+                    z = z + gproj_ref[pl.ds(l * 2 * D, 2 * D), :]
+                return z
 
-                u = jnp.tanh(z[:D, :]) * jax.nn.sigmoid(z[D:, :])  # (D, NS)
-                sr = mm(w_out_ref[l], u) + b_out_ref[l]  # (S+R, NS)
-                skip = skip + sr[:S, :]
-                h = h + sr[S:, :]
+            if not fuse_res:
+                for l in range(L):
+                    # stage h and start the ring write; all writes are
+                    # awaited at the end of the step, before any slot can be
+                    # re-read (minimum lookback is 1 step). With bf16 rings
+                    # the staged copy rounds once here; in-register h stays
+                    # f32 this step.
+                    h_vmem[pl.ds(l * R, R), :] = h.astype(ring_dtype)
+                    write_dma(l, ta).start()
+
+                    z = z_extras(l, mm(w_cur_ref[l], h) + b_in_ref[l])
+                    u = jnp.tanh(z[:D, :]) * jax.nn.sigmoid(z[D:, :])
+                    sr = mm(w_out_ref[l], u) + b_out_ref[l]  # (S+R, NS)
+                    skip = skip + sr[:S, :]
+                    h = h + sr[S:, :]
+            else:
+                # fuse_res: the serial layer chain is one dot per layer —
+                #   z[l+1] = (w_cur[l+1] @ h[l] + bf[l] + extras[l+1])
+                #            + wf[l] @ u[l]
+                # with wf[l] = w_cur[l+1] @ w_res[l]^T pre-multiplied on
+                # host. The h-dependent "pre" term, the tap/cond extras, and
+                # the residual/skip updates all have a full layer of slack,
+                # so only act -> dot(wf) chains layer to layer.
+                z = z_extras(0, mm(w_cur_ref[0], h) + b_in_ref[0])
+                for l in range(L):
+                    h_vmem[pl.ds(l * R, R), :] = h.astype(ring_dtype)
+                    write_dma(l, ta).start()
+                    if l + 1 < L:
+                        pre = z_extras(
+                            l + 1, mm(w_cur_ref[l + 1], h) + bf_ref[l]
+                        )
+                    u = jnp.tanh(z[:D, :]) * jax.nn.sigmoid(z[D:, :])
+                    if l + 1 < L:
+                        z = pre + mm(wf_ref[l], u)
+                    sr = mm(w_out_ref[l], u) + b_out_ref[l]  # (S+R, NS)
+                    skip = skip + sr[:S, :]
+                    h = h + sr[S:, :]
 
             y = jnp.maximum(skip, 0.0)
             y = jnp.maximum(mm(w_end1_ref[...], y) + b_end1_ref[...], 0.0)
@@ -308,7 +341,7 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
 @partial(
     jax.jit,
     static_argnames=("cfg", "num_samples", "temperature", "regularize",
-                     "return_state", "interpret", "ring_dtype"),
+                     "return_state", "interpret", "ring_dtype", "fuse_res"),
 )
 def generate_fast_batched(
     params: Params,
@@ -324,6 +357,7 @@ def generate_fast_batched(
     return_state: bool = False,
     interpret: bool = False,
     ring_dtype=jnp.float32,
+    fuse_res: bool = False,
 ):
     """Batched fused generation with HBM queue state. Same contract as
     ``models.generate.generate_fast``, including local conditioning:
@@ -351,7 +385,17 @@ def generate_fast_batched(
     rounding of the residual stream per layer per step. Matmuls still
     accumulate in f32. Needs residual_channels % 16 == 0 on hardware
     (bf16 sublane tile); rollouts are no longer bitwise vs the f32-ring
-    kernel but stay within bf16 rounding at the logits level."""
+    kernel but stay within bf16 rounding at the logits level.
+
+    ``fuse_res=True`` shortens the serial per-layer chain to ONE matmul
+    (same rewrite as the VMEM kernel's flag): the next layer's gate input
+    becomes ``z[l+1] = w_cur[l+1] @ h[l] + (w_cur[l+1] @ w_res[l]^T) @ u[l]
+    + ...`` with the weight product pre-multiplied on host, so only
+    ``act -> dot`` chains layer to layer and the tap/cond adds ride the
+    slack. Mathematically identical but floating-point-reassociated:
+    logits agree to ~1e-5 with the exact path, so argmax rollouts can
+    diverge on near-ties — the default stays exact."""
+    fuse_res = fuse_res and cfg.num_layers > 1
     resume = state is not None
     if resume:
         if first_samples is not None:
@@ -428,6 +472,18 @@ def generate_fast_batched(
     in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args)
     in_specs[1] = pl.BlockSpec(memory_space=pl.ANY)  # prime stays in HBM
 
+    if fuse_res:
+        # chain weights: wf[l] = w_cur[l+1] @ w_res[l]^T  (2D, D), and the
+        # folded bias bf[l] = w_cur[l+1] @ b_res[l] + b_in[l+1]
+        w_res = lp["w_res"].astype(f32)  # (L, D, R)
+        b_res = lp.get("b_res", jnp.zeros((L, R))).astype(f32)
+        args.append(jnp.einsum("lcr,ldr->lcd", w_cur[1:], w_res[:-1]))
+        args.append(
+            jnp.einsum("lcr,lr->lc", w_cur[1:], b_res[:-1])[:, :, None]
+            + b_in[1:]
+        )
+        in_specs.extend([pl.BlockSpec(memory_space=pltpu.VMEM)] * 2)
+
     Mp = 0
     if cond is not None:
         M = cfg.cond_channels
@@ -477,7 +533,7 @@ def generate_fast_batched(
     kernel, periods = _make_kernel(
         cfg, streams, num_given, total, float(temperature), float(regularize),
         cond_rows=Mp, has_gcond=global_cond is not None, resume=resume,
-        ring_dtype=rdt,
+        ring_dtype=rdt, fuse_res=fuse_res,
     )
     n_chunks = -(-total // _CHUNK)
 

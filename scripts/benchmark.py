@@ -136,19 +136,26 @@ def main():
             generate_fast_batched,
         )
 
-        sweep = [(128, jnp.float32), (256, jnp.float32), (1024, jnp.float32)]
+        sweep = [
+            (128, jnp.float32, False),
+            (256, jnp.float32, False),
+            (256, jnp.float32, True),
+            (1024, jnp.float32, False),
+        ]
         if cfg.residual_channels % 16 == 0:
             # bf16 rings halve DMA traffic and the VMEM staging that caps S
-            sweep += [(1024, jnp.bfloat16), (2048, jnp.bfloat16)]
-        for S, rdt in sweep:
+            sweep += [(1024, jnp.bfloat16, False), (2048, jnp.bfloat16, False)]
+        for S, rdt, fuse in sweep:
             primeS = jnp.tile(prime, (S, 1))
             nS = max(2048, n // 4)
             tag = "" if rdt == jnp.float32 else " bf16-ring"
+            if fuse:
+                tag += " fuse_res"
 
             def gen_hbm():
                 wav, _ = generate_fast_batched(
                     params, cfg, jax.random.PRNGKey(6), nS, primeS,
-                    temperature=1.0, ring_dtype=rdt,
+                    temperature=1.0, ring_dtype=rdt, fuse_res=fuse,
                 )
                 np.asarray(wav)
 

@@ -57,10 +57,11 @@ def parse_args():
                    help="mel STFT size (--vocode-wav)")
     p.add_argument("--num-streams", type=int, default=1)
     p.add_argument("--exact-chain", action="store_true",
-                   help="VMEM kernel: keep the exact per-layer dot chain "
-                        "instead of the ~1.5x-faster fuse_res rewrite "
-                        "(pre-multiplied residual weights; same math, "
-                        "floating-point-reassociated)")
+                   help="fused kernels: keep the exact per-layer dot chain "
+                        "instead of the fuse_res rewrite (~1.5x on the "
+                        "VMEM kernel, ~1.1x on the HBM kernel at 256 "
+                        "streams; pre-multiplied residual weights — same "
+                        "math, floating-point-reassociated)")
     p.add_argument("--bf16-rings", action="store_true",
                    help="store the HBM generation ring buffers in bfloat16 "
                         "(halves DMA traffic / VMEM staging; needs "
@@ -150,25 +151,38 @@ def main():
         gen = generate_fast_batched
         path, reason = "fused HBM kernel", None
         if args.bf16_rings:
-            gen = partial(generate_fast_batched, ring_dtype=jnp.bfloat16)
+            gen = partial(gen, ring_dtype=jnp.bfloat16)
             path += " (bf16 rings)"
-    elif args.num_streams <= 4:
+        if not args.exact_chain:
+            # +11% at 256 streams, a wash at 1024+ where the extra
+            # (2D, D) chain matmul cancels the latency saving (PERF.md)
+            gen = partial(gen, fuse_res=True)
+            path += " (fuse_res)"
+    else:
         from functools import partial
 
         from pytorch_wavenet_tpu.ops.pallas.gen_kernel import (
+            _VMEM_BUDGET_BYTES,
+            fused_vmem_bytes,
             generate_fast_fused,
         )
 
-        gen = generate_fast_fused
-        path, reason = "fused VMEM kernel", None
-        if not args.exact_chain:
-            gen = partial(generate_fast_fused, fuse_res=True)
-            path += " (fuse_res)"
-    else:
-        reason = (
-            f"{args.num_streams} streams: fused paths need <=4 (VMEM) or a "
-            "multiple of 128 (HBM)"
+        need = fused_vmem_bytes(
+            cfg, args.num_streams, args.num_samples + cfg.receptive_field
         )
+        if need <= _VMEM_BUDGET_BYTES:
+            gen = generate_fast_fused
+            path, reason = "fused VMEM kernel", None
+            if not args.exact_chain:
+                gen = partial(generate_fast_fused, fuse_res=True)
+                path += " (fuse_res)"
+        else:
+            reason = (
+                f"{args.num_streams} streams x {args.num_samples} steps "
+                f"need ~{need / 1e6:.0f} MB of VMEM state (budget "
+                f"{_VMEM_BUDGET_BYTES / 1e6:.0f} MB); pad to a multiple of "
+                "128 streams for the HBM kernel"
+            )
     print(f"generation path: {path}" + (f" ({reason})" if reason else ""))
 
     t0 = time.perf_counter()

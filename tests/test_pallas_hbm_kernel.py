@@ -288,3 +288,56 @@ def test_batched_bf16_rejects_narrow_residual_on_hw():
         generate_fast_batched(params, cfg, jax.random.PRNGKey(0), 8, prime,
                               temperature=0.0, ring_dtype=jnp.bfloat16,
                               interpret=False)
+
+
+def test_batched_fuse_res_near_parity(tiny):
+    """fuse_res pre-multiplies w_cur[l+1] @ w_res[l]^T: mathematically the
+    same rollout, floating-point-reassociated — argmax classes agree on
+    (nearly) every step, and conditioning composes with it."""
+    cfg, params = tiny
+    prime = jax.random.randint(
+        jax.random.PRNGKey(2), (2, cfg.receptive_field), 0, cfg.classes
+    )
+    k = jax.random.PRNGKey(3)
+    _, ce = generate_fast_batched(params, cfg, k, 48, prime, temperature=0.0,
+                                  interpret=True)
+    _, cf = generate_fast_batched(params, cfg, k, 48, prime, temperature=0.0,
+                                  fuse_res=True, interpret=True)
+    assert (np.asarray(ce) == np.asarray(cf)).mean() >= 0.9
+
+    cfgc = wt.get_config("tiny", cond_channels=6)
+    pc = wt.init_wavenet(jax.random.PRNGKey(1), cfgc)
+    n = 24
+    rf = cfgc.receptive_field
+    primec = jax.random.randint(jax.random.PRNGKey(5), (2, rf), 0,
+                                cfgc.classes)
+    cond = 0.5 * jax.random.normal(
+        jax.random.PRNGKey(6), (2, rf - 1 + n, 6)
+    )
+    _, cce = generate_fast_batched(pc, cfgc, k, n, primec, temperature=0.0,
+                                   cond=cond, interpret=True)
+    _, ccf = generate_fast_batched(pc, cfgc, k, n, primec, temperature=0.0,
+                                   cond=cond, fuse_res=True, interpret=True)
+    assert (np.asarray(cce) == np.asarray(ccf)).mean() >= 0.9
+
+
+def test_batched_fuse_res_streaming_and_k3(tiny):
+    """fuse_res composes with streaming state and kernel_size=3: the
+    chunked fused rollout equals the single-shot fused rollout bitwise."""
+    cfg, params = tiny
+    cfg3 = wt.get_config("tiny", kernel_size=3)
+    p3 = wt.init_wavenet(jax.random.PRNGKey(9), cfg3)
+    for c, p in ((cfg, params), (cfg3, p3)):
+        prime = jax.random.randint(
+            jax.random.PRNGKey(11), (2, c.receptive_field), 0, c.classes
+        )
+        k = jax.random.PRNGKey(12)
+        _, one = generate_fast_batched(p, c, k, 32, prime, temperature=0.0,
+                                       fuse_res=True, interpret=True)
+        _, a, st = generate_fast_batched(p, c, k, 20, prime, temperature=0.0,
+                                         fuse_res=True, return_state=True,
+                                         interpret=True)
+        _, b = generate_fast_batched(p, c, k, 12, temperature=0.0, state=st,
+                                     fuse_res=True, interpret=True)
+        chunked = np.concatenate([np.asarray(a), np.asarray(b)], axis=1)
+        np.testing.assert_array_equal(np.asarray(one), chunked)
