@@ -90,11 +90,11 @@ def test_fused_kernel_any_architecture(cfg, seed):
 
 
 @settings(max_examples=5, deadline=None)
-@given(cfg=cfg_strategy.filter(lambda c: c.kernel_size == 2),
-       seed=st.integers(0, 2**16))
+@given(cfg=cfg_strategy, seed=st.integers(0, 2**16))
 def test_hbm_kernel_any_architecture(cfg, seed):
     """The HBM-ring kernel (interpret mode) matches the XLA path for
-    arbitrary small kernel-size-2 architectures."""
+    arbitrary small architectures, any kernel size (the k-tap DMA walk is
+    generic since round 2)."""
     from pytorch_wavenet_tpu.ops.pallas.gen_kernel_hbm import (
         generate_fast_batched,
     )
@@ -109,3 +109,78 @@ def test_hbm_kernel_any_architecture(cfg, seed):
                                   interpret=True)
     _, cx = wt.generate_fast(params, cfg, key, n, prime, temperature=0.0)
     np.testing.assert_array_equal(np.asarray(cb), np.asarray(cx))
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    cfg=cfg_strategy,
+    m=st.sampled_from([3, 8]),
+    g=st.sampled_from([0, 4]),
+    seed=st.integers(0, 2**16),
+)
+def test_conditioned_kernels_any_architecture(cfg, m, g, seed):
+    """Local (+ optional global) conditioning: both Pallas kernels must
+    reproduce the conditioned XLA rollout for arbitrary architectures —
+    the kernels pre-project/DMA conditioning very differently from the
+    XLA path's per-step matmuls, so argmax agreement is a real check."""
+    import dataclasses
+
+    from pytorch_wavenet_tpu.ops.pallas.gen_kernel import generate_fast_fused
+    from pytorch_wavenet_tpu.ops.pallas.gen_kernel_hbm import (
+        generate_fast_batched,
+    )
+
+    cfg = dataclasses.replace(cfg, cond_channels=m, gcond_channels=g)
+    key = jax.random.PRNGKey(seed)
+    params = wt.init_wavenet(key, cfg)
+    rf = cfg.receptive_field
+    prime = jax.random.randint(
+        jax.random.fold_in(key, 5), (2, rf), 0, cfg.classes
+    )
+    n = 8
+    cond = 0.5 * jax.random.normal(
+        jax.random.fold_in(key, 6), (2, rf - 1 + n, m)
+    )
+    gcond = (
+        jax.random.normal(jax.random.fold_in(key, 7), (2, g)) if g else None
+    )
+    _, cx = wt.generate_fast(params, cfg, key, n, prime, temperature=0.0,
+                             cond=cond, global_cond=gcond)
+    _, cv = generate_fast_fused(params, cfg, key, n, prime, temperature=0.0,
+                                cond=cond, global_cond=gcond, interpret=True)
+    np.testing.assert_array_equal(np.asarray(cv), np.asarray(cx))
+    _, cb = generate_fast_batched(params, cfg, key, n, prime, temperature=0.0,
+                                  cond=cond, global_cond=gcond, interpret=True)
+    np.testing.assert_array_equal(np.asarray(cb), np.asarray(cx))
+
+
+@settings(max_examples=4, deadline=None)
+@given(cfg=cfg_strategy, seed=st.integers(0, 2**16),
+       n1=st.integers(1, 7))
+def test_streaming_state_any_architecture(cfg, seed, n1):
+    """Chunked rollouts through explicit stream state are bitwise-equal to
+    the single shot at temperature 0 — for all three backends, at an
+    arbitrary split point, on arbitrary architectures."""
+    from pytorch_wavenet_tpu.ops.pallas.gen_kernel import generate_fast_fused
+    from pytorch_wavenet_tpu.ops.pallas.gen_kernel_hbm import (
+        generate_fast_batched,
+    )
+
+    key = jax.random.PRNGKey(seed)
+    params = wt.init_wavenet(key, cfg)
+    prime = jax.random.randint(
+        jax.random.fold_in(key, 8), (2, cfg.receptive_field), 0, cfg.classes
+    )
+    n2 = 8 - n1
+    for fn, kw in (
+        (wt.generate_fast, {}),
+        (generate_fast_fused, {"interpret": True}),
+        (generate_fast_batched, {"interpret": True}),
+    ):
+        _, c_all = fn(params, cfg, key, n1 + n2, prime, temperature=0.0, **kw)
+        _, c1, st_ = fn(params, cfg, key, n1, prime, temperature=0.0,
+                        return_state=True, **kw)
+        _, c2 = fn(params, cfg, key, n2, None, temperature=0.0, state=st_,
+                   **kw)
+        chunked = np.concatenate([np.asarray(c1), np.asarray(c2)], axis=1)
+        np.testing.assert_array_equal(chunked, np.asarray(c_all))
