@@ -1,0 +1,176 @@
+"""Probability density distillation: AR teacher -> parallel IAF student.
+
+Trains models/iaf.py's student to match the teacher WaveNet
+(van den Oord et al. 2018, "Parallel WaveNet"; beyond the reference's
+scope — docs/ROADMAP.md "capability" item). The generalized objective is
+
+    KL( q_student || p_teacher )  =  E_{x~q} [ log q(x) - log p(x) ]
+
+estimated pathwise: the student draws x via reparameterized noise
+(models/iaf.py student_sample), the teacher scores x teacher-forced in one
+parallel trunk pass — both terms are dense TPU work with no sampling loop.
+
+The teacher here is *categorical* over mu-law classes (reference:
+wavenet_model.py:167-170), not the paper's mixture-of-logistics, so the KL
+is taken per step between two distributions over the C classes:
+
+* the student's per-step output conditional is Logistic(m_t, s_t) in
+  amplitude space (closed form through the affine flows); integrating its
+  density over each mu-law quantization bin gives an exact discrete
+  distribution q_t(c) — differentiable in (m_t, s_t) via the logistic CDF;
+* the teacher's p_t(c) is softmax of its logits at the same position.
+
+    L_KL = mean_t KL( q_t(bins) || p_t )
+
+Gradients flow through q_t analytically; the teacher is stop-gradiented
+and its integer-quantized input breaks the (intentionally ignored)
+history-dependence term, as in the paper's estimator. An optional *power
+loss* matches average log-power spectra between student draws and real
+audio — the paper's fix for the whisper-mode collapse of pure KL.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import WaveNetConfig
+from ..models.iaf import IAFConfig, StudentParams, student_sample
+from ..models.wavenet import wavenet_logits
+from ..ops.mulaw import mu_law_expansion, quantize_data_jnp
+
+
+def mu_law_bin_edges(classes: int) -> np.ndarray:
+    """Amplitude-space edges of the ``classes`` quantization bins,
+    ``(classes + 1,)`` with infinite outer edges (mass outside [-1, 1]
+    belongs to the boundary classes, matching the pre-encode clip).
+
+    Bin c spans ``[edges[c], edges[c+1])`` — the expansion of the encoder's
+    mu-law-space edges ``linspace(-1, 1, classes)``
+    (ops/mulaw.py quantize_data; reference: audio_data.py:133-137)."""
+    inner = mu_law_expansion(np.linspace(-1.0, 1.0, classes), classes)
+    return np.concatenate([[-np.inf], inner[1:], [np.inf]]).astype(np.float32)
+
+
+def student_bin_logprobs(
+    m: jnp.ndarray, log_s: jnp.ndarray, classes: int
+) -> jnp.ndarray:
+    """Discretize per-step Logistic(m, exp(log_s)) over the mu-law bins.
+
+    Returns probabilities ``(..., classes)`` summing to 1: the logistic CDF
+    is a sigmoid, so each bin mass is a difference of sigmoids — exact and
+    smooth in (m, log_s). Only the finite inner edges enter the
+    computation (the boundary bins are CDF complements): pushing the
+    infinite outer edges through the scale chain would make their gradient
+    w.r.t. ``log_s`` an ``0 * inf`` NaN."""
+    edges = jnp.asarray(mu_law_bin_edges(classes)[1:-1])  # (C-1,) finite
+    zed = (edges - m[..., None]) * jnp.exp(-log_s)[..., None]
+    cdf = jax.nn.sigmoid(zed)
+    return jnp.concatenate(
+        [cdf[..., :1], jnp.diff(cdf, axis=-1), 1.0 - cdf[..., -1:]],
+        axis=-1,
+    )
+
+
+def power_spectrum(
+    x: jnp.ndarray, frame: int = 256, hop: int = 64
+) -> jnp.ndarray:
+    """Batch-and-frame-averaged log power spectrum ``(frame//2 + 1,)``."""
+    T = x.shape[-1]
+    n = (T - frame) // hop + 1
+    idx = np.arange(n)[:, None] * hop + np.arange(frame)
+    frames = x[:, idx] * jnp.hanning(frame)
+    mag2 = jnp.abs(jnp.fft.rfft(frames, axis=-1)) ** 2
+    return jnp.log(jnp.mean(mag2, axis=(0, 1)) + 1e-8)
+
+
+def distill_loss(
+    student_params: StudentParams,
+    teacher_params: Any,
+    scfg: IAFConfig,
+    tcfg: WaveNetConfig,
+    key: jax.Array,
+    batch_size: int,
+    length: int,
+    cond: jnp.ndarray | None = None,
+    global_cond: jnp.ndarray | None = None,
+    audio_ref: jnp.ndarray | None = None,
+    power_weight: float = 0.0,
+) -> tuple[jnp.ndarray, dict]:
+    """One-draw estimate of the distillation objective.
+
+    ``length`` must exceed the teacher's receptive field; the first ``rf``
+    positions only prime the teacher. ``audio_ref`` ``(B', T')`` enables
+    the power loss. Returns ``(loss, aux)`` with aux carrying the KL and
+    power terms."""
+    rf = tcfg.receptive_field
+    if length <= rf:
+        raise ValueError(f"length {length} must exceed teacher rf {rf}")
+    draw = student_sample(student_params, scfg, key, (batch_size, length),
+                          cond=cond, global_cond=global_cond)
+    x = jnp.clip(draw.x, -1.0, 1.0)
+
+    # teacher scores the draw teacher-forced on its own mu-law codebook;
+    # logits[:, i] predicts position rf + i (data/dataset.py window
+    # convention) — the last one falls beyond the clip and is dropped
+    xq = quantize_data_jnp(jax.lax.stop_gradient(x), tcfg.classes)
+    t_logits = wavenet_logits(
+        jax.lax.stop_gradient(teacher_params), tcfg, xq,
+        out_len=length - rf + 1,
+    )[:, :-1]
+    logp = jax.nn.log_softmax(t_logits, axis=-1)  # (B, length-rf, C)
+
+    q = student_bin_logprobs(
+        draw.m[:, rf:], draw.log_s[:, rf:], tcfg.classes
+    )
+    logq = jnp.log(jnp.maximum(q, 1e-12))
+    kl = jnp.sum(q * (logq - logp), axis=-1)  # (B, length-rf)
+    kl = jnp.mean(kl)
+
+    aux = {"kl": kl}
+    loss = kl
+    if power_weight and audio_ref is not None:
+        p_loss = jnp.mean(
+            (power_spectrum(x) - power_spectrum(audio_ref)) ** 2
+        )
+        aux["power"] = p_loss
+        loss = loss + power_weight * p_loss
+    return loss, aux
+
+
+@partial(
+    jax.jit,
+    static_argnames=("scfg", "tcfg", "tx", "batch_size", "length",
+                     "power_weight"),
+    donate_argnums=(0, 1),
+)
+def distill_step(
+    student_params: StudentParams,
+    opt_state: Any,
+    teacher_params: Any,
+    scfg: IAFConfig,
+    tcfg: WaveNetConfig,
+    tx: optax.GradientTransformation,
+    key: jax.Array,
+    batch_size: int,
+    length: int,
+    cond: jnp.ndarray | None = None,
+    global_cond: jnp.ndarray | None = None,
+    audio_ref: jnp.ndarray | None = None,
+    power_weight: float = 0.0,
+):
+    """One distillation update on the student (teacher frozen). Returns
+    ``(student_params, opt_state, loss, aux)``."""
+    (loss, aux), grads = jax.value_and_grad(distill_loss, has_aux=True)(
+        student_params, teacher_params, scfg, tcfg, key, batch_size, length,
+        cond=cond, global_cond=global_cond, audio_ref=audio_ref,
+        power_weight=power_weight,
+    )
+    updates, opt_state = tx.update(grads, opt_state, student_params)
+    student_params = optax.apply_updates(student_params, updates)
+    return student_params, opt_state, loss, aux

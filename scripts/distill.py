@@ -1,0 +1,234 @@
+#!/usr/bin/env python
+"""Parallel-WaveNet distillation entry point.
+
+Distills a trained AR teacher snapshot (scripts/train.py output) into an
+IAF student (models/iaf.py) via probability density distillation
+(training/distill.py), then the student generates audio in one parallel
+pass per clip — no autoregression. Beyond the reference's scope
+(docs/ROADMAP.md capability item); the teacher flow it builds on is the
+reference's train/generate loop (train_script.py, wavenet_model.py:237).
+
+Examples:
+  python scripts/distill.py --teacher-snapshot snapshots/chaconne_*.ckpt \
+      --steps 5000 --batch-size 4 --length 4000 --out-dir students
+  python scripts/distill.py --teacher-snapshot snapshots --generate 16000 \
+      --student-snapshot students/student_*.ckpt --wav-out student.wav
+"""
+
+import os
+
+if os.environ.get("WAVENET_TPU_FORCE_CPU"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--teacher-snapshot", required=True,
+                   help="teacher .ckpt file or snapshot directory (newest "
+                        "is used)")
+    p.add_argument("--flows", type=int, default=4)
+    p.add_argument("--layers", type=int, default=10)
+    p.add_argument("--blocks", type=int, default=1)
+    p.add_argument("--width", type=int, default=64,
+                   help="student residual/dilation/skip/end channels")
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--length", type=int, default=4000,
+                   help="student draw length per step (must exceed the "
+                        "teacher receptive field)")
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--power-weight", type=float, default=0.0,
+                   help="power-loss weight (needs --data-dir for reference "
+                        "audio)")
+    p.add_argument("--data-dir", default=None,
+                   help="audio dir for power-loss reference batches")
+    p.add_argument("--dataset-file", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out-dir", default="students")
+    p.add_argument("--name", default="student")
+    p.add_argument("--save-interval", type=int, default=1000)
+    p.add_argument("--log-interval", type=int, default=50)
+    p.add_argument("--student-snapshot", default=None,
+                   help="resume/generate from this student .ckpt")
+    p.add_argument("--generate", type=int, default=0,
+                   help="after training (or with --steps 0: immediately), "
+                        "generate this many samples per stream")
+    p.add_argument("--streams", type=int, default=1)
+    p.add_argument("--wav-out", default=None)
+    return p.parse_args()
+
+
+def load_teacher(path):
+    from pytorch_wavenet_tpu.utils.checkpoints import (
+        latest_checkpoint,
+        load_checkpoint,
+    )
+
+    if os.path.isdir(path):
+        path = latest_checkpoint(path)
+        if path is None:
+            raise SystemExit("no teacher checkpoint found")
+    blob = load_checkpoint(path)
+    if blob["config"] is None:
+        raise SystemExit(f"{path} has no embedded config")
+    import pytorch_wavenet_tpu as wt
+
+    template = wt.init_wavenet(jax.random.PRNGKey(0), blob["config"])
+    from flax import serialization
+
+    params = serialization.from_state_dict(template, blob["params"])
+    print(f"teacher: {path} (step {blob['step']}, "
+          f"rf {blob['config'].receptive_field})")
+    return params, blob["config"]
+
+
+def load_student(path, scfg):
+    from flax import serialization
+
+    from pytorch_wavenet_tpu.models.iaf import init_student
+    from pytorch_wavenet_tpu.utils.checkpoints import load_checkpoint
+
+    blob = load_checkpoint(path)
+    saved = blob["extra"].get("iaf_config")
+    if saved:
+        names = {f.name for f in dataclasses.fields(scfg)}
+        # compute_dtype is stored as None (dtypes aren't msgpack types);
+        # keep the in-code default
+        scfg = dataclasses.replace(
+            scfg, **{k: v for k, v in saved.items()
+                     if k in names and v is not None}
+        )
+    template = init_student(jax.random.PRNGKey(0), scfg)
+    params = serialization.from_state_dict(template, blob["params"])
+    return params, scfg, blob["step"]
+
+
+def main():
+    args = parse_args()
+    from pytorch_wavenet_tpu.models.iaf import (
+        IAFConfig,
+        init_student,
+        student_generate,
+        student_parameter_count,
+    )
+    from pytorch_wavenet_tpu.training.distill import distill_step
+    from pytorch_wavenet_tpu.utils.checkpoints import save_checkpoint
+
+    teacher, tcfg = load_teacher(args.teacher_snapshot)
+    if tcfg.cond_channels:
+        raise SystemExit(
+            "conditioned (vocoder) teachers are not supported by this CLI "
+            "yet — distill an unconditional teacher"
+        )
+    scfg = IAFConfig(
+        flows=args.flows, layers=args.layers, blocks=args.blocks,
+        residual_channels=args.width, dilation_channels=args.width,
+        skip_channels=args.width, end_channels=args.width,
+    )
+    step0 = 0
+    if args.student_snapshot:
+        params, scfg, step0 = load_student(args.student_snapshot, scfg)
+        print(f"student resumed at step {step0}")
+    else:
+        params = init_student(jax.random.PRNGKey(args.seed), scfg)
+    print(f"student: {scfg.flows} flows x {scfg.num_layers} layers, "
+          f"{student_parameter_count(params):,} params "
+          f"(teacher {sum(int(x.size) for x in jax.tree_util.tree_leaves(teacher)):,})")
+    if args.length <= tcfg.receptive_field:
+        raise SystemExit(
+            f"--length {args.length} must exceed teacher rf "
+            f"{tcfg.receptive_field}"
+        )
+
+    ref_iter = None
+    if args.power_weight > 0.0:
+        if args.data_dir is None:
+            raise SystemExit("--power-weight needs --data-dir")
+        from pytorch_wavenet_tpu.data.dataset import (
+            BatchIterator,
+            WaveNetDataset,
+        )
+        from pytorch_wavenet_tpu.ops.mulaw import dequantize_data
+
+        ds = WaveNetDataset(
+            args.dataset_file or os.path.join(args.data_dir, "dataset.npz"),
+            item_length=args.length - 1, target_length=1,
+            file_location=args.data_dir, classes=tcfg.classes,
+        )
+
+        def ref_batches():
+            while True:
+                for x, _ in BatchIterator(ds, args.batch_size,
+                                          seed=args.seed):
+                    yield jnp.asarray(
+                        dequantize_data(x, tcfg.classes), jnp.float32
+                    )
+
+        ref_iter = ref_batches()
+
+    import optax
+
+    tx = optax.adam(args.lr)
+    opt = tx.init(params)
+    key = jax.random.PRNGKey(args.seed + 1)
+
+    t0 = time.time()
+    for i in range(step0, step0 + args.steps):
+        ref = next(ref_iter) if ref_iter is not None else None
+        params, opt, loss, aux = distill_step(
+            params, opt, teacher, scfg, tcfg, tx,
+            jax.random.fold_in(key, i), args.batch_size, args.length,
+            audio_ref=ref, power_weight=args.power_weight,
+        )
+        if (i + 1) % args.log_interval == 0 or i == step0:
+            loss = float(loss)
+            msg = f"step {i + 1}: loss {loss:.4f} kl {float(aux['kl']):.4f}"
+            if "power" in aux:
+                msg += f" power {float(aux['power']):.4f}"
+            msg += f" ({(time.time() - t0) / (i - step0 + 1):.3f} s/step)"
+            print(msg, flush=True)
+        if (i + 1) % args.save_interval == 0:
+            save_checkpoint(
+                args.out_dir, args.name, i + 1, params,
+                extra={"iaf_config": dataclasses.asdict(
+                    dataclasses.replace(scfg, compute_dtype=None))},
+            )
+    if args.steps:
+        path = save_checkpoint(
+            args.out_dir, args.name, step0 + args.steps, params,
+            extra={"iaf_config": dataclasses.asdict(
+                dataclasses.replace(scfg, compute_dtype=None))},
+        )
+        print(f"saved {path}")
+
+    if args.generate:
+        t0 = time.time()
+        wav = student_generate(params, scfg, jax.random.PRNGKey(args.seed),
+                               args.generate, num_streams=args.streams)
+        wav = np.asarray(wav)
+        dt = time.time() - t0
+        print(f"generated {wav.size} samples in {dt:.3f}s "
+              f"({wav.size / dt:,.0f} samples/s, one parallel pass)")
+        if args.wav_out:
+            from pytorch_wavenet_tpu.data.audio_io import write_wav
+
+            write_wav(args.wav_out, wav[0], 16000)
+            print(f"wrote {args.wav_out}")
+
+
+if __name__ == "__main__":
+    main()
