@@ -43,6 +43,13 @@ from .ops.dilated import dilate, constant_pad_1d
 from .ops.queues import DilatedQueue
 from .data.dataset import WaveNetDataset, BatchIterator, PrefetchBatchIterator
 from .data.audio_io import load_audio, write_wav, list_all_audio_files
+from .models.iaf import (
+    IAFConfig,
+    init_student,
+    student_sample,
+    student_generate,
+)
+from .training.distill import distill_loss, distill_step
 from .training.trainer import WaveNetTrainer, generate_audio, train_step, eval_step
 from .training.optimizers import sgd_normalized, reference_adam
 from .utils.logging import Logger, TensorboardLogger
