@@ -170,6 +170,31 @@ def main():
                   f"aggregate ({agg/16000:.0f}x realtime, "
                   f"{dt*1e6/(nS+cfg.receptive_field):.1f} us/step)")
 
+    # ---------------- IAF student (parallel one-pass generation)
+    from pytorch_wavenet_tpu.models.iaf import (
+        IAFConfig,
+        init_student,
+        student_generate,
+        student_parameter_count,
+    )
+
+    scfg = IAFConfig(flows=4, layers=10, blocks=1, residual_channels=64,
+                     dilation_channels=64, skip_channels=64, end_channels=64)
+    sparams = init_student(jax.random.PRNGKey(7), scfg)
+    print(f"student: {scfg.flows} flows x {scfg.num_layers} layers, "
+          f"{student_parameter_count(sparams):,} params")
+    for S in (1, 16):
+        def gen_student(S=S):
+            wav = student_generate(sparams, scfg, jax.random.PRNGKey(8), n,
+                                   num_streams=S)
+            np.asarray(wav)
+
+        dt = timed(gen_student, reps=3)
+        agg = S * n / dt
+        print(f"gen student {S}-stream: {agg:,.0f} samples/s aggregate "
+              f"({agg/16000:.0f}x realtime, one parallel pass — "
+              f"quality requires a distilled checkpoint)")
+
     # ---------------- host pipeline
     stream = np.random.default_rng(0).integers(0, 256, 10_000_000).astype(np.uint8)
     from pytorch_wavenet_tpu.data import native
