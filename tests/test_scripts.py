@@ -148,3 +148,45 @@ def test_train_cli_bf16(audio_dir, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "bfloat16" in r.stdout  # cfg repr shows the dtype override
     assert "loss at step 1" in r.stdout
+
+
+def test_distill_cli_flow(tmp_path):
+    """Teacher snapshot -> distill a tiny student -> resume + generate
+    (scripts/distill.py; the Parallel-WaveNet capability's CLI surface)."""
+    sys.path.insert(0, REPO)
+    import jax
+
+    import pytorch_wavenet_tpu as wt
+    from pytorch_wavenet_tpu.utils.checkpoints import save_checkpoint
+
+    tcfg = wt.get_config("tiny")
+    teacher = wt.init_wavenet(jax.random.PRNGKey(0), tcfg)
+    snaps = str(tmp_path / "teacher")
+    save_checkpoint(snaps, "tiny", 1, teacher, cfg=tcfg)
+
+    students = str(tmp_path / "students")
+    wav = str(tmp_path / "student.wav")
+    r = run([
+        "scripts/distill.py", "--teacher-snapshot", snaps,
+        "--flows", "1", "--layers", "2", "--blocks", "1", "--width", "8",
+        "--steps", "3", "--batch-size", "2", "--length", "48",
+        "--save-interval", "3", "--log-interval", "1",
+        "--out-dir", students,
+        "--generate", "64", "--wav-out", wav,
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "step 3: loss" in r.stdout
+    assert os.path.exists(wav)
+    ckpts = [f for f in os.listdir(students) if f.endswith(".ckpt")]
+    assert ckpts
+
+    # resume from the student checkpoint, generation-only
+    r = run([
+        "scripts/distill.py", "--teacher-snapshot", snaps,
+        "--student-snapshot", os.path.join(students, ckpts[0]),
+        "--flows", "1", "--layers", "2", "--width", "8",
+        "--steps", "0", "--generate", "32",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "student resumed at step 3" in r.stdout
+    assert "one parallel pass" in r.stdout
