@@ -21,11 +21,14 @@ from .models.generate import (
     StreamState,
     init_gen_state,
     gen_step,
+    gen_step_window,
+    commit_window,
     generate,
     generate_fast,
     generate_long,
     synthesize,
 )
+from .models.speculative import speculative_generate
 from .models.convert import (
     load_reference_snapshot,
     load_torch_snapshot,

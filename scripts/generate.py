@@ -66,6 +66,13 @@ def parse_args():
                    help="store the HBM generation ring buffers in bfloat16 "
                         "(halves DMA traffic / VMEM staging; needs "
                         "residual_channels %% 16 == 0)")
+    p.add_argument("--draft-snapshot", default=None,
+                   help="speculative decoding: a smaller WaveNet snapshot "
+                        "drafts k samples and the main model verifies them "
+                        "in one window pass (exact argmax rollout; forces "
+                        "temperature 0, single stream)")
+    p.add_argument("--speculate-k", type=int, default=8,
+                   help="speculation depth per verify pass")
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--regularize", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=0)
@@ -135,6 +142,38 @@ def main():
         mel = np.tile(mel[None], (args.num_streams, 1, 1))
 
     import time
+
+    if args.draft_snapshot:
+        if mel is not None:
+            raise SystemExit("--draft-snapshot does not combine with "
+                             "vocoder modes yet")
+        if args.num_streams != 1:
+            raise SystemExit("speculative decoding is single-stream")
+        from pytorch_wavenet_tpu.models.speculative import (
+            speculative_generate,
+        )
+
+        dblob = wt.load_checkpoint(args.draft_snapshot) \
+            if os.path.isfile(args.draft_snapshot) \
+            else wt.load_latest_model_from(args.draft_snapshot)
+        dcfg, dparams = dblob["config"], jax.tree_util.tree_map(
+            jnp.asarray, dblob["params"]
+        )
+        print(f"speculative decoding: draft {dcfg.parameter_count():,} "
+              f"params, k={args.speculate_k} (exact argmax rollout)")
+        t0 = time.perf_counter()
+        wav, _, rate = speculative_generate(
+            params, cfg, dparams, dcfg, jax.random.PRNGKey(args.seed),
+            args.num_samples, first_samples, k=args.speculate_k,
+        )
+        wav = np.asarray(wav)
+        dt = time.perf_counter() - t0
+        print(f"{wav.size} samples in {dt:.2f}s ({wav.size/dt:.0f} "
+              f"samples/s), accept rate {float(rate):.2f}/{args.speculate_k}"
+              f" per verify pass")
+        wt.write_wav(args.out, wav[0], args.sr)
+        print(f"wrote {args.out}")
+        return
 
     # fastest available path: fused Pallas kernels on TPU, XLA scan otherwise
     gen = wt.generate_fast
