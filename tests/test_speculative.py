@@ -143,3 +143,52 @@ def test_speculative_short_prime_and_validation(tiny):
     with pytest.raises(ValueError, match="k must be"):
         speculative_generate(params, cfg, draft, dcfg,
                              jax.random.PRNGKey(0), 4, k=0)
+
+
+def test_window_conditioned(tiny):
+    """cond rows align per window position; global_cond broadcasts — both
+    must reproduce the sequential conditioned steps."""
+    cfg = wt.get_config("tiny", cond_channels=5, gcond_channels=3)
+    params = wt.init_wavenet(jax.random.PRNGKey(20), cfg)
+    state = init_gen_state(cfg, 2)
+    win = 7
+    window = jax.random.randint(jax.random.PRNGKey(21), (2, win), 0,
+                                cfg.classes)
+    cond = 0.4 * jax.random.normal(jax.random.PRNGKey(22), (2, win, 5))
+    g = jax.random.normal(jax.random.PRNGKey(23), (2, 3))
+    want = []
+    st = state
+    for i in range(win):
+        lg, st = gen_step(params, cfg, st, window[:, i], cond=cond[:, i],
+                          global_cond=g)
+        want.append(lg)
+    want = jnp.stack(want, axis=1)
+    got, pend = gen_step_window(params, cfg, state, window, cond=cond,
+                                global_cond=g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+    got_state = commit_window(state, pend, win)
+    for a, b in zip(got_state.buffers, st.buffers):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_window_prime_matches_regular(tiny):
+    """window_prime: bulk prime ingestion gives the same argmax rollout as
+    step-by-step priming (float-reassociated — near-tie flips allowed but
+    must be rare)."""
+    cfg, params = tiny
+    rf = cfg.receptive_field
+    prime = jax.random.randint(jax.random.PRNGKey(30), (2, rf + 200), 0,
+                               cfg.classes)
+    key = jax.random.PRNGKey(31)
+    n = 40
+    _, cls_a = wt.generate_fast(params, cfg, key, n, prime, temperature=0.0)
+    _, cls_b = wt.generate_fast(params, cfg, key, n, prime, temperature=0.0,
+                                window_prime=True)
+    assert cls_b.shape == cls_a.shape
+    assert (np.asarray(cls_a) == np.asarray(cls_b)).mean() >= 0.9
+    # streaming continues from a window-primed state
+    _, c1, st = wt.generate_fast(params, cfg, key, n, prime, temperature=0.0,
+                                 window_prime=True, return_state=True)
+    _, c2 = wt.generate_fast(params, cfg, key, 10, None, temperature=0.0,
+                             state=st)
+    assert c2.shape == (2, 10)
