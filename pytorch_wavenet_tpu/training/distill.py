@@ -132,7 +132,10 @@ def distill_loss(
     kl = jnp.sum(q * (logq - logp), axis=-1)  # (B, length-rf)
     kl = jnp.mean(kl)
 
-    aux = {"kl": kl}
+    # audio energy of the draws — pure-KL distillation famously collapses
+    # to near-silence ("whisper mode"); watching rms against the data's
+    # tells you whether the power loss is weighted strongly enough
+    aux = {"kl": kl, "rms": jnp.sqrt(jnp.mean(x * x))}
     loss = kl
     if power_weight and audio_ref is not None:
         p_loss = jnp.mean(

@@ -199,6 +199,7 @@ def main():
             msg = f"step {i + 1}: loss {loss:.4f} kl {float(aux['kl']):.4f}"
             if "power" in aux:
                 msg += f" power {float(aux['power']):.4f}"
+            msg += f" rms {float(aux['rms']):.3f}"
             msg += f" ({(time.time() - t0) / (i - step0 + 1):.3f} s/step)"
             print(msg, flush=True)
         if (i + 1) % args.save_interval == 0:
