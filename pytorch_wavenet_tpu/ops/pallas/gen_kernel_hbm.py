@@ -53,15 +53,16 @@ class HbmGenState(NamedTuple):
     absolute time cursor, and the next input class per stream. Chunked
     streaming equals a single shot bitwise at temperature 0."""
 
-    ring: jnp.ndarray     # (sum(P_l) * R, streams), ring_dtype (f32 default)
+    ring: jnp.ndarray     # (sum(P_l) * R, lane-padded streams), ring_dtype
     t: jnp.ndarray        # () int32 — absolute steps completed
-    cls: jnp.ndarray      # (streams,) int32 — next input class
+    cls: jnp.ndarray      # (streams,) int32 — next input class (unpadded)
 
 
 def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                  temperature: float, regularize: float, cond_rows: int = 0,
                  has_gcond: bool = False, resume: bool = False,
-                 ring_dtype=jnp.float32, fuse_res: bool = False):
+                 ring_dtype=jnp.float32, fuse_res: bool = False,
+                 stage_layers: int | None = None):
     L = cfg.num_layers
     D = cfg.dilation_channels
     S = cfg.skip_channels
@@ -74,10 +75,24 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
     ring_off = np.cumsum([0] + periods).tolist()
     NS = streams
     Mp = cond_rows  # local-conditioning rows, 0 = unconditioned
+    # Chunked staging: with W = stage_layers the tap/activation slabs hold a
+    # W-layer rotating window instead of all L layers (VMEM scales with
+    # W*R*NS, the ceiling on stream count). Tap DMAs are issued A = W-2
+    # layers ahead of their consumer; ring writes are drained once their
+    # slot comes around again. Within a step tap reads and ring writes can
+    # never alias (a tap's lookback m satisfies 1 <= m < period), so
+    # lookahead issue is always safe; cross-step d=1 hazards are covered by
+    # the end-of-step drain of the last W writes.
+    W = min(stage_layers, L) if stage_layers else None
+    if W is not None and W < 4:
+        raise ValueError(f"stage_layers must be >= 4, got {stage_layers}")
+    A = (W - 2) if W else None  # tap-issue lookahead (fuse_res consumes
+    #                             layer l+1's taps at layer l: lead A-1 >= 1)
     # Cross-step tap prefetch only pays when the head is big enough to hide
     # the DMAs behind (chaconne-class skip/end widths); for small heads the
-    # extra per-step predication costs more than it saves.
-    prefetch = S * cfg.end_channels >= 1 << 18
+    # extra per-step predication costs more than it saves. Incompatible
+    # with the rotating window (it needs all L layers' slots live at once).
+    prefetch = S * cfg.end_channels >= 1 << 18 and W is None
 
     def kernel(*refs):
         (
@@ -144,19 +159,28 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
         else:
             reg = None
 
+        def tap_slot(l):
+            return (l % W) if W else l
+
         def tap_dma(l, j, t):
             # tap j of layer l looks back (nt - j) * d steps
             ridx = (t - (nt - j) * dil[l]) % periods[l]
             return pltpu.make_async_copy(
                 ring_ref.at[pl.ds((ring_off[l] + ridx) * R, R), :],
-                tap_vmem.at[pl.ds((l * nt + j) * R, R), :],
+                tap_vmem.at[pl.ds((tap_slot(l) * nt + j) * R, R), :],
                 tap_sems.at[l * nt + j],
             )
+
+        def issue_taps(l, t):
+            for j in range(nt):
+                @pl.when(t >= (nt - j) * dil[l])
+                def _(l=l, j=j):
+                    tap_dma(l, j, t).start()
 
         def write_dma(l, t):
             widx = t % periods[l]
             return pltpu.make_async_copy(
-                h_vmem.at[pl.ds(l * R, R), :],
+                h_vmem.at[pl.ds(tap_slot(l) * R, R), :],
                 ring_ref.at[pl.ds((ring_off[l] + widx) * R, R), :],
                 write_sems.at[l],
             )
@@ -194,13 +218,15 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
             # for d>=2 layers were issued at the END of the previous step
             # (their slot cannot be written in between — slot (t-d) mod
             # (d+1) != slot (t-1) mod (d+1) for d>=2), overlapping the
-            # head+sampling compute.
-            for l in range(L):
-                if dil[l] == 1 or not prefetch:
-                    for j in range(nt):
-                        @pl.when(ta >= (nt - j) * dil[l])
-                        def _(l=l, j=j):
-                            tap_dma(l, j, ta).start()
+            # head+sampling compute. With a rotating window only the first
+            # A layers' slots are free now; the rest issue during the walk.
+            if W:
+                for l in range(min(A, L)):
+                    issue_taps(l, ta)
+            else:
+                for l in range(L):
+                    if dil[l] == 1 or not prefetch:
+                        issue_taps(l, ta)
 
             # embed: one-hot (C, NS), h = w_startT @ onehot -> (R, NS)
             onehot = (
@@ -227,7 +253,7 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                     @pl.when(ta >= m)
                     def _(l=l, j=j):
                         tap_dma(l, j, ta).wait()
-                    tap = tap_vmem[pl.ds((l * nt + j) * R, R), :]
+                    tap = tap_vmem[pl.ds((tap_slot(l) * nt + j) * R, R), :]
                     zt = z + mm(w_old_ref[l, j], tap.astype(jnp.float32))
                     z = jnp.where(ta >= m, zt, z)
                 if Mp:
@@ -236,17 +262,23 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                     z = z + gproj_ref[pl.ds(l * 2 * D, 2 * D), :]
                 return z
 
+            def stage_write(l):
+                # stage h and start the ring write; writes are awaited at
+                # the end of the step (rotating window: when their slot
+                # comes around again), before any slot can be re-read
+                # (minimum lookback is 1 step). With bf16 rings the staged
+                # copy rounds once here; in-register h stays f32 this step.
+                if W and l >= W:
+                    write_dma(l - W, ta).wait()  # slot l%W free again
+                h_vmem[pl.ds(tap_slot(l) * R, R), :] = h.astype(ring_dtype)
+                write_dma(l, ta).start()
+
             if not fuse_res:
                 for l in range(L):
-                    # stage h and start the ring write; all writes are
-                    # awaited at the end of the step, before any slot can be
-                    # re-read (minimum lookback is 1 step). With bf16 rings
-                    # the staged copy rounds once here; in-register h stays
-                    # f32 this step.
-                    h_vmem[pl.ds(l * R, R), :] = h.astype(ring_dtype)
-                    write_dma(l, ta).start()
-
+                    stage_write(l)
                     z = z_extras(l, mm(w_cur_ref[l], h) + b_in_ref[l])
+                    if W and l + A < L:
+                        issue_taps(l + A, ta)
                     u = jnp.tanh(z[:D, :]) * jax.nn.sigmoid(z[D:, :])
                     sr = mm(w_out_ref[l], u) + b_out_ref[l]  # (S+R, NS)
                     skip = skip + sr[:S, :]
@@ -261,12 +293,13 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                 # so only act -> dot(wf) chains layer to layer.
                 z = z_extras(0, mm(w_cur_ref[0], h) + b_in_ref[0])
                 for l in range(L):
-                    h_vmem[pl.ds(l * R, R), :] = h.astype(ring_dtype)
-                    write_dma(l, ta).start()
+                    stage_write(l)
                     if l + 1 < L:
                         pre = z_extras(
                             l + 1, mm(w_cur_ref[l + 1], h) + bf_ref[l]
                         )
+                    if W and l + A < L:
+                        issue_taps(l + A, ta)
                     u = jnp.tanh(z[:D, :]) * jax.nn.sigmoid(z[D:, :])
                     if l + 1 < L:
                         z = pre + mm(wf_ref[l], u)
@@ -306,7 +339,9 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                 dma.wait()
 
             # all ring writes must land before the next step reads them
-            for l in range(L):
+            # (with a rotating window, layers < L-W were already drained
+            # when their slot was reused)
+            for l in range(max(0, L - W) if W else 0, L):
                 write_dma(l, ta).wait()
 
             # prefetch next step's taps for d>=2 layers (see top of step;
@@ -341,7 +376,8 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
 @partial(
     jax.jit,
     static_argnames=("cfg", "num_samples", "temperature", "regularize",
-                     "return_state", "interpret", "ring_dtype", "fuse_res"),
+                     "return_state", "interpret", "ring_dtype", "fuse_res",
+                     "pad_streams", "stage_layers"),
 )
 def generate_fast_batched(
     params: Params,
@@ -358,6 +394,8 @@ def generate_fast_batched(
     interpret: bool = False,
     ring_dtype=jnp.float32,
     fuse_res: bool = False,
+    pad_streams: int | None = None,
+    stage_layers: int | None = None,
 ):
     """Batched fused generation with HBM queue state. Same contract as
     ``models.generate.generate_fast``, including local conditioning:
@@ -375,9 +413,18 @@ def generate_fast_batched(
     next call's output, so chunk boundaries cost no state copies and the
     chunked rollout equals a single shot bitwise at temperature 0.
 
-    Requirement: the stream count a multiple of 128 (lane alignment of the
-    HBM DMAs). Any kernel_size works — each of the k-1 lookback taps gets
-    its own DMA slot and K=R matmul.
+    The HBM DMA slices need lane alignment, so the kernel runs at a
+    multiple of 128 streams internally; any other count is **auto-padded**
+    with dummy lanes (streams are fully independent — every matmul here is
+    lane-pointwise across streams, so padding changes nothing for the real
+    lanes and stream count is nearly free until VMEM staging runs out, see
+    PERF.md). Outputs are sliced back to the caller's count; a returned
+    ``HbmGenState`` keeps the padded ring (its ``cls`` is sliced) and
+    resuming from it re-pads transparently. ``pad_streams`` overrides the
+    alignment multiple (interpret mode defaults to no padding so tests can
+    run tiny counts; pass e.g. ``pad_streams=8`` to exercise the padding
+    path there). Any kernel_size works — each of the k-1 lookback taps
+    gets its own DMA slot and K=R matmul.
 
     ``ring_dtype=jnp.bfloat16`` stores the ring buffers and the tap/
     activation staging in bf16: halves the per-step DMA traffic and the
@@ -394,26 +441,53 @@ def generate_fast_batched(
     ``act -> dot`` chains layer to layer and the tap/cond adds ride the
     slack. Mathematically identical but floating-point-reassociated:
     logits agree to ~1e-5 with the exact path, so argmax rollouts can
-    diverge on near-ties — the default stays exact."""
+    diverge on near-ties — the default stays exact.
+
+    ``stage_layers=W`` (>= 4) switches the tap/activation VMEM staging to a
+    W-layer rotating window instead of all-L slabs: staging VMEM drops from
+    ``2*L*R*NS`` to ``2*W*R*NS`` elements, which is what caps the stream
+    count (the all-L slabs overflow VMEM near 4096 bf16 streams on the
+    40-layer config). Tap DMAs are issued W-2 layers ahead of their
+    consumer and ring writes drain when their slot is reused, so the extra
+    synchronization stays off the serial chain; results are bitwise
+    identical to the unstaged kernel. Costs the cross-step tap prefetch
+    (irrelevant at high stream counts, where DMAs hide under the wide
+    matmuls) — leave it ``None`` for small batches."""
     fuse_res = fuse_res and cfg.num_layers > 1
     resume = state is not None
+    fill = cfg.classes // 2
     if resume:
         if first_samples is not None:
             raise ValueError("pass either first_samples or state, not both")
-        streams = state.cls.shape[0]
-        first_samples = state.cls.reshape(streams, 1).astype(jnp.int32)
+        # the ring carries the kernel's (possibly padded) lane count; cls
+        # carries the caller's — re-pad the dummy lanes' next-input class
+        true_streams = state.cls.shape[0]
+        streams = state.ring.shape[1]
+        if streams < true_streams:
+            raise ValueError(
+                f"state ring width {streams} < stream count {true_streams}"
+            )
+        first_samples = jnp.pad(
+            state.cls.astype(jnp.int32), (0, streams - true_streams),
+            constant_values=fill,
+        ).reshape(streams, 1)
         num_given = 1
     else:
         if first_samples is None:
-            first_samples = jnp.full((1, 1), cfg.classes // 2, jnp.int32)
+            first_samples = jnp.full((1, 1), fill, jnp.int32)
         first_samples = jnp.atleast_2d(first_samples).astype(jnp.int32)
-        streams, num_given = first_samples.shape
-    if streams % 128 != 0 and not interpret:
-        raise ValueError(
-            f"stream count {streams} must be a multiple of 128; use the "
-            "VMEM kernel (generate_fast_fused) or the XLA path for smaller "
-            "batches"
+        true_streams, num_given = first_samples.shape
+        align = pad_streams if pad_streams is not None else (
+            None if interpret else 128
         )
+        streams = true_streams
+        if align and streams % align:
+            streams += -streams % align
+            first_samples = jnp.pad(
+                first_samples, ((0, streams - true_streams), (0, 0)),
+                constant_values=fill,
+            )
+    assert interpret or streams % 128 == 0 or pad_streams is not None
     rdt = jnp.dtype(ring_dtype)
     if rdt.itemsize == 2 and cfg.residual_channels % 16 != 0 and not interpret:
         raise ValueError(
@@ -489,11 +563,13 @@ def generate_fast_batched(
         M = cfg.cond_channels
         if M == 0:
             raise ValueError("cond given but cfg.cond_channels == 0")
-        if cond.shape != (streams, total, M):
+        if cond.shape != (true_streams, total, M):
             raise ValueError(
                 f"cond shape {cond.shape} != (streams, num_given-1+num_samples,"
-                f" cond_channels) = {(streams, total, M)}"
+                f" cond_channels) = {(true_streams, total, M)}"
             )
+        if streams != true_streams:
+            cond = jnp.pad(cond, ((0, streams - true_streams), (0, 0), (0, 0)))
         Mp = -(-M // 8) * 8  # sublane-align each per-step slab
         # (streams, total, M) -> (total, Mp, streams) -> (total*Mp, streams)
         cond_cf = jnp.transpose(cond.astype(f32), (1, 2, 0))
@@ -508,10 +584,14 @@ def generate_fast_batched(
     if global_cond is not None:
         if cfg.gcond_channels == 0:
             raise ValueError("global_cond given but cfg.gcond_channels == 0")
-        if global_cond.shape != (streams, cfg.gcond_channels):
+        if global_cond.shape != (true_streams, cfg.gcond_channels):
             raise ValueError(
                 f"global_cond shape {global_cond.shape} != "
-                f"{(streams, cfg.gcond_channels)}"
+                f"{(true_streams, cfg.gcond_channels)}"
+            )
+        if streams != true_streams:
+            global_cond = jnp.pad(
+                global_cond, ((0, streams - true_streams), (0, 0))
             )
         # channels-first per-layer add table: rows [l*2D, (l+1)*2D)
         gproj = jnp.einsum(
@@ -533,14 +613,15 @@ def generate_fast_batched(
     kernel, periods = _make_kernel(
         cfg, streams, num_given, total, float(temperature), float(regularize),
         cond_rows=Mp, has_gcond=global_cond is not None, resume=resume,
-        ring_dtype=rdt, fuse_res=fuse_res,
+        ring_dtype=rdt, fuse_res=fuse_res, stage_layers=stage_layers,
     )
     n_chunks = -(-total // _CHUNK)
 
     nt = k_sz - 1
+    Wd = min(stage_layers, L) if stage_layers else L
     scratch_shapes = [
-        pltpu.VMEM((L * nt * R, streams), rdt),
-        pltpu.VMEM((L * R, streams), rdt),
+        pltpu.VMEM((Wd * nt * R, streams), rdt),
+        pltpu.VMEM((Wd * R, streams), rdt),
         pltpu.VMEM((_CHUNK, streams), jnp.int32),
         pltpu.VMEM((_CHUNK, streams), jnp.int32),
         pltpu.SemaphoreType.DMA((L * nt,)),
@@ -569,8 +650,10 @@ def generate_fast_batched(
         interpret=interpret,
     )(*args)
 
-    all_cls = out.T  # (streams, n_chunks*_CHUNK)
-    cls = all_cls[:, num_given - 1 : total]  # (streams, num_samples)
+    # dummy pad lanes (if any) are dropped here; the ring keeps them so a
+    # resumed call re-enters the kernel at the same aligned width
+    all_cls = out.T[:true_streams]  # (true_streams, n_chunks*_CHUNK)
+    cls = all_cls[:, num_given - 1 : total]  # (true_streams, num_samples)
     wav = mu_law_expansion_jnp(
         (cls.astype(jnp.float32) / cfg.classes) * 2.0 - 1.0, cfg.classes
     )

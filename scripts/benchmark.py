@@ -137,25 +137,35 @@ def main():
         )
 
         sweep = [
-            (128, jnp.float32, False),
-            (256, jnp.float32, False),
-            (256, jnp.float32, True),
-            (1024, jnp.float32, False),
+            (128, jnp.float32, False, None),
+            (256, jnp.float32, False, None),
+            (256, jnp.float32, True, None),
+            (1024, jnp.float32, False, None),
         ]
         if cfg.residual_channels % 16 == 0:
-            # bf16 rings halve DMA traffic and the VMEM staging that caps S
-            sweep += [(1024, jnp.bfloat16, False), (2048, jnp.bfloat16, False)]
-        for S, rdt, fuse in sweep:
+            # bf16 rings halve DMA traffic and the VMEM staging that caps S;
+            # a rotating stage window shrinks the staging further for the
+            # stream counts the all-L slabs can't reach
+            sweep += [
+                (1024, jnp.bfloat16, False, None),
+                (2048, jnp.bfloat16, False, None),
+                (2048, jnp.bfloat16, False, 8),
+                (4096, jnp.bfloat16, False, 8),
+            ]
+        for S, rdt, fuse, stage in sweep:
             primeS = jnp.tile(prime, (S, 1))
             nS = max(2048, n // 4)
             tag = "" if rdt == jnp.float32 else " bf16-ring"
             if fuse:
                 tag += " fuse_res"
+            if stage:
+                tag += f" stage{stage}"
 
             def gen_hbm():
                 wav, _ = generate_fast_batched(
                     params, cfg, jax.random.PRNGKey(6), nS, primeS,
                     temperature=1.0, ring_dtype=rdt, fuse_res=fuse,
+                    stage_layers=stage,
                 )
                 np.asarray(wav)
 

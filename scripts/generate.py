@@ -20,6 +20,7 @@ if os.environ.get("WAVENET_TPU_FORCE_CPU"):
 import argparse
 import os
 import sys
+from functools import partial
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -178,28 +179,36 @@ def main():
     # fastest available path: fused Pallas kernels on TPU, XLA scan otherwise
     gen = wt.generate_fast
     path = "XLA scan"
-    if jax.devices()[0].platform != "tpu":
-        reason = "not on TPU"
-    elif args.num_streams % 128 == 0 and args.num_streams > 0:
-        from functools import partial
+    reason = None
 
+    def _hbm_backend():
         from pytorch_wavenet_tpu.ops.pallas.gen_kernel_hbm import (
             generate_fast_batched,
         )
 
-        gen = generate_fast_batched
-        path, reason = "fused HBM kernel", None
+        g, p = generate_fast_batched, "fused HBM kernel"
         if args.bf16_rings:
-            gen = partial(gen, ring_dtype=jnp.bfloat16)
-            path += " (bf16 rings)"
+            g = partial(g, ring_dtype=jnp.bfloat16)
+            p += " (bf16 rings)"
         if not args.exact_chain:
             # +11% at 256 streams, a wash at 1024+ where the extra
             # (2D, D) chain matmul cancels the latency saving (PERF.md)
-            gen = partial(gen, fuse_res=True)
-            path += " (fuse_res)"
-    else:
-        from functools import partial
+            g = partial(g, fuse_res=True)
+            p += " (fuse_res)"
+        # all-L tap/activation staging crowds VMEM at high stream counts:
+        # the 8-layer rotating window measured 1.61x at 2048 streams,
+        # unlocked 4096, and was neutral at 1024 and below (PERF.md)
+        nsp = -(-args.num_streams // 128) * 128
+        if nsp >= 2048 and cfg.num_layers > 8:
+            g = partial(g, stage_layers=8)
+            p += " (staged)"
+        return g, p
 
+    if jax.devices()[0].platform != "tpu":
+        reason = "not on TPU"
+    elif args.num_streams % 128 == 0 and args.num_streams > 0:
+        gen, path = _hbm_backend()
+    else:
         from pytorch_wavenet_tpu.ops.pallas.gen_kernel import (
             _VMEM_BUDGET_BYTES,
             fused_vmem_bytes,
@@ -211,17 +220,16 @@ def main():
         )
         if need <= _VMEM_BUDGET_BYTES:
             gen = generate_fast_fused
-            path, reason = "fused VMEM kernel", None
+            path = "fused VMEM kernel"
             if not args.exact_chain:
                 gen = partial(generate_fast_fused, fuse_res=True)
                 path += " (fuse_res)"
         else:
-            reason = (
-                f"{args.num_streams} streams x {args.num_samples} steps "
-                f"need ~{need / 1e6:.0f} MB of VMEM state (budget "
-                f"{_VMEM_BUDGET_BYTES / 1e6:.0f} MB); pad to a multiple of "
-                "128 streams for the HBM kernel"
-            )
+            # too big for on-chip queue state: the HBM kernel auto-pads
+            # the lane dimension to 128 (dummy lanes are nearly free)
+            gen, path = _hbm_backend()
+            pad = -(-args.num_streams // 128) * 128
+            reason = f"auto-padding {args.num_streams} -> {pad} streams"
     print(f"generation path: {path}" + (f" ({reason})" if reason else ""))
 
     t0 = time.perf_counter()

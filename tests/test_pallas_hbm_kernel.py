@@ -75,12 +75,103 @@ def test_batched_long_prime_multiple_chunks(tiny):
     np.testing.assert_array_equal(np.asarray(cb), np.asarray(cx))
 
 
-def test_batched_rejects_unaligned_streams_on_hw(tiny):
+def test_batched_staged_window_matches_unstaged(tiny):
+    """stage_layers=W rotates the tap/activation staging through a W-layer
+    window (the VMEM lever for very high stream counts). Must be bitwise
+    vs the all-L slabs, across ring wraparound."""
     cfg, params = tiny
-    prime = jnp.zeros((4, 2), jnp.int32)
-    with pytest.raises(ValueError):
-        generate_fast_batched(params, cfg, jax.random.PRNGKey(0), 8, prime,
-                              temperature=0.0, interpret=False)
+    from pytorch_wavenet_tpu.models.generate import buffer_length
+
+    n = 2 * buffer_length(cfg) + 5
+    prime = jax.random.randint(
+        jax.random.PRNGKey(50), (2, cfg.receptive_field), 0, cfg.classes
+    )
+    k = jax.random.PRNGKey(51)
+    _, c0 = generate_fast_batched(params, cfg, k, n, prime, temperature=0.0,
+                                  interpret=True)
+    for w in (4, 5):
+        _, cw = generate_fast_batched(params, cfg, k, n, prime,
+                                      temperature=0.0, interpret=True,
+                                      stage_layers=w)
+        np.testing.assert_array_equal(np.asarray(cw), np.asarray(c0))
+
+
+def test_batched_staged_window_fuse_res_k3_streaming(tiny):
+    """Staged window composed with fuse_res, kernel_size=3 (two lookback
+    taps per slot) and streaming state."""
+    cfg = wt.get_config("tiny", kernel_size=3)
+    params = wt.init_wavenet(jax.random.PRNGKey(52), cfg)
+    rf = cfg.receptive_field
+    prime = jax.random.randint(jax.random.PRNGKey(53), (2, rf), 0,
+                               cfg.classes)
+    k = jax.random.PRNGKey(54)
+    n1, n2 = 19, 14
+    _, c0 = generate_fast_batched(params, cfg, k, n1 + n2, prime,
+                                  temperature=0.0, fuse_res=True,
+                                  interpret=True)
+    _, c1, st = generate_fast_batched(params, cfg, k, n1, prime,
+                                      temperature=0.0, fuse_res=True,
+                                      return_state=True, interpret=True,
+                                      stage_layers=4)
+    _, c2 = generate_fast_batched(params, cfg, k, n2, None, temperature=0.0,
+                                  fuse_res=True, state=st, interpret=True,
+                                  stage_layers=4)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(c1), np.asarray(c2)], axis=1),
+        np.asarray(c0),
+    )
+
+
+def test_batched_stream_padding_matches_xla(tiny):
+    """Unaligned stream counts are auto-padded with dummy lanes (on
+    hardware to 128; here pad_streams=8 exercises the same path cheaply).
+    Real lanes must be untouched — streams are independent in this
+    kernel."""
+    cfg, params = tiny
+    prime = jax.random.randint(
+        jax.random.PRNGKey(40), (5, cfg.receptive_field), 0, cfg.classes
+    )
+    k = jax.random.PRNGKey(41)
+    wav, cb = generate_fast_batched(params, cfg, k, 24, prime,
+                                    temperature=0.0, interpret=True,
+                                    pad_streams=8)
+    assert cb.shape == (5, 24) and wav.shape == (5, 24)
+    _, cx = wt.generate_fast(params, cfg, k, 24, prime, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(cb), np.asarray(cx))
+
+
+def test_batched_stream_padding_streaming_and_cond(tiny):
+    """Padding + streaming: the returned state keeps the padded ring but
+    unpadded cls; resuming re-pads and the chunked rollout still equals
+    the single shot. Conditioned, to cover cond-slab padding too."""
+    cfg = wt.get_config("tiny", cond_channels=6, gcond_channels=3)
+    params = wt.init_wavenet(jax.random.PRNGKey(42), cfg)
+    rf = cfg.receptive_field
+    n1, n2 = 21, 17
+    prime = jax.random.randint(jax.random.PRNGKey(43), (3, rf), 0,
+                               cfg.classes)
+    total = rf - 1 + n1 + n2
+    cond = 0.5 * jax.random.normal(jax.random.PRNGKey(44), (3, total, 6))
+    gcond = jax.random.normal(jax.random.PRNGKey(45), (3, 3))
+    k = jax.random.PRNGKey(46)
+    _, ca = generate_fast_batched(params, cfg, k, n1 + n2, prime,
+                                  temperature=0.0, cond=cond,
+                                  global_cond=gcond, interpret=True,
+                                  pad_streams=8)
+    _, c1, st = generate_fast_batched(params, cfg, k, n1, prime,
+                                      temperature=0.0,
+                                      cond=cond[:, : rf - 1 + n1],
+                                      global_cond=gcond, return_state=True,
+                                      interpret=True, pad_streams=8)
+    assert st.ring.shape[1] == 8 and st.cls.shape == (3,)
+    _, c2 = generate_fast_batched(params, cfg, k, n2, None, temperature=0.0,
+                                  cond=cond[:, rf - 1 + n1 :],
+                                  global_cond=gcond, state=st,
+                                  interpret=True, pad_streams=8)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(c1), np.asarray(c2)], axis=1),
+        np.asarray(ca),
+    )
 
 
 def test_batched_kernel_size_3_matches_xla(tiny):
