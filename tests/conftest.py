@@ -16,3 +16,20 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The XLA:CPU JIT has been observed to segfault intermittently inside
+    ``backend_compile_and_load`` once a single process accumulates a few
+    hundred live compiled programs (three crashes at the ~65% mark of the
+    full suite, different tests each time, every one standalone-green —
+    the Python stacks bottom out in the LLVM JIT, not in this repo).
+    Clearing per module keeps the live-executable population bounded at
+    one module's worth; the recompiles cost ~a minute across the suite."""
+    yield
+    jax.clear_caches()
