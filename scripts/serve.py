@@ -1,0 +1,321 @@
+#!/usr/bin/env python
+"""Streaming synthesis server: WaveNet generation over HTTP.
+
+The reference stops at batch scripts; this is the serving half the
+streaming-state API (models/generate.py StreamState, ops/pallas
+FusedGenState) was built for: audio is generated in fixed-size chunks
+whose ring-buffer state flows between device calls, and each chunk's
+PCM is flushed to the client as soon as it exists — time-to-first-audio
+is one chunk, not one clip, and a canceled request stops the rollout at
+the next chunk boundary.
+
+Endpoints
+  GET  /health          -> JSON {status, params, receptive_field, backend}
+  GET  /synthesize      -> audio/wav, streamed while it generates
+       query params: num_samples (default 16000), temperature (1.0),
+                     seed (0), chunk (2048)
+  POST /synthesize      -> same, parameters as a JSON body
+  POST /vocode          -> audio/wav copy-synthesis: body is a wav upload,
+       the server featurizes it to log-mels and re-synthesizes through the
+       conditioned model (requires cfg.cond_channels > 0); query params:
+       temperature, seed, hop_length (256), n_fft (1024)
+
+One device, one rollout at a time: concurrent requests serialize on a
+lock (the chunk loop yields it between chunks, so interleaved requests
+make progress instead of starving).
+
+Example:
+  python scripts/serve.py --snapshot snaps/model_0000001000.ckpt --port 8765
+  curl -sN 'localhost:8765/synthesize?num_samples=16000&temperature=0.9' > x.wav
+"""
+
+import os
+
+if os.environ.get("WAVENET_TPU_FORCE_CPU"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
+import argparse
+import json
+import struct
+import sys
+import threading
+from functools import partial
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--snapshot-path", default="snapshots")
+    p.add_argument("--snapshot", default=None, help="explicit checkpoint file")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8765)
+    p.add_argument("--backend", choices=("auto", "xla", "vmem"),
+                   default="auto",
+                   help="auto = fused VMEM kernel on TPU when the state "
+                        "fits, XLA scan otherwise")
+    p.add_argument("--max-samples", type=int, default=16000 * 60,
+                   help="per-request ceiling")
+    p.add_argument("--sr", type=int, default=16000)
+    return p.parse_args()
+
+
+def wav_header(num_samples: int, sr: int) -> bytes:
+    """44-byte RIFF/WAVE header for 16-bit mono PCM of a known length —
+    written up front so clients can play the stream as it arrives."""
+    data_bytes = num_samples * 2
+    return (
+        b"RIFF" + struct.pack("<I", 36 + data_bytes) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+        + b"data" + struct.pack("<I", data_bytes)
+    )
+
+
+class Synthesizer:
+    """Owns the model and the device; serializes rollouts chunk-by-chunk."""
+
+    def __init__(self, params, cfg, backend: str, sr: int):
+        self.cfg = cfg
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.sr = sr
+        self.lock = threading.Lock()
+        self.backend = self._pick_backend(backend)
+
+    def _pick_backend(self, backend: str) -> str:
+        if backend == "auto":
+            if jax.devices()[0].platform != "tpu":
+                return "xla"
+            from pytorch_wavenet_tpu.ops.pallas.gen_kernel import (
+                _VMEM_BUDGET_BYTES,
+                fused_vmem_bytes,
+            )
+
+            need = fused_vmem_bytes(
+                self.cfg, 1, self.cfg.receptive_field + 8192
+            )
+            return "vmem" if need <= _VMEM_BUDGET_BYTES else "xla"
+        return backend
+
+    def _gen_fn(self):
+        import pytorch_wavenet_tpu as wt
+
+        if self.backend == "vmem":
+            from pytorch_wavenet_tpu.ops.pallas.gen_kernel import (
+                generate_fast_fused,
+            )
+
+            return partial(generate_fast_fused, fuse_res=True)
+        return wt.generate_fast
+
+    def vocode(self, wav_bytes: bytes, hop_length: int, n_fft: int,
+               temperature: float, seed: int) -> np.ndarray:
+        """Copy-synthesis: wav bytes -> log-mel frames -> conditioned
+        rollout (models.generate.synthesize). Returns float32 (T,)."""
+        import tempfile
+
+        import pytorch_wavenet_tpu as wt
+        from pytorch_wavenet_tpu.data.audio_io import load_audio
+        from pytorch_wavenet_tpu.ops.mel import log_mel_spectrogram
+
+        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+            f.write(wav_bytes)
+            f.flush()
+            wav_in, sr = load_audio(f.name, sampling_rate=self.sr)
+        mel = log_mel_spectrogram(
+            wav_in, num_mels=self.cfg.cond_channels, n_fft=n_fft,
+            hop_length=hop_length, sampling_rate=sr,
+        )
+        first = jnp.full((1, 1), self.cfg.classes // 2, jnp.int32)
+        with self.lock:
+            wav, _ = wt.synthesize(
+                self.params, self.cfg, jax.random.PRNGKey(seed),
+                jnp.asarray(mel), hop_length, first,
+                temperature=temperature, backend=self._gen_fn(),
+            )
+            return np.asarray(wav[0])
+
+    def stream(self, num_samples: int, temperature: float, seed: int,
+               chunk: int):
+        """Yield float32 (chunk,) waveform arrays; ring state carries
+        across chunks (bitwise-equal to a single shot at temperature 0)."""
+        gen = self._gen_fn()
+        cfg = self.cfg
+        key = jax.random.PRNGKey(seed)
+        first = jnp.full((1, 1), cfg.classes // 2, jnp.int32)
+        state = None
+        done = 0
+        while done < num_samples:
+            n = min(chunk, num_samples - done)
+            key, sub = jax.random.split(key)
+            with self.lock:
+                wav, _, state = gen(
+                    self.params, cfg, sub, n,
+                    first if done == 0 else None,
+                    temperature=temperature, state=state, return_state=True,
+                )
+                out = np.asarray(wav[0])
+            done += n
+            yield out
+
+
+def make_handler(synth: Synthesizer, max_samples: int):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet by default
+            sys.stderr.write("%s - %s\n" % (self.address_string(),
+                                            fmt % args))
+
+        def _json(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _params_from(self, query: dict, body: dict) -> dict:
+            def pick(name, cast, default):
+                if name in body:
+                    return cast(body[name])
+                if name in query:
+                    return cast(query[name][0])
+                return default
+
+            return {
+                "num_samples": pick("num_samples", int, 16000),
+                "temperature": pick("temperature", float, 1.0),
+                "seed": pick("seed", int, 0),
+                "chunk": pick("chunk", int, 2048),
+            }
+
+        def _synthesize(self, body: dict):
+            q = parse_qs(urlparse(self.path).query)
+            try:
+                req = self._params_from(q, body)
+            except (ValueError, TypeError) as e:
+                return self._json(400, {"error": f"bad parameter: {e}"})
+            if not 0 < req["num_samples"] <= max_samples:
+                return self._json(
+                    400, {"error": f"num_samples must be in "
+                                   f"(0, {max_samples}]"})
+            if req["chunk"] < 1:
+                return self._json(400, {"error": "chunk must be >= 1"})
+
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header(
+                "Content-Length", str(44 + req["num_samples"] * 2))
+            self.end_headers()
+            self.wfile.write(wav_header(req["num_samples"], synth.sr))
+            try:
+                for wav in synth.stream(req["num_samples"],
+                                        req["temperature"], req["seed"],
+                                        req["chunk"]):
+                    pcm = np.clip(wav * 32767.0, -32768, 32767)
+                    self.wfile.write(pcm.astype("<i2").tobytes())
+                    self.wfile.flush()
+            except BrokenPipeError:
+                pass  # client hung up; the next chunk simply isn't computed
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/health":
+                return self._json(200, {
+                    "status": "ok",
+                    "backend": synth.backend,
+                    "receptive_field": synth.cfg.receptive_field,
+                    "parameter_count": synth.cfg.parameter_count(),
+                    "classes": synth.cfg.classes,
+                    "sample_rate": synth.sr,
+                })
+            if path == "/synthesize":
+                return self._synthesize({})
+            self._json(404, {"error": f"no route {path}"})
+
+        def _vocode(self):
+            if synth.cfg.cond_channels == 0:
+                return self._json(
+                    400, {"error": "this model is unconditional "
+                                   "(cfg.cond_channels == 0)"})
+            length = int(self.headers.get("Content-Length", 0) or 0)
+            if not 44 <= length <= 64 * 1024 * 1024:
+                return self._json(
+                    400, {"error": "body must be a wav upload (<= 64 MB)"})
+            blob = self.rfile.read(length)
+            q = parse_qs(urlparse(self.path).query)
+
+            def qp(name, cast, default):
+                return cast(q[name][0]) if name in q else default
+
+            try:
+                wav = synth.vocode(
+                    blob,
+                    hop_length=qp("hop_length", int, 256),
+                    n_fft=qp("n_fft", int, 1024),
+                    temperature=qp("temperature", float, 1.0),
+                    seed=qp("seed", int, 0),
+                )
+            except (ValueError, TypeError) as e:
+                return self._json(400, {"error": str(e)})
+            pcm = np.clip(wav * 32767.0, -32768, 32767).astype("<i2")
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(44 + pcm.size * 2))
+            self.end_headers()
+            self.wfile.write(wav_header(pcm.size, synth.sr))
+            self.wfile.write(pcm.tobytes())
+
+        def do_POST(self):
+            path = urlparse(self.path).path
+            if path == "/vocode":
+                return self._vocode()
+            if path != "/synthesize":
+                return self._json(404, {"error": f"no route {path}"})
+            length = int(self.headers.get("Content-Length", 0) or 0)
+            body = {}
+            if length:
+                try:
+                    body = json.loads(self.rfile.read(length) or b"{}")
+                except json.JSONDecodeError:
+                    return self._json(400, {"error": "body is not JSON"})
+            self._synthesize(body)
+
+    return Handler
+
+
+def main():
+    args = parse_args()
+    import pytorch_wavenet_tpu as wt
+
+    if args.snapshot:
+        blob = wt.load_checkpoint(args.snapshot)
+    else:
+        blob = wt.load_latest_model_from(args.snapshot_path)
+    synth = Synthesizer(blob["params"], blob["config"], args.backend,
+                        args.sr)
+
+    # warm the compile cache so the first request doesn't eat it
+    next(iter(synth.stream(1, 1.0, 0, 1)))
+
+    server = ThreadingHTTPServer(
+        (args.host, args.port), make_handler(synth, args.max_samples))
+    print(f"serving {synth.cfg.parameter_count():,}-param model on "
+          f"http://{args.host}:{server.server_address[1]} "
+          f"(backend: {synth.backend})", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,196 @@
+"""Streaming synthesis server (scripts/serve.py): end-to-end over HTTP.
+
+The server is the serving counterpart of the streaming-state API — chunked
+generation with ring state carried between device calls — so the key
+assertion is that the bytes that arrive over the wire equal a direct
+single-shot ``generate_fast`` rollout (temperature 0 is bitwise)."""
+
+import json
+import os
+import socket
+import struct
+import subprocess
+import sys
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ENV = {
+    **os.environ,
+    "JAX_PLATFORMS": "",
+    "WAVENET_TPU_FORCE_CPU": "1",
+}
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    import jax
+    import jax.numpy as jnp
+
+    import pytorch_wavenet_tpu as wt
+
+    cfg = wt.get_config("tiny")
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    d = tmp_path_factory.mktemp("serve")
+    wt.save_checkpoint(str(d), "tiny", 0, params, cfg=cfg)
+    ckpt = os.path.join(str(d), os.listdir(d)[0])
+
+    with socket.socket() as s:  # free port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    proc = subprocess.Popen(
+        [sys.executable, "scripts/serve.py", "--snapshot", ckpt,
+         "--port", str(port), "--backend", "xla", "--max-samples", "4000"],
+        cwd=REPO, env=ENV,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    base = f"http://127.0.0.1:{port}"
+    try:
+        deadline = time.time() + 120
+        while True:
+            try:
+                with urllib.request.urlopen(base + "/health", timeout=5) as r:
+                    health = json.loads(r.read())
+                break
+            except OSError:
+                if proc.poll() is not None or time.time() > deadline:
+                    out = proc.stdout.read() if proc.stdout else ""
+                    raise RuntimeError(f"server died:\n{out[-2000:]}")
+                time.sleep(0.5)
+        yield base, health, (params, cfg)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
+
+
+def test_health(server):
+    _, health, (params, cfg) = server
+    assert health["status"] == "ok"
+    assert health["backend"] == "xla"
+    assert health["receptive_field"] == cfg.receptive_field
+    assert health["parameter_count"] == cfg.parameter_count()
+
+
+def _fetch_wav(url):
+    with urllib.request.urlopen(url, timeout=300) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        blob = r.read()
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    n = struct.unpack("<I", blob[40:44])[0] // 2
+    pcm = np.frombuffer(blob[44:], "<i2")
+    assert pcm.size == n
+    return pcm
+
+
+def test_streamed_wav_matches_direct_rollout(server):
+    """Chunked-over-HTTP == single-shot on device (temperature 0)."""
+    import jax
+    import jax.numpy as jnp
+
+    import pytorch_wavenet_tpu as wt
+
+    base, _, (params, cfg) = server
+    n = 96
+    pcm = _fetch_wav(
+        f"{base}/synthesize?num_samples={n}&temperature=0&seed=3&chunk=25")
+
+    first = jnp.full((1, 1), cfg.classes // 2, jnp.int32)
+    wav, _ = wt.generate_fast(params, cfg, jax.random.PRNGKey(3), n, first,
+                              temperature=0.0)
+    expect = np.clip(np.asarray(wav[0]) * 32767.0, -32768, 32767).astype("<i2")
+    np.testing.assert_array_equal(pcm, expect)
+
+
+def test_vocode_rejected_on_unconditional_model(server):
+    base, _, _ = server
+    req = urllib.request.Request(
+        base + "/vocode", data=b"\0" * 100,
+        headers={"Content-Type": "audio/wav"}, method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+    assert b"unconditional" in e.value.read()
+
+
+@pytest.fixture(scope="module")
+def vocoder_server(tmp_path_factory):
+    import jax
+
+    import pytorch_wavenet_tpu as wt
+
+    cfg = wt.get_config("tiny_vocoder")
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    d = tmp_path_factory.mktemp("serve_voc")
+    wt.save_checkpoint(str(d), "tinyv", 0, params, cfg=cfg)
+    ckpt = os.path.join(str(d), os.listdir(d)[0])
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    proc = subprocess.Popen(
+        [sys.executable, "scripts/serve.py", "--snapshot", ckpt,
+         "--port", str(port), "--backend", "xla"],
+        cwd=REPO, env=ENV,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    base = f"http://127.0.0.1:{port}"
+    try:
+        deadline = time.time() + 120
+        while True:
+            try:
+                with urllib.request.urlopen(base + "/health", timeout=5):
+                    break
+            except OSError:
+                if proc.poll() is not None or time.time() > deadline:
+                    out = proc.stdout.read() if proc.stdout else ""
+                    raise RuntimeError(f"server died:\n{out[-2000:]}")
+                time.sleep(0.5)
+        yield base
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
+
+
+def test_vocode_copy_synthesis(vocoder_server, tmp_path):
+    """wav upload -> log-mel featurization -> conditioned rollout -> wav."""
+    from pytorch_wavenet_tpu.data.audio_io import write_wav
+
+    t = np.arange(1600) / 16000.0
+    path = tmp_path / "in.wav"
+    write_wav(str(path), 0.3 * np.sin(2 * np.pi * 220 * t), 16000)
+    blob = path.read_bytes()
+
+    req = urllib.request.Request(
+        f"{vocoder_server}/vocode?hop_length=64&n_fft=256&temperature=0.8",
+        data=blob, headers={"Content-Type": "audio/wav"}, method="POST")
+    with urllib.request.urlopen(req, timeout=300) as r:
+        out = r.read()
+    assert out[:4] == b"RIFF" and out[8:12] == b"WAVE"
+    n = struct.unpack("<I", out[40:44])[0] // 2
+    assert n > 1000  # ~ F * hop samples of synthesized audio
+    assert len(out) == 44 + n * 2
+
+
+def test_post_json_and_limits(server):
+    base, _, _ = server
+    req = urllib.request.Request(
+        base + "/synthesize",
+        data=json.dumps({"num_samples": 40, "temperature": 0.8,
+                         "seed": 1, "chunk": 16}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=300) as r:
+        blob = r.read()
+    assert len(blob) == 44 + 40 * 2
+
+    # over the per-request ceiling -> 400, JSON error
+    bad = urllib.request.Request(
+        base + "/synthesize?num_samples=100000")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(bad, timeout=30)
+    assert e.value.code == 400
