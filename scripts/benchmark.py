@@ -140,6 +140,7 @@ def main():
             (128, jnp.float32, False, None),
             (256, jnp.float32, False, None),
             (256, jnp.float32, True, None),
+            (512, jnp.float32, False, 8),
             (1024, jnp.float32, False, None),
         ]
         if cfg.residual_channels % 16 == 0:

@@ -196,10 +196,13 @@ def main():
             g = partial(g, fuse_res=True)
             p += " (fuse_res)"
         # all-L tap/activation staging crowds VMEM at high stream counts:
-        # the 8-layer rotating window measured 1.61x at 2048 streams,
-        # unlocked 4096, and was neutral at 1024 and below (PERF.md)
+        # the 8-layer rotating window measured 1.61x at 2048 bf16 streams
+        # (saber), 1.36x at 512 f32 streams (chaconne), unlocked 4096, and
+        # was neutral at smaller working sets (PERF.md)
         nsp = -(-args.num_streams // 128) * 128
-        if nsp >= 2048 and cfg.num_layers > 8:
+        if cfg.num_layers > 8 and (
+            nsp >= 2048 or (nsp >= 512 and not args.bf16_rings)
+        ):
             g = partial(g, stage_layers=8)
             p += " (staged)"
         return g, p
