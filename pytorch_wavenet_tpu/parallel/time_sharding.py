@@ -63,6 +63,10 @@ def time_sharded_logits(
     the same way): position t sees x[<=t] with zero history before t=0 —
     identical semantics to ``wavenet_logits(..., out_len=T)``, which the
     tests pin allclose on a virtual mesh.
+
+    ``params`` must be replicated (host arrays are fine) — the in_spec is
+    ``P()``; arrays already sharded over a model axis would be read as if
+    each shard were the whole tensor.
     """
     n = mesh.shape[axis_name]
     N, T = x.shape
@@ -131,9 +135,14 @@ def time_sharded_loss(
     x shifted by one); only positions with a full receptive field
     (t >= rf - 1) count, masked locally per shard — no gather of the
     logits to one chip. Differentiable; grads match the unsharded loss."""
-    logits = time_sharded_logits(params, cfg, x, mesh, axis_name)
     T = x.shape[1]
     rf = cfg.receptive_field
+    if T < rf:
+        raise ValueError(
+            f"T={T} < receptive field {rf}: no position has a full "
+            "receptive field, the masked loss would be 0/0"
+        )
+    logits = time_sharded_logits(params, cfg, x, mesh, axis_name)
     pos = jnp.arange(T)[None, :]
     valid = (pos >= rf - 1).astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
