@@ -62,7 +62,8 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                  temperature: float, regularize: float, cond_rows: int = 0,
                  has_gcond: bool = False, resume: bool = False,
                  ring_dtype=jnp.float32, fuse_res: bool = False,
-                 stage_layers: int | None = None):
+                 stage_layers: int | None = None,
+                 head_tiles: int | None = None):
     L = cfg.num_layers
     D = cfg.dilation_channels
     S = cfg.skip_channels
@@ -93,6 +94,15 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
     # extra per-step predication costs more than it saves. Incompatible
     # with the rotating window (it needs all L layers' slots live at once).
     prefetch = S * cfg.end_channels >= 1 << 18 and W is None
+    # Head tiling: the embed/head/sampling block is lane-pointwise across
+    # streams, so it runs in G groups of NS/G lanes — its live intermediates
+    # ((C, NS) one-hot/logits/noise, (E, NS) and the relu'd (S, NS) row)
+    # shrink by G while the layer walk is untouched. G=1 is the identity.
+    G = head_tiles or 1
+    if streams % G:
+        raise ValueError(f"streams {streams} not divisible by {head_tiles} "
+                         "head tiles")
+    NSg = streams // G
 
     def kernel(*refs):
         (
@@ -153,8 +163,10 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
             pltpu.prng_seed(seed_ref[0, 0])
 
         if regularize != 0.0:
+            # every column is the same penalty row, so one head-tile's
+            # width serves all groups (and the whole row when G == 1)
             reg = (
-                lax.broadcasted_iota(jnp.float32, (C, NS), 0) - C / 2.0
+                lax.broadcasted_iota(jnp.float32, (C, NSg), 0) - C / 2.0
             ) ** 2 * regularize
         else:
             reg = None
@@ -228,11 +240,17 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                     if dil[l] == 1 or not prefetch:
                         issue_taps(l, ta)
 
-            # embed: one-hot (C, NS), h = w_startT @ onehot -> (R, NS)
-            onehot = (
-                lax.broadcasted_iota(jnp.int32, (C, NS), 0) == cls
-            ).astype(jnp.float32)
-            h = mm(w_start_ref[...], onehot) + b_start_ref[...]
+            # embed: one-hot (C, NSg) per head tile, h = w_startT @ onehot
+            def embed_group(g):
+                onehot = (
+                    lax.broadcasted_iota(jnp.int32, (C, NSg), 0)
+                    == cls[:, g * NSg : (g + 1) * NSg]
+                ).astype(jnp.float32)
+                return mm(w_start_ref[...], onehot) + b_start_ref[...]
+
+            h = jnp.concatenate(
+                [embed_group(g) for g in range(G)], axis=1
+            ) if G > 1 else embed_group(0)
             skip = jnp.zeros((S, NS), jnp.float32)
 
             if Mp:
@@ -307,24 +325,35 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                     skip = skip + sr[:S, :]
                     h = h + sr[S:, :]
 
-            y = jnp.maximum(skip, 0.0)
-            y = jnp.maximum(mm(w_end1_ref[...], y) + b_end1_ref[...], 0.0)
-            logits = mm(w_end2_ref[...], y) + b_end2_ref[...]  # (C, NS)
-            if reg is not None:
-                logits = logits - reg
-
-            if temperature > 0:
-                bits = pltpu.bitcast(
-                    pltpu.prng_random_bits((C, NS)), jnp.uint32
+            def head_group(g):
+                y = jnp.maximum(skip[:, g * NSg : (g + 1) * NSg], 0.0)
+                y = jnp.maximum(
+                    mm(w_end1_ref[...], y) + b_end1_ref[...], 0.0
                 )
-                bits24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
-                u01 = bits24.astype(jnp.float32) * (1.0 / (1 << 24))
-                u01 = jnp.clip(u01, 1e-7, 1.0 - 1e-7)
-                gumbel = -jnp.log(-jnp.log(u01))
-                sampled = jnp.argmax(logits / temperature + gumbel, axis=0)
-            else:
-                sampled = jnp.argmax(logits, axis=0)
-            sampled = sampled.astype(jnp.int32).reshape(1, NS)
+                logits = mm(w_end2_ref[...], y) + b_end2_ref[...]  # (C, NSg)
+                if reg is not None:
+                    logits = logits - reg
+
+                if temperature > 0:
+                    # per-group draws: the PRNG stream assigns different
+                    # bits to a lane than the untiled kernel would, so
+                    # sampled rollouts match untiled statistically, not
+                    # bitwise (temperature 0 stays bitwise)
+                    bits = pltpu.bitcast(
+                        pltpu.prng_random_bits((C, NSg)), jnp.uint32
+                    )
+                    bits24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+                    u01 = bits24.astype(jnp.float32) * (1.0 / (1 << 24))
+                    u01 = jnp.clip(u01, 1e-7, 1.0 - 1e-7)
+                    gumbel = -jnp.log(-jnp.log(u01))
+                    s = jnp.argmax(logits / temperature + gumbel, axis=0)
+                else:
+                    s = jnp.argmax(logits, axis=0)
+                return s.astype(jnp.int32).reshape(1, NSg)
+
+            sampled = jnp.concatenate(
+                [head_group(g) for g in range(G)], axis=1
+            ) if G > 1 else head_group(0)
 
             acc_vmem[pl.ds(t % _CHUNK, 1), :] = sampled
 
@@ -377,7 +406,7 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
     jax.jit,
     static_argnames=("cfg", "num_samples", "temperature", "regularize",
                      "return_state", "interpret", "ring_dtype", "fuse_res",
-                     "pad_streams", "stage_layers"),
+                     "pad_streams", "stage_layers", "head_tiles"),
 )
 def generate_fast_batched(
     params: Params,
@@ -396,6 +425,7 @@ def generate_fast_batched(
     fuse_res: bool = False,
     pad_streams: int | None = None,
     stage_layers: int | None = None,
+    head_tiles: int | None = None,
 ):
     """Batched fused generation with HBM queue state. Same contract as
     ``models.generate.generate_fast``, including local conditioning:
@@ -452,7 +482,17 @@ def generate_fast_batched(
     synchronization stays off the serial chain; results are bitwise
     identical to the unstaged kernel. Costs the cross-step tap prefetch
     (irrelevant at high stream counts, where DMAs hide under the wide
-    matmuls) — leave it ``None`` for small batches."""
+    matmuls) — leave it ``None`` for small batches.
+
+    ``head_tiles=G`` runs the embed/head/sampling block (one-hot embed,
+    relu -> end convs -> logits -> categorical draw) in G groups of
+    streams/G lanes. The block is lane-pointwise across streams, so its
+    live intermediates — the relu'd (S, NS) skip row, the (E, NS) hidden
+    row and three (C, NS)-class buffers — shrink by G, which is what caps
+    stream count on wide-head (chaconne-class) configs once the ring
+    staging is windowed. Temperature-0 rollouts are bitwise identical to
+    the untiled kernel; sampled rollouts draw the same distribution from
+    a differently-laned PRNG stream. Needs streams % (128*G) == 0."""
     fuse_res = fuse_res and cfg.num_layers > 1
     resume = state is not None
     fill = cfg.classes // 2
@@ -610,10 +650,16 @@ def generate_fast_batched(
         args.append(state.ring.astype(rdt))
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
 
+    if head_tiles and streams % (head_tiles * (1 if interpret else 128)):
+        raise ValueError(
+            f"head_tiles={head_tiles} needs streams divisible into "
+            f"lane-aligned groups; got {streams} streams"
+        )
     kernel, periods = _make_kernel(
         cfg, streams, num_given, total, float(temperature), float(regularize),
         cond_rows=Mp, has_gcond=global_cond is not None, resume=resume,
         ring_dtype=rdt, fuse_res=fuse_res, stage_layers=stage_layers,
+        head_tiles=head_tiles,
     )
     n_chunks = -(-total // _CHUNK)
 

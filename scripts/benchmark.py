@@ -137,23 +137,31 @@ def main():
         )
 
         sweep = [
-            (128, jnp.float32, False, None),
-            (256, jnp.float32, False, None),
-            (256, jnp.float32, True, None),
-            (512, jnp.float32, False, 8),
-            (1024, jnp.float32, False, None),
+            (128, jnp.float32, False, None, None),
+            (256, jnp.float32, False, None, None),
+            (256, jnp.float32, True, None, None),
+            (512, jnp.float32, False, 8, None),
+            (1024, jnp.float32, False, None, None),
         ]
+        if cfg.skip_channels * cfg.end_channels >= 1 << 18:
+            # wide-head configs: the head's (S/E/C, NS) intermediates are
+            # what overflow VMEM at high stream counts — tile them
+            sweep += [
+                (1024, jnp.float32, False, 8, 2),
+                (2048, jnp.float32, False, 8, 4),
+            ]
         if cfg.residual_channels % 16 == 0:
             # bf16 rings halve DMA traffic and the VMEM staging that caps S;
             # a rotating stage window shrinks the staging further for the
             # stream counts the all-L slabs can't reach
             sweep += [
-                (1024, jnp.bfloat16, False, None),
-                (2048, jnp.bfloat16, False, None),
-                (2048, jnp.bfloat16, False, 8),
-                (4096, jnp.bfloat16, False, 8),
+                (1024, jnp.bfloat16, False, None, None),
+                (2048, jnp.bfloat16, False, None, None),
+                (2048, jnp.bfloat16, False, 8, None),
+                (4096, jnp.bfloat16, False, 8, None),
+                (8192, jnp.bfloat16, False, 8, 4),
             ]
-        for S, rdt, fuse, stage in sweep:
+        for S, rdt, fuse, stage, htile in sweep:
             primeS = jnp.tile(prime, (S, 1))
             nS = max(2048, n // 4)
             tag = "" if rdt == jnp.float32 else " bf16-ring"
@@ -161,12 +169,14 @@ def main():
                 tag += " fuse_res"
             if stage:
                 tag += f" stage{stage}"
+            if htile:
+                tag += f" head/{htile}"
 
             def gen_hbm():
                 wav, _ = generate_fast_batched(
                     params, cfg, jax.random.PRNGKey(6), nS, primeS,
                     temperature=1.0, ring_dtype=rdt, fuse_res=fuse,
-                    stage_layers=stage,
+                    stage_layers=stage, head_tiles=htile,
                 )
                 np.asarray(wav)
 

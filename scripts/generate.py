@@ -67,6 +67,11 @@ def parse_args():
                    help="store the HBM generation ring buffers in bfloat16 "
                         "(halves DMA traffic / VMEM staging; needs "
                         "residual_channels %% 16 == 0)")
+    p.add_argument("--head-tiles", type=int, default=None,
+                   help="HBM kernel: run the embed/head/sampling block in G "
+                        "stream groups (shrinks its VMEM intermediates by G "
+                        "— the lever for wide-head configs at very high "
+                        "stream counts; needs streams %% (128*G) == 0)")
     p.add_argument("--draft-snapshot", default=None,
                    help="speculative decoding: a smaller WaveNet snapshot "
                         "drafts k samples and the main model verifies them "
@@ -205,6 +210,9 @@ def main():
         ):
             g = partial(g, stage_layers=8)
             p += " (staged)"
+        if args.head_tiles:
+            g = partial(g, head_tiles=args.head_tiles)
+            p += f" (head/{args.head_tiles})"
         return g, p
 
     if jax.devices()[0].platform != "tpu":

@@ -96,6 +96,71 @@ def test_batched_staged_window_matches_unstaged(tiny):
         np.testing.assert_array_equal(np.asarray(cw), np.asarray(c0))
 
 
+def test_batched_head_tiles_match_untiled(tiny):
+    """head_tiles=G runs embed/head/sampling in G stream groups (the VMEM
+    lever for wide-head configs). Temperature-0 rollouts are bitwise vs
+    the untiled kernel; composes with staging, fuse_res and conditioning."""
+    cfg, params = tiny
+    prime = jax.random.randint(
+        jax.random.PRNGKey(60), (4, cfg.receptive_field), 0, cfg.classes
+    )
+    k = jax.random.PRNGKey(61)
+    n = 40
+    _, c0 = generate_fast_batched(params, cfg, k, n, prime, temperature=0.0,
+                                  interpret=True)
+    for g in (2, 4):
+        _, cg = generate_fast_batched(params, cfg, k, n, prime,
+                                      temperature=0.0, interpret=True,
+                                      head_tiles=g)
+        np.testing.assert_array_equal(np.asarray(cg), np.asarray(c0))
+    _, cc = generate_fast_batched(params, cfg, k, n, prime, temperature=0.0,
+                                  interpret=True, head_tiles=2,
+                                  stage_layers=4, fuse_res=True,
+                                  regularize=1e-4)
+    _, cr = generate_fast_batched(params, cfg, k, n, prime, temperature=0.0,
+                                  interpret=True, stage_layers=4,
+                                  fuse_res=True, regularize=1e-4)
+    np.testing.assert_array_equal(np.asarray(cc), np.asarray(cr))
+
+
+def test_batched_head_tiles_conditioned_and_streaming(tiny):
+    """Head tiling with global conditioning; chunked streaming stays
+    bitwise equal to the single shot."""
+    cfg0, _ = tiny
+    cfg = wt.get_config("tiny", gcond_channels=6)
+    params = wt.init_wavenet(jax.random.PRNGKey(62), cfg)
+    prime = jax.random.randint(
+        jax.random.PRNGKey(63), (2, cfg.receptive_field), 0, cfg.classes
+    )
+    g = jax.random.normal(jax.random.PRNGKey(64), (2, 6))
+    k = jax.random.PRNGKey(65)
+    _, c0 = generate_fast_batched(params, cfg, k, 30, prime, temperature=0.0,
+                                  global_cond=g, interpret=True)
+    _, ct = generate_fast_batched(params, cfg, k, 30, prime, temperature=0.0,
+                                  global_cond=g, interpret=True, head_tiles=2)
+    np.testing.assert_array_equal(np.asarray(ct), np.asarray(c0))
+
+    _, c1, st = generate_fast_batched(
+        params, cfg, k, 12, prime, temperature=0.0, global_cond=g,
+        interpret=True, head_tiles=2, return_state=True)
+    _, c2 = generate_fast_batched(
+        params, cfg, k, 18, None, temperature=0.0, global_cond=g,
+        interpret=True, head_tiles=2, state=st)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(c1), np.asarray(c2)], axis=1),
+        np.asarray(c0),
+    )
+
+
+def test_batched_head_tiles_divisibility():
+    cfg = wt.get_config("tiny")
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    prime = jnp.full((3, 1), cfg.classes // 2, jnp.int32)
+    with pytest.raises(ValueError, match="head_tiles"):
+        generate_fast_batched(params, cfg, jax.random.PRNGKey(1), 4, prime,
+                              temperature=0.0, interpret=True, head_tiles=2)
+
+
 def test_batched_staged_window_fuse_res_k3_streaming(tiny):
     """Staged window composed with fuse_res, kernel_size=3 (two lookback
     taps per slot) and streaming state."""
