@@ -109,6 +109,9 @@ def test_hbm_kernel_any_architecture(cfg, seed):
                                   interpret=True)
     _, cx = wt.generate_fast(params, cfg, key, n, prime, temperature=0.0)
     np.testing.assert_array_equal(np.asarray(cb), np.asarray(cx))
+    _, ch = generate_fast_batched(params, cfg, key, n, prime, temperature=0.0,
+                                  interpret=True, head_tiles=2)
+    np.testing.assert_array_equal(np.asarray(ch), np.asarray(cx))
 
 
 @settings(max_examples=4, deadline=None)
