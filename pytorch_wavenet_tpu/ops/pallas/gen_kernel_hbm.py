@@ -63,7 +63,8 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                  has_gcond: bool = False, resume: bool = False,
                  ring_dtype=jnp.float32, fuse_res: bool = False,
                  stage_layers: int | None = None,
-                 head_tiles: int | None = None):
+                 head_tiles: int | None = None,
+                 lane_temp: bool = False):
     L = cfg.num_layers
     D = cfg.dilation_channels
     S = cfg.skip_channels
@@ -121,6 +122,11 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
             b_end2_ref,   # (C, 1)
         ) = refs[:13]
         refs = refs[13:]
+        if lane_temp:
+            # per-stream sampling temperature, (1, NS) f32; lanes with
+            # temp <= 0 take the argmax (greedy) branch
+            temp_ref = refs[0]
+            refs = refs[1:]
         if fuse_res:
             # pre-multiplied chain weights (see generate_fast_batched):
             # wf[l] = w_cur[l+1] @ w_res[l]^T  (2D, D), and the folded bias
@@ -334,7 +340,7 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                 if reg is not None:
                     logits = logits - reg
 
-                if temperature > 0:
+                def gumbel_noise():
                     # per-group draws: the PRNG stream assigns different
                     # bits to a lane than the untiled kernel would, so
                     # sampled rollouts match untiled statistically, not
@@ -345,8 +351,45 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                     bits24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
                     u01 = bits24.astype(jnp.float32) * (1.0 / (1 << 24))
                     u01 = jnp.clip(u01, 1e-7, 1.0 - 1e-7)
-                    gumbel = -jnp.log(-jnp.log(u01))
-                    s = jnp.argmax(logits / temperature + gumbel, axis=0)
+                    return -jnp.log(-jnp.log(u01))
+
+                def hash_gumbel(t):
+                    # Counter-based noise for the per-lane-temperature
+                    # (serving) path: a murmur3-style finalizer over
+                    # (step, class, lane, seed) in plain int32 ops — no
+                    # pltpu PRNG, so it runs in interpret mode too. Greedy
+                    # lanes ignore it; hot lanes get an independent-ish
+                    # uniform per (step, class, lane).
+                    sr = lax.shift_right_logical
+                    idx = (
+                        lax.broadcasted_iota(jnp.int32, (C, NSg), 0) * NS
+                        + lax.broadcasted_iota(jnp.int32, (C, NSg), 1)
+                        + g * NSg
+                    )
+                    x = idx * jnp.int32(-1640531527)  # golden-ratio mix
+                    x = x ^ ((t + toff) * jnp.int32(-2048144789))
+                    x = x ^ seed_ref[0, 0]
+                    x = x ^ sr(x, 16)
+                    x = x * jnp.int32(-2048144789)
+                    x = x ^ sr(x, 13)
+                    x = x * jnp.int32(-1028477387)
+                    x = x ^ sr(x, 16)
+                    u01 = sr(x, 8).astype(jnp.float32) * (1.0 / (1 << 24))
+                    u01 = jnp.clip(u01, 1e-7, 1.0 - 1e-7)
+                    return -jnp.log(-jnp.log(u01))
+
+                if lane_temp:
+                    tr = temp_ref[:, g * NSg : (g + 1) * NSg]  # (1, NSg)
+                    drawn = jnp.argmax(
+                        logits / jnp.maximum(tr, 1e-6) + hash_gumbel(t),
+                        axis=0,
+                    )
+                    greedy = jnp.argmax(logits, axis=0)
+                    s = jnp.where(tr[0] > 0, drawn, greedy)
+                elif temperature > 0:
+                    s = jnp.argmax(
+                        logits / temperature + gumbel_noise(), axis=0
+                    )
                 else:
                     s = jnp.argmax(logits, axis=0)
                 return s.astype(jnp.int32).reshape(1, NSg)
@@ -402,13 +445,60 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
     return kernel, periods
 
 
+def generate_fast_batched(
+    params: Params,
+    cfg: WaveNetConfig,
+    key: jax.Array,
+    num_samples: int,
+    first_samples: jnp.ndarray | None = None,
+    temperature=1.0,
+    regularize: float = 0.0,
+    cond: jnp.ndarray | None = None,
+    global_cond: jnp.ndarray | None = None,
+    state: HbmGenState | None = None,
+    return_state: bool = False,
+    interpret: bool = False,
+    ring_dtype=jnp.float32,
+    fuse_res: bool = False,
+    pad_streams: int | None = None,
+    stage_layers: int | None = None,
+    head_tiles: int | None = None,
+):
+    """Public entry — see :func:`_generate_fast_batched_jit` for the full
+    contract. ``temperature`` may also be a per-stream ``(streams,)`` array
+    (serving: requests at different temperatures share one batched rollout);
+    lanes with temperature <= 0 take the greedy argmax branch, bitwise equal
+    to a scalar temperature-0 rollout of that stream."""
+    if isinstance(temperature, (int, float)):
+        return _generate_fast_batched_jit(
+            params, cfg, key, num_samples, first_samples,
+            temperature=float(temperature), regularize=regularize, cond=cond,
+            global_cond=global_cond, state=state, return_state=return_state,
+            interpret=interpret, ring_dtype=ring_dtype, fuse_res=fuse_res,
+            pad_streams=pad_streams, stage_layers=stage_layers,
+            head_tiles=head_tiles,
+        )
+    return _generate_fast_batched_jit(
+        params, cfg, key, num_samples, first_samples,
+        # scalar temperature is unreachable under lane_temp (and 0 keeps
+        # the pltpu PRNG seeding out of the kernel — the lane path draws
+        # its own counter-based noise, which also runs in interpret mode)
+        temperature=0.0, regularize=regularize, cond=cond,
+        global_cond=global_cond, state=state, return_state=return_state,
+        interpret=interpret, ring_dtype=ring_dtype, fuse_res=fuse_res,
+        pad_streams=pad_streams, stage_layers=stage_layers,
+        head_tiles=head_tiles,
+        lane_temp=jnp.asarray(temperature, jnp.float32),
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=("cfg", "num_samples", "temperature", "regularize",
                      "return_state", "interpret", "ring_dtype", "fuse_res",
                      "pad_streams", "stage_layers", "head_tiles"),
 )
-def generate_fast_batched(
+def _generate_fast_batched_jit(
     params: Params,
     cfg: WaveNetConfig,
     key: jax.Array,
@@ -426,6 +516,7 @@ def generate_fast_batched(
     pad_streams: int | None = None,
     stage_layers: int | None = None,
     head_tiles: int | None = None,
+    lane_temp: jnp.ndarray | None = None,
 ):
     """Batched fused generation with HBM queue state. Same contract as
     ``models.generate.generate_fast``, including local conditioning:
@@ -586,6 +677,20 @@ def generate_fast_batched(
     in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args)
     in_specs[1] = pl.BlockSpec(memory_space=pl.ANY)  # prime stays in HBM
 
+    if lane_temp is not None:
+        if lane_temp.shape != (true_streams,):
+            raise ValueError(
+                f"per-stream temperature shape {lane_temp.shape} != "
+                f"({true_streams},)"
+            )
+        # dummy pad lanes run greedy (temp 0) — cheapest branch
+        args.append(
+            jnp.pad(
+                lane_temp.astype(f32), (0, streams - true_streams)
+            ).reshape(1, streams)
+        )
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
     if fuse_res:
         # chain weights: wf[l] = w_cur[l+1] @ w_res[l]^T  (2D, D), and the
         # folded bias bf[l] = w_cur[l+1] @ b_res[l] + b_in[l+1]
@@ -659,7 +764,7 @@ def generate_fast_batched(
         cfg, streams, num_given, total, float(temperature), float(regularize),
         cond_rows=Mp, has_gcond=global_cond is not None, resume=resume,
         ring_dtype=rdt, fuse_res=fuse_res, stage_layers=stage_layers,
-        head_tiles=head_tiles,
+        head_tiles=head_tiles, lane_temp=lane_temp is not None,
     )
     n_chunks = -(-total // _CHUNK)
 

@@ -152,6 +152,44 @@ def test_batched_head_tiles_conditioned_and_streaming(tiny):
     )
 
 
+def test_batched_per_stream_temperature(tiny):
+    """temperature as a (streams,) array: requests at different sampling
+    temperatures share one batched rollout (the serving batcher's
+    contract). A temp-0 lane is bitwise the scalar temperature-0 rollout
+    of that stream; hot lanes draw valid classes."""
+    cfg, params = tiny
+    prime = jax.random.randint(
+        jax.random.PRNGKey(70), (4, cfg.receptive_field), 0, cfg.classes
+    )
+    k = jax.random.PRNGKey(71)
+    n = 32
+    temps = jnp.asarray([0.0, 1.0, 0.7, 0.0])
+    _, cm = generate_fast_batched(params, cfg, k, n, prime,
+                                  temperature=temps, interpret=True)
+    _, c0 = generate_fast_batched(params, cfg, k, n, prime,
+                                  temperature=0.0, interpret=True)
+    cm, c0 = np.asarray(cm), np.asarray(c0)
+    np.testing.assert_array_equal(cm[0], c0[0])
+    np.testing.assert_array_equal(cm[3], c0[3])
+    assert cm.min() >= 0 and cm.max() < cfg.classes
+    assert (cm[1] != c0[1]).any()  # a hot lane actually samples
+
+    # composes with head tiling and streaming state
+    _, ct = generate_fast_batched(params, cfg, k, n, prime,
+                                  temperature=temps, interpret=True,
+                                  head_tiles=2)
+    np.testing.assert_array_equal(np.asarray(ct)[0], c0[0])
+    _, c1, st = generate_fast_batched(params, cfg, k, 12, prime,
+                                      temperature=temps, interpret=True,
+                                      return_state=True)
+    _, c2 = generate_fast_batched(params, cfg, k, n - 12, None,
+                                  temperature=temps, interpret=True,
+                                  state=st)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(c1), np.asarray(c2)], axis=1)[0], c0[0]
+    )
+
+
 def test_batched_head_tiles_divisibility():
     cfg = wt.get_config("tiny")
     params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
