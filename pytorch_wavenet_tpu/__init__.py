@@ -29,6 +29,7 @@ from .models.generate import (
     synthesize,
 )
 from .models.speculative import speculative_generate
+from .serving import ContinuousBatcher, GenerationHandle
 from .models.convert import (
     load_reference_snapshot,
     load_torch_snapshot,

@@ -1,0 +1,284 @@
+"""Continuous batching for autoregressive generation.
+
+Production serving rarely sees requests arrive together: a batch-per-call
+API either waits to fill a batch (latency) or runs small batches
+(throughput). This module keeps ONE persistent multi-stream rollout alive
+on the device — a lane pool over :func:`ops.pallas.gen_kernel_hbm.
+generate_fast_batched`'s streaming state — and splices requests in and out
+at chunk boundaries:
+
+* every lane of the shared :class:`HbmGenState` is a slot; free lanes run
+  greedy on stale state (lanes are nearly free — every op in the kernel is
+  lane-pointwise, see the kernel's docstring);
+* a new request is primed by a solo kernel call, its ring column is
+  zero-filled where the solo run never wrote (the reference's zero-filled
+  queues, wavenet_modules.py:74-77), **roll-aligned** from its local clock
+  to the batcher's global clock (ring slot = t mod period, so re-basing t
+  is a per-layer roll of the slot axis), and scattered into the shared
+  ring;
+* each request carries its own sampling temperature (the kernel's
+  per-stream temperature lanes), so mixed-temperature traffic shares one
+  rollout;
+* outputs are distributed per chunk, so callers can stream audio while
+  later requests keep joining.
+
+Admission is exact: a request's rollout is bitwise identical (at
+temperature 0) to a solo rollout of the same prime, no matter when it is
+admitted — pinned in tests/test_batcher.py.
+
+The reference has no serving analogue (its generation is a blocking
+batch-1 script, wavenet_model.py:237); this is the TPU-native replacement
+the framework's streaming-state API was built to enable.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import WaveNetConfig
+from ..models.wavenet import Params
+from ..ops.mulaw import mu_law_expansion
+from ..ops.pallas.gen_kernel_hbm import HbmGenState, generate_fast_batched
+
+
+class GenerationHandle:
+    """Caller-side view of a submitted request."""
+
+    def __init__(self, num_samples: int, on_chunk=None):
+        self.num_samples = num_samples
+        self._on_chunk = on_chunk
+        self._parts: list[np.ndarray] = []
+        self._done = threading.Event()
+        self._error: BaseException | None = None
+
+    def _deliver(self, cls_chunk: np.ndarray):
+        self._parts.append(cls_chunk)
+        if self._on_chunk is not None:
+            self._on_chunk(cls_chunk)
+
+    def _finish(self, error: BaseException | None = None):
+        self._error = error
+        self._done.set()
+
+    def done(self) -> bool:
+        return self._done.is_set()
+
+    def result(self, timeout: float | None = None):
+        """Block until complete; returns ``(waveform (N,) float32,
+        classes (N,) int32)``."""
+        if not self._done.wait(timeout):
+            raise TimeoutError("generation not complete")
+        if self._error is not None:
+            raise self._error
+        cls = np.concatenate(self._parts)[: self.num_samples]
+        wav = mu_law_expansion(
+            (cls.astype(np.float32) / self._classes) * 2.0 - 1.0,
+            self._classes,
+        ).astype(np.float32)
+        return wav, cls
+
+
+@dataclass
+class _Active:
+    handle: GenerationHandle
+    lane: int
+    remaining: int
+
+
+@dataclass
+class _Pending:
+    handle: GenerationHandle
+    prime: np.ndarray
+    temperature: float
+    first_cls: int = 0  # filled at admission
+
+
+class ContinuousBatcher:
+    """A persistent lane pool over the batched generation kernel.
+
+    ``lanes`` is the compiled stream width (a multiple of 128 on hardware;
+    any small number in interpret mode). ``chunk`` is the splice
+    granularity: requests join/leave every ``chunk`` samples, which is also
+    a streaming consumer's time-to-first-audio.
+
+    All device work happens on one background thread; ``submit`` only
+    enqueues. ``close()`` drains nothing — outstanding handles get a
+    RuntimeError.
+    """
+
+    def __init__(self, params: Params, cfg: WaveNetConfig, *, lanes: int = 128,
+                 chunk: int = 128, seed: int = 0, interpret: bool = False,
+                 ring_dtype=jnp.float32, fuse_res: bool = False,
+                 stage_layers: int | None = None,
+                 head_tiles: int | None = None):
+        self.cfg = cfg
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.lanes = lanes
+        self.chunk = chunk
+        self._kw = dict(interpret=interpret, ring_dtype=ring_dtype,
+                        fuse_res=fuse_res, stage_layers=stage_layers,
+                        head_tiles=head_tiles,
+                        pad_streams=None if interpret else 128)
+        self._key = jax.random.PRNGKey(seed)
+        self._calls = 0
+        self._periods = [(cfg.kernel_size - 1) * d + 1 for d in cfg.dilations]
+        self._ring_off = np.cumsum([0] + self._periods)
+        self._submit_q: "queue.Queue[_Pending]" = queue.Queue()
+        self._active: list[_Active] = []
+        self._free = list(range(lanes))
+        self._temps = np.zeros(lanes, np.float32)
+        self._state: HbmGenState | None = None  # created lazily
+        self._wake = threading.Event()
+        self._closing = False
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="wavenet-batcher")
+        self._thread.start()
+
+    # ------------------------------------------------------------- client
+
+    def submit(self, prime, num_samples: int, temperature: float = 1.0,
+               on_chunk=None) -> GenerationHandle:
+        """Queue a request. ``prime`` is an int class sequence
+        ``(num_given,)`` (at least 1 sample; use ``classes // 2`` for an
+        unprimed stream). ``on_chunk(cls_chunk)`` fires from the batcher
+        thread as samples appear."""
+        if self._closing:
+            raise RuntimeError("batcher is closed")
+        prime = np.atleast_1d(np.asarray(prime, np.int32))
+        if prime.ndim != 1 or prime.size < 1:
+            raise ValueError("prime must be a 1-D class sequence")
+        if num_samples < 1:
+            raise ValueError("num_samples must be >= 1")
+        h = GenerationHandle(num_samples, on_chunk)
+        h._classes = self.cfg.classes
+        self._submit_q.put(_Pending(h, prime, float(temperature)))
+        self._wake.set()
+        return h
+
+    def close(self):
+        self._closing = True
+        self._wake.set()
+        self._thread.join(timeout=60)
+
+    # ------------------------------------------------------------- device
+
+    def _next_key(self):
+        self._calls += 1
+        return jax.random.fold_in(self._key, self._calls)
+
+    def _global_t(self) -> int:
+        return 0 if self._state is None else int(self._state.t)
+
+    def _prime_state(self, pend: _Pending) -> tuple[np.ndarray, int, int]:
+        """Solo-prime a request: returns (ring column (rows,), its local
+        clock t, and the first generated sample — which is request output
+        sample 0)."""
+        prime = jnp.asarray(pend.prime)[None, :]
+        _, cls, st = generate_fast_batched(
+            self.params, self.cfg, self._next_key(), 1, prime,
+            temperature=jnp.asarray([pend.temperature]), return_state=True,
+            **self._kw,
+        )
+        col = np.asarray(st.ring[:, 0]).copy()
+        total = int(st.t)
+        # zero-fill ring slots the solo run never wrote: slot s of a
+        # period-P ring was written iff some t in [0, total) has t % P == s
+        R = self.cfg.residual_channels
+        for l, P in enumerate(self._periods):
+            if total >= P:
+                continue
+            base = self._ring_off[l] * R
+            for s in range(total, P):
+                col[base + s * R : base + (s + 1) * R] = 0
+        return col, total, int(cls[0, 0])
+
+    def _align_and_insert(self, col: np.ndarray, t_local: int, lane: int,
+                          first_cls: int):
+        """Re-base a primed column from its local clock to the batcher's:
+        ring slot = t mod period, so shifting the clock by delta rolls each
+        layer's slot axis by delta mod period."""
+        T0 = self._global_t()
+        R = self.cfg.residual_channels
+        for l, P in enumerate(self._periods):
+            delta = (T0 - t_local) % P
+            if delta:
+                base = self._ring_off[l] * R
+                block = col[base : base + P * R].reshape(P, R)
+                col[base : base + P * R] = np.roll(block, delta, axis=0).ravel()
+        ring = self._state.ring.at[:, lane].set(jnp.asarray(col))
+        cls = self._state.cls.at[lane].set(first_cls)
+        self._state = HbmGenState(ring=ring, t=self._state.t, cls=cls)
+
+    def _ensure_state(self):
+        """Bootstrap the shared state with an all-idle chunk so the ring
+        exists (every lane greedy from a mid-class sample)."""
+        if self._state is not None:
+            return
+        first = jnp.full((self.lanes, 1), self.cfg.classes // 2, jnp.int32)
+        _, _, self._state = generate_fast_batched(
+            self.params, self.cfg, self._next_key(), 1, first,
+            temperature=jnp.zeros(self.lanes), return_state=True, **self._kw,
+        )
+
+    # --------------------------------------------------------------- loop
+
+    def _admit(self):
+        while self._free and not self._submit_q.empty():
+            pend = self._submit_q.get()
+            try:
+                self._ensure_state()
+                col, t_local, first = self._prime_state(pend)
+                lane = self._free.pop()
+                self._align_and_insert(col, t_local, lane, first)
+            except BaseException as e:  # surface to the caller, keep serving
+                pend.handle._finish(e)
+                continue
+            self._temps[lane] = pend.temperature
+            pend.handle._deliver(np.asarray([first], np.int32))
+            act = _Active(pend.handle, lane, pend.handle.num_samples - 1)
+            if act.remaining <= 0:
+                self._temps[lane] = 0.0
+                self._free.append(lane)
+                act.handle._finish()
+            else:
+                self._active.append(act)
+
+    def _step_chunk(self):
+        _, cls, self._state = generate_fast_batched(
+            self.params, self.cfg, self._next_key(), self.chunk, None,
+            temperature=jnp.asarray(self._temps), state=self._state,
+            return_state=True, **self._kw,
+        )
+        cls = np.asarray(cls)
+        still = []
+        for act in self._active:
+            take = min(act.remaining, self.chunk)
+            act.handle._deliver(cls[act.lane, :take])
+            act.remaining -= take
+            if act.remaining <= 0:
+                self._temps[act.lane] = 0.0
+                self._free.append(act.lane)
+                act.handle._finish()
+            else:
+                still.append(act)
+        self._active = still
+
+    def _run(self):
+        while not self._closing:
+            self._admit()
+            if self._active:
+                self._step_chunk()
+            else:
+                self._wake.wait(timeout=0.1)
+                self._wake.clear()
+        for act in self._active:
+            act.handle._finish(RuntimeError("batcher closed"))
+        while not self._submit_q.empty():
+            self._submit_q.get().handle._finish(
+                RuntimeError("batcher closed"))

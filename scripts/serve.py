@@ -22,7 +22,11 @@ Endpoints
 
 One device, one rollout at a time: concurrent requests serialize on a
 lock (the chunk loop yields it between chunks, so interleaved requests
-make progress instead of starving).
+make progress instead of starving). With ``--batcher`` they instead share
+one persistent multi-stream rollout (serving/batcher.py): each request
+claims a lane of the HBM kernel's lane pool at the next chunk boundary,
+carries its own sampling temperature, and streams out as the pool
+produces samples — no head-of-line blocking.
 
 Example:
   python scripts/serve.py --snapshot snaps/model_0000001000.ckpt --port 8765
@@ -62,6 +66,19 @@ def parse_args():
                    default="auto",
                    help="auto = fused VMEM kernel on TPU when the state "
                         "fits, XLA scan otherwise")
+    p.add_argument("--batcher", action="store_true",
+                   help="continuous batching: all /synthesize requests "
+                        "share one persistent multi-stream rollout (the "
+                        "HBM kernel's lane pool) — requests join and leave "
+                        "at chunk boundaries instead of queuing behind "
+                        "each other")
+    p.add_argument("--lanes", type=int, default=128,
+                   help="batcher lane-pool width (multiple of 128 on TPU)")
+    p.add_argument("--batch-chunk", type=int, default=1024,
+                   help="batcher splice granularity in samples (also the "
+                        "streaming time-to-first-audio)")
+    p.add_argument("--batcher-interpret", action="store_true",
+                   help=argparse.SUPPRESS)  # CPU tests of the batcher path
     p.add_argument("--max-samples", type=int, default=16000 * 60,
                    help="per-request ceiling")
     p.add_argument("--sr", type=int, default=16000)
@@ -80,14 +97,25 @@ def wav_header(num_samples: int, sr: int) -> bytes:
 
 
 class Synthesizer:
-    """Owns the model and the device; serializes rollouts chunk-by-chunk."""
+    """Owns the model and the device; serializes rollouts chunk-by-chunk —
+    or, with a :class:`ContinuousBatcher`, splices concurrent requests into
+    one persistent multi-stream rollout."""
 
-    def __init__(self, params, cfg, backend: str, sr: int):
+    def __init__(self, params, cfg, backend: str, sr: int,
+                 batcher_opts: dict | None = None):
         self.cfg = cfg
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
         self.sr = sr
         self.lock = threading.Lock()
-        self.backend = self._pick_backend(backend)
+        self.batcher = None
+        if batcher_opts is not None:
+            from pytorch_wavenet_tpu.serving import ContinuousBatcher
+
+            self.batcher = ContinuousBatcher(
+                self.params, cfg, **batcher_opts)
+            self.backend = "hbm-batcher"
+        else:
+            self.backend = self._pick_backend(backend)
 
     def _pick_backend(self, backend: str) -> str:
         if backend == "auto":
@@ -114,6 +142,36 @@ class Synthesizer:
 
             return partial(generate_fast_fused, fuse_res=True)
         return wt.generate_fast
+
+    def _stream_batched(self, num_samples: int, temperature: float):
+        """Bridge the batcher's chunk callbacks into a generator: the
+        request joins the shared rollout at the next chunk boundary and
+        wav chunks flow out as the pool produces them (per-request seeds
+        don't apply — the pool owns one noise stream)."""
+        import queue as _q
+
+        from pytorch_wavenet_tpu.ops.mulaw import mu_law_expansion
+
+        chunks: _q.Queue = _q.Queue()
+        handle = self.batcher.submit(
+            np.asarray([self.cfg.classes // 2], np.int32), num_samples,
+            temperature=temperature, on_chunk=chunks.put,
+        )
+        got = 0
+        while got < num_samples:
+            try:
+                cls = chunks.get(timeout=1.0)
+            except _q.Empty:
+                if handle.done():
+                    handle.result(timeout=0)  # re-raise a batcher error
+                    break
+                continue
+            cls = cls[: num_samples - got]
+            got += cls.size
+            yield mu_law_expansion(
+                (cls.astype(np.float32) / self.cfg.classes) * 2.0 - 1.0,
+                self.cfg.classes,
+            ).astype(np.float32)
 
     def vocode(self, wav_bytes: bytes, hop_length: int, n_fft: int,
                temperature: float, seed: int) -> np.ndarray:
@@ -146,6 +204,9 @@ class Synthesizer:
                chunk: int):
         """Yield float32 (chunk,) waveform arrays; ring state carries
         across chunks (bitwise-equal to a single shot at temperature 0)."""
+        if self.batcher is not None:
+            yield from self._stream_batched(num_samples, temperature)
+            return
         gen = self._gen_fn()
         cfg = self.cfg
         key = jax.random.PRNGKey(seed)
@@ -300,8 +361,14 @@ def main():
         blob = wt.load_checkpoint(args.snapshot)
     else:
         blob = wt.load_latest_model_from(args.snapshot_path)
+    batcher_opts = None
+    if args.batcher:
+        batcher_opts = dict(lanes=args.lanes, chunk=args.batch_chunk,
+                            interpret=args.batcher_interpret)
+        if not args.batcher_interpret:
+            batcher_opts["fuse_res"] = True
     synth = Synthesizer(blob["params"], blob["config"], args.backend,
-                        args.sr)
+                        args.sr, batcher_opts=batcher_opts)
 
     # warm the compile cache so the first request doesn't eat it
     next(iter(synth.stream(1, 1.0, 0, 1)))

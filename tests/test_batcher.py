@@ -1,0 +1,114 @@
+"""Continuous batching (serving/batcher.py), interpret mode on CPU.
+
+The exactness contract: a request's output is bitwise identical (at
+temperature 0) to a solo rollout of the same prime, regardless of WHEN the
+request joins the shared rollout — admission re-bases the primed ring
+state onto the batcher's global clock."""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pytorch_wavenet_tpu as wt
+from pytorch_wavenet_tpu.serving import ContinuousBatcher
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = wt.get_config("tiny")
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _solo(params, cfg, prime, n):
+    _, cls = wt.generate_fast(params, cfg, jax.random.PRNGKey(9), n,
+                              jnp.asarray(prime)[None, :], temperature=0.0)
+    return np.asarray(cls)[0]
+
+
+def _wait_for(handle, k, timeout=300.0):
+    deadline = time.time() + timeout
+    while sum(p.size for p in handle._parts) < k:
+        if handle.done() or time.time() > deadline:
+            break
+        time.sleep(0.05)
+
+
+def test_staggered_admission_matches_solo(tiny):
+    """Three temperature-0 requests admitted at different global times all
+    reproduce their solo rollouts bitwise."""
+    cfg, params = tiny
+    rf = cfg.receptive_field
+    primes = [
+        np.asarray(jax.random.randint(jax.random.fold_in(
+            jax.random.PRNGKey(1), i), (rf,), 0, cfg.classes))
+        for i in range(3)
+    ]
+    b = ContinuousBatcher(params, cfg, lanes=3, chunk=6, interpret=True)
+    try:
+        h0 = b.submit(primes[0], 25, temperature=0.0)
+        _wait_for(h0, 7)  # a chunk or two in flight before the next joins
+        h1 = b.submit(primes[1], 18, temperature=0.0)
+        _wait_for(h1, 1)
+        h2 = b.submit(primes[2], 11, temperature=0.0)
+        for h, prime, n in ((h0, primes[0], 25), (h1, primes[1], 18),
+                            (h2, primes[2], 11)):
+            wav, cls = h.result(timeout=300)
+            np.testing.assert_array_equal(cls, _solo(params, cfg, prime, n))
+            assert wav.shape == (n,) and wav.dtype == np.float32
+    finally:
+        b.close()
+
+
+def test_lane_reuse_and_mixed_temperature(tiny):
+    """More requests than lanes: lanes recycle; hot-temperature requests
+    share the rollout with greedy ones without disturbing them."""
+    cfg, params = tiny
+    rf = cfg.receptive_field
+    prime = np.asarray(jax.random.randint(
+        jax.random.PRNGKey(2), (rf,), 0, cfg.classes))
+    b = ContinuousBatcher(params, cfg, lanes=2, chunk=5, interpret=True)
+    try:
+        cold = b.submit(prime, 15, temperature=0.0)
+        hot = b.submit(prime, 15, temperature=1.2)
+        extra = b.submit(prime, 8, temperature=0.0)  # waits for a free lane
+        _, cls_cold = cold.result(timeout=300)
+        _, cls_hot = hot.result(timeout=300)
+        _, cls_extra = extra.result(timeout=300)
+        solo = _solo(params, cfg, prime, 15)
+        np.testing.assert_array_equal(cls_cold, solo)
+        np.testing.assert_array_equal(cls_extra, solo[:8])
+        assert cls_hot.min() >= 0 and cls_hot.max() < cfg.classes
+        assert (cls_hot != solo).any()
+    finally:
+        b.close()
+
+
+def test_on_chunk_streaming_and_close(tiny):
+    cfg, params = tiny
+    chunks = []
+    b = ContinuousBatcher(params, cfg, lanes=2, chunk=4, interpret=True)
+    try:
+        h = b.submit(np.asarray([cfg.classes // 2]), 10, temperature=0.0,
+                     on_chunk=chunks.append)
+        h.result(timeout=300)
+        assert sum(c.size for c in chunks) >= 10
+    finally:
+        b.close()
+    with pytest.raises(RuntimeError):
+        b.submit(np.asarray([1]), 4)
+
+
+def test_bad_requests_rejected(tiny):
+    cfg, params = tiny
+    b = ContinuousBatcher(params, cfg, lanes=2, chunk=4, interpret=True)
+    try:
+        with pytest.raises(ValueError):
+            b.submit(np.zeros((2, 3), np.int32), 4)
+        with pytest.raises(ValueError):
+            b.submit(np.asarray([1]), 0)
+    finally:
+        b.close()

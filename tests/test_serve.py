@@ -177,6 +177,78 @@ def test_vocode_copy_synthesis(vocoder_server, tmp_path):
     assert len(out) == 44 + n * 2
 
 
+@pytest.fixture(scope="module")
+def batcher_server(tmp_path_factory):
+    """serve.py --batcher (interpret-mode lane pool, CPU)."""
+    import jax
+
+    import pytorch_wavenet_tpu as wt
+
+    cfg = wt.get_config("tiny")
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    d = tmp_path_factory.mktemp("serve_batch")
+    wt.save_checkpoint(str(d), "tiny", 0, params, cfg=cfg)
+    ckpt = os.path.join(str(d), os.listdir(d)[0])
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    proc = subprocess.Popen(
+        [sys.executable, "scripts/serve.py", "--snapshot", ckpt,
+         "--port", str(port), "--batcher", "--batcher-interpret",
+         "--lanes", "3", "--batch-chunk", "5"],
+        cwd=REPO, env=ENV,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    base = f"http://127.0.0.1:{port}"
+    try:
+        deadline = time.time() + 180
+        while True:
+            try:
+                with urllib.request.urlopen(base + "/health", timeout=5) as r:
+                    health = json.loads(r.read())
+                break
+            except OSError:
+                if proc.poll() is not None or time.time() > deadline:
+                    out = proc.stdout.read() if proc.stdout else ""
+                    raise RuntimeError(f"server died:\n{out[-2000:]}")
+                time.sleep(0.5)
+        yield base, health, (params, cfg)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
+
+
+def test_batcher_concurrent_requests(batcher_server):
+    """Two concurrent requests share the lane pool; the temperature-0 one
+    equals the direct rollout bitwise even with a hot neighbor."""
+    import concurrent.futures
+
+    import jax
+    import jax.numpy as jnp
+
+    import pytorch_wavenet_tpu as wt
+
+    base, health, (params, cfg) = batcher_server
+    assert health["backend"] == "hbm-batcher"
+
+    def fetch(temp):
+        return _fetch_wav(
+            f"{base}/synthesize?num_samples=12&temperature={temp}")
+
+    with concurrent.futures.ThreadPoolExecutor(2) as ex:
+        cold = ex.submit(fetch, 0)
+        hot = ex.submit(fetch, 1.0)
+        pcm_cold, pcm_hot = cold.result(300), hot.result(300)
+
+    first = jnp.full((1, 1), cfg.classes // 2, jnp.int32)
+    wav, _ = wt.generate_fast(params, cfg, jax.random.PRNGKey(0), 12, first,
+                              temperature=0.0)
+    expect = np.clip(np.asarray(wav[0]) * 32767.0, -32768, 32767).astype("<i2")
+    np.testing.assert_array_equal(pcm_cold, expect)
+    assert pcm_hot.size == 12
+
+
 def test_post_json_and_limits(server):
     base, _, _ = server
     req = urllib.request.Request(
