@@ -175,17 +175,22 @@ class ContinuousBatcher:
     def _global_t(self) -> int:
         return 0 if self._state is None else int(self._state.t)
 
-    def _prime_state(self, pend: _Pending) -> tuple[np.ndarray, int, int]:
-        """Solo-prime a request: returns (ring column (rows,), its local
-        clock t, and the first generated sample — which is request output
-        sample 0)."""
-        prime = jnp.asarray(pend.prime)[None, :]
+    def _prime_states(
+        self, pends: list[_Pending]
+    ) -> tuple[np.ndarray, int, np.ndarray]:
+        """Prime a group of equal-length requests in ONE kernel call (on
+        hardware a solo prime pads to 128 lanes anyway, so burst arrivals
+        are near-free to admit together). Returns (ring columns
+        (rows, n), their shared local clock t, first samples (n,) — each
+        request's output sample 0)."""
+        prime = jnp.asarray(np.stack([p.prime for p in pends]))
+        temps = jnp.asarray([p.temperature for p in pends], jnp.float32)
         _, cls, st = generate_fast_batched(
             self.params, self.cfg, self._next_key(), 1, prime,
-            temperature=jnp.asarray([pend.temperature]), return_state=True,
-            **self._kw,
+            temperature=temps, return_state=True, **self._kw,
         )
-        col = np.asarray(st.ring[:, 0]).copy()
+        n = len(pends)
+        cols = np.asarray(st.ring[:, :n]).copy()
         total = int(st.t)
         # zero-fill ring slots the solo run never wrote: slot s of a
         # period-P ring was written iff some t in [0, total) has t % P == s
@@ -194,25 +199,29 @@ class ContinuousBatcher:
             if total >= P:
                 continue
             base = self._ring_off[l] * R
-            for s in range(total, P):
-                col[base + s * R : base + (s + 1) * R] = 0
-        return col, total, int(cls[0, 0])
+            cols[base + total * R : base + P * R] = 0
+        return cols, total, np.asarray(cls[:, 0])
 
-    def _align_and_insert(self, col: np.ndarray, t_local: int, lane: int,
-                          first_cls: int):
-        """Re-base a primed column from its local clock to the batcher's:
+    def _align_and_insert(self, cols: np.ndarray, t_local: int,
+                          lanes: list[int], firsts: np.ndarray):
+        """Re-base primed columns from their local clock to the batcher's:
         ring slot = t mod period, so shifting the clock by delta rolls each
-        layer's slot axis by delta mod period."""
+        layer's slot axis by delta mod period. One scatter for the whole
+        group."""
         T0 = self._global_t()
         R = self.cfg.residual_channels
         for l, P in enumerate(self._periods):
             delta = (T0 - t_local) % P
             if delta:
                 base = self._ring_off[l] * R
-                block = col[base : base + P * R].reshape(P, R)
-                col[base : base + P * R] = np.roll(block, delta, axis=0).ravel()
-        ring = self._state.ring.at[:, lane].set(jnp.asarray(col))
-        cls = self._state.cls.at[lane].set(first_cls)
+                block = cols[base : base + P * R].reshape(P, R, -1)
+                cols[base : base + P * R] = np.roll(
+                    block, delta, axis=0
+                ).reshape(P * R, -1)
+        idx = jnp.asarray(lanes)
+        ring = self._state.ring.at[:, idx].set(
+            jnp.asarray(cols, self._state.ring.dtype))
+        cls = self._state.cls.at[idx].set(jnp.asarray(firsts, jnp.int32))
         self._state = HbmGenState(ring=ring, t=self._state.t, cls=cls)
 
     def _ensure_state(self):
@@ -229,25 +238,41 @@ class ContinuousBatcher:
     # --------------------------------------------------------------- loop
 
     def _admit(self):
-        while self._free and not self._submit_q.empty():
-            pend = self._submit_q.get()
+        batch: list[_Pending] = []
+        while len(batch) < len(self._free) and not self._submit_q.empty():
+            batch.append(self._submit_q.get())
+        if not batch:
+            return
+        self._ensure_state()
+        by_len: dict[int, list[_Pending]] = {}
+        for p in batch:
+            by_len.setdefault(p.prime.size, []).append(p)
+        for group in by_len.values():
             try:
-                self._ensure_state()
-                col, t_local, first = self._prime_state(pend)
-                lane = self._free.pop()
-                self._align_and_insert(col, t_local, lane, first)
-            except BaseException as e:  # surface to the caller, keep serving
-                pend.handle._finish(e)
+                cols, t_local, firsts = self._prime_states(group)
+            except BaseException as e:  # surface to callers, keep serving
+                for p in group:
+                    p.handle._finish(e)
                 continue
-            self._temps[lane] = pend.temperature
-            pend.handle._deliver(np.asarray([first], np.int32))
-            act = _Active(pend.handle, lane, pend.handle.num_samples - 1)
-            if act.remaining <= 0:
-                self._temps[lane] = 0.0
-                self._free.append(lane)
-                act.handle._finish()
-            else:
-                self._active.append(act)
+            lanes = [self._free.pop() for _ in group]
+            try:
+                self._align_and_insert(cols, t_local, lanes, firsts)
+            except BaseException as e:
+                self._free.extend(lanes)
+                for p in group:
+                    p.handle._finish(e)
+                continue
+            for pend, lane, first in zip(group, lanes, firsts):
+                self._temps[lane] = pend.temperature
+                pend.handle._deliver(np.asarray([first], np.int32))
+                act = _Active(pend.handle, lane,
+                              pend.handle.num_samples - 1)
+                if act.remaining <= 0:
+                    self._temps[lane] = 0.0
+                    self._free.append(lane)
+                    act.handle._finish()
+                else:
+                    self._active.append(act)
 
     def _step_chunk(self):
         _, cls, self._state = generate_fast_batched(

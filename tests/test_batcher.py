@@ -87,6 +87,26 @@ def test_lane_reuse_and_mixed_temperature(tiny):
         b.close()
 
 
+def test_burst_admission_matches_solo(tiny):
+    """A burst of equal-length requests (grouped into one prime call when
+    lanes allow) each reproduces its solo rollout."""
+    cfg, params = tiny
+    rf = cfg.receptive_field
+    primes = [
+        np.asarray(jax.random.randint(jax.random.fold_in(
+            jax.random.PRNGKey(3), i), (rf,), 0, cfg.classes))
+        for i in range(3)
+    ]
+    b = ContinuousBatcher(params, cfg, lanes=4, chunk=7, interpret=True)
+    try:
+        handles = [b.submit(p, 13, temperature=0.0) for p in primes]
+        for h, p in zip(handles, primes):
+            _, cls = h.result(timeout=300)
+            np.testing.assert_array_equal(cls, _solo(params, cfg, p, 13))
+    finally:
+        b.close()
+
+
 def test_on_chunk_streaming_and_close(tiny):
     cfg, params = tiny
     chunks = []
