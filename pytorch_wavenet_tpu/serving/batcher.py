@@ -117,10 +117,14 @@ class ContinuousBatcher:
                  ring_dtype=jnp.float32, fuse_res: bool = False,
                  stage_layers: int | None = None,
                  head_tiles: int | None = None):
+        if not interpret and lanes % 128:
+            raise ValueError(f"lanes must be a multiple of 128 on hardware "
+                             f"(lane-aligned ring DMAs), got {lanes}")
         self.cfg = cfg
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
         self.lanes = lanes
-        self.chunk = chunk
+        self.chunk = chunk  # pool clock is int32: one pool serves ~2^31
+        # samples (~37 h of 16 kHz audio per lane) before needing a restart
         self._kw = dict(interpret=interpret, ring_dtype=ring_dtype,
                         fuse_res=fuse_res, stage_layers=stage_layers,
                         head_tiles=head_tiles,
@@ -225,14 +229,22 @@ class ContinuousBatcher:
         self._state = HbmGenState(ring=ring, t=self._state.t, cls=cls)
 
     def _ensure_state(self):
-        """Bootstrap the shared state with an all-idle chunk so the ring
-        exists (every lane greedy from a mid-class sample)."""
+        """Bootstrap the shared state: an all-zero ring (the reference's
+        zero-filled queues) with the pool clock already PAST every warm-up
+        predicate. The kernel gates a tap with lookback m on ``ta >= m``
+        (cold-start semantics); a pool admits lanes at arbitrary clock
+        positions, so those predicates must never fire again — starting at
+        t = max(period) makes them always-true forever, and 'missing
+        history' is represented by zeroed ring slots instead, which is
+        exactly what the predicate would have contributed."""
         if self._state is not None:
             return
-        first = jnp.full((self.lanes, 1), self.cfg.classes // 2, jnp.int32)
-        _, _, self._state = generate_fast_batched(
-            self.params, self.cfg, self._next_key(), 1, first,
-            temperature=jnp.zeros(self.lanes), return_state=True, **self._kw,
+        R = self.cfg.residual_channels
+        self._state = HbmGenState(
+            ring=jnp.zeros((int(self._ring_off[-1]) * R, self.lanes),
+                           self._kw["ring_dtype"]),
+            t=jnp.asarray(max(self._periods), jnp.int32),
+            cls=jnp.full((self.lanes,), self.cfg.classes // 2, jnp.int32),
         )
 
     # --------------------------------------------------------------- loop
