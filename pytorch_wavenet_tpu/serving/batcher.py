@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -96,7 +96,6 @@ class _Pending:
     handle: GenerationHandle
     prime: np.ndarray
     temperature: float
-    first_cls: int = 0  # filled at admission
 
 
 class ContinuousBatcher:
@@ -169,6 +168,11 @@ class ContinuousBatcher:
         self._closing = True
         self._wake.set()
         self._thread.join(timeout=60)
+        # a submit that raced the close flag may have enqueued after the
+        # loop's final drain
+        while not self._submit_q.empty():
+            self._submit_q.get().handle._finish(
+                RuntimeError("batcher closed"))
 
     # ------------------------------------------------------------- device
 
