@@ -300,16 +300,29 @@ def _sample(logits, u, classes, temperature, regularize):
     vectorized call) so no RNG primitive lives inside the compiled loop —
     keeps compile fast and the noise footprint at O(steps*streams), not
     O(steps*streams*classes) as per-class Gumbel noise would need.
+
+    ``temperature`` may also be a per-stream ``(S,)`` array (traced):
+    streams at different temperatures share one rollout — streams with
+    temperature <= 0 take the argmax branch, identical to a scalar
+    temperature-0 rollout of that stream.
     """
     if regularize != 0.0:
         reg = (jnp.arange(classes, dtype=jnp.float32) - classes / 2.0) ** 2
         logits = logits - reg * regularize
-    if temperature > 0:
+    greedy = jnp.argmax(logits, axis=-1)
+    if isinstance(temperature, (int, float)):
+        if temperature <= 0:
+            return greedy
         probs = jax.nn.softmax(logits / temperature, axis=-1)
-        cdf = jnp.cumsum(probs, axis=-1)
-        idx = jnp.sum(u[..., None] > cdf, axis=-1)
-        return jnp.minimum(idx, classes - 1)
-    return jnp.argmax(logits, axis=-1)
+    else:
+        t = jnp.maximum(temperature, 1e-6)[..., None]
+        probs = jax.nn.softmax(logits / t, axis=-1)
+    cdf = jnp.cumsum(probs, axis=-1)
+    idx = jnp.sum(u[..., None] > cdf, axis=-1)
+    drawn = jnp.minimum(idx, classes - 1)
+    if isinstance(temperature, (int, float)):
+        return drawn
+    return jnp.where(temperature > 0, drawn, greedy)
 
 
 @partial(
@@ -329,6 +342,7 @@ def _generate_fast_jit(
     global_cond: jnp.ndarray | None = None,
     state: StreamState | None = None,
     return_state: bool = False,
+    lane_temp: jnp.ndarray | None = None,
 ):
     """Fast-WaveNet generation (reference: wavenet_model.py:237-315).
 
@@ -366,12 +380,14 @@ def _generate_fast_jit(
     given = jnp.pad(first_samples, ((0, 0), (0, max(0, total + 1 - num_given))))
     cond_t = None if cond is None else jnp.swapaxes(cond, 0, 1)  # (total,S,M)
 
+    temp = temperature if lane_temp is None else lane_temp
+
     def step(carry, xs):
         gstate, cur = carry
         u, i, c = xs
         logits, gstate = gen_step(params, cfg, gstate, cur, cond=c,
                                   global_cond=global_cond)
-        sampled = _sample(logits, u, cfg.classes, temperature, regularize)
+        sampled = _sample(logits, u, cfg.classes, temp, regularize)
         nxt = jnp.where(i + 1 < num_given, given[:, jnp.minimum(i + 1, total)], sampled)
         return (gstate, nxt.astype(jnp.int32)), sampled
 
@@ -416,7 +432,15 @@ def generate_fast(
     receptive-field-long prime. The rollout is the same computation with
     reassociated float reductions and a freshly keyed noise stream, so
     sampled outputs are statistically (not bitwise) identical; argmax
-    rollouts agree except on near-tie logits."""
+    rollouts agree except on near-tie logits.
+
+    ``temperature`` may be a per-stream ``(S,)`` array: streams at
+    different sampling temperatures share one rollout (a temp<=0 stream
+    is bitwise the scalar temperature-0 rollout — see :func:`_sample`)."""
+    lane_temp = None
+    if not isinstance(temperature, (int, float)):
+        lane_temp = jnp.asarray(temperature, jnp.float32)
+        temperature = 0.0
     if window_prime and state is None and first_samples is not None:
         first_samples = jnp.atleast_2d(first_samples).astype(jnp.int32)
         S, num_given = first_samples.shape
@@ -441,6 +465,7 @@ def generate_fast(
             params, cfg, key, num_samples, first_samples,
             temperature=temperature, regularize=regularize, cond=cond,
             global_cond=global_cond, state=state, return_state=return_state,
+            lane_temp=lane_temp,
         )
         if progress_callback is not None:
             progress_callback(num_samples, num_samples)
@@ -459,6 +484,7 @@ def generate_fast(
             params, cfg, sub, n, first_samples if done == 0 else None,
             temperature=temperature, regularize=regularize,
             global_cond=global_cond, state=state, return_state=True,
+            lane_temp=lane_temp,
         )
         wavs.append(wav)
         clss.append(cls)

@@ -362,14 +362,18 @@ class WaveNetTrainer:
 
 def generate_audio(params, cfg, length=8000, temperatures=(0.0, 1.0), seed=0):
     """Generate one clip per temperature (reference:
-    wavenet_training.py:117-124). Returns (len(temperatures), length)."""
+    wavenet_training.py:117-124). Returns (len(temperatures), length).
+
+    All temperatures share ONE batched rollout (per-stream temperature
+    lanes) instead of the reference's sequential loop — the logging-cadence
+    audio hook costs one generation regardless of how many temperatures it
+    logs."""
     from ..models.generate import generate_fast
 
-    out = []
-    for i, temp in enumerate(temperatures):
-        wav, _ = generate_fast(
-            params, cfg, jax.random.PRNGKey(seed + i), length,
-            temperature=float(temp),
-        )
-        out.append(np.asarray(wav[0]))
-    return np.stack(out, axis=0)
+    temps = jnp.asarray(list(temperatures), jnp.float32)
+    first = jnp.full((temps.shape[0], 1), cfg.classes // 2, jnp.int32)
+    wav, _ = generate_fast(
+        params, cfg, jax.random.PRNGKey(seed), length, first,
+        temperature=temps,
+    )
+    return np.asarray(wav)

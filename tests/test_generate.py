@@ -146,6 +146,43 @@ def test_temperature_effect():
     assert (hot == 1).mean() > 0.99
 
 
+def test_per_stream_temperature_array(tiny):
+    """temperature as a (S,) array: a temp-0 stream is bitwise the scalar
+    temperature-0 rollout even with hot neighbors; generate_audio stacks
+    all temperatures from one batched rollout."""
+    cfg, params = tiny
+    rf = cfg.receptive_field
+    prime = jax.random.randint(jax.random.PRNGKey(30), (3, rf), 0, cfg.classes)
+    k = jax.random.PRNGKey(31)
+    n = 24
+    _, cm = wt.generate_fast(params, cfg, k, n, prime,
+                             temperature=jnp.asarray([0.0, 1.0, 0.6]))
+    _, c0 = wt.generate_fast(params, cfg, k, n, prime, temperature=0.0)
+    cm, c0 = np.asarray(cm), np.asarray(c0)
+    np.testing.assert_array_equal(cm[0], c0[0])
+    assert cm.min() >= 0 and cm.max() < cfg.classes
+    assert (cm[1] != c0[1]).any()
+
+    # streaming state composes with the array temperature
+    _, c1, st = wt.generate_fast(params, cfg, k, 10, prime,
+                                 temperature=jnp.asarray([0.0, 1.0, 0.6]),
+                                 return_state=True)
+    _, c2 = wt.generate_fast(params, cfg, k, n - 10,
+                             temperature=jnp.asarray([0.0, 1.0, 0.6]),
+                             state=st)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(c1), np.asarray(c2)], axis=1)[0], c0[0]
+    )
+
+    out = wt.generate_audio(params, cfg, length=12,
+                            temperatures=(0.0, 0.9), seed=4)
+    assert out.shape == (2, 12) and out.dtype == np.float32
+    wav0, _ = wt.generate_fast(params, cfg, jax.random.PRNGKey(4), 12,
+                               jnp.full((2, 1), cfg.classes // 2, jnp.int32),
+                               temperature=jnp.asarray([0.0, 0.9]))
+    np.testing.assert_array_equal(out[0], np.asarray(wav0)[0])
+
+
 def test_regularizer_pulls_to_mid_class(tiny):
     """reference: wavenet_model.py:273-274,280 — quadratic regularizer
     penalizes classes far from classes/2."""
