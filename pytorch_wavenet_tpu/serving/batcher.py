@@ -89,6 +89,7 @@ class _Active:
     handle: GenerationHandle
     lane: int
     remaining: int
+    cond: np.ndarray | None = None  # remaining per-sample cond rows (k, M)
 
 
 @dataclass
@@ -96,6 +97,7 @@ class _Pending:
     handle: GenerationHandle
     prime: np.ndarray
     temperature: float
+    cond: np.ndarray | None = None
 
 
 class ContinuousBatcher:
@@ -146,11 +148,18 @@ class ContinuousBatcher:
     # ------------------------------------------------------------- client
 
     def submit(self, prime, num_samples: int, temperature: float = 1.0,
-               on_chunk=None) -> GenerationHandle:
+               on_chunk=None, cond=None) -> GenerationHandle:
         """Queue a request. ``prime`` is an int class sequence
         ``(num_given,)`` (at least 1 sample; use ``classes // 2`` for an
         unprimed stream). ``on_chunk(cls_chunk)`` fires from the batcher
-        thread as samples appear."""
+        thread as samples appear.
+
+        ``cond``: per-sample local conditioning rows
+        ``(num_given - 1 + num_samples, cond_channels)`` — the vocoder
+        contract (row t conditions the step that consumes input sample t).
+        Each lane carries its own conditioning timeline, so many mel/TTS
+        streams share one rollout; unconditioned requests on a conditioned
+        model get zero rows."""
         if self._closing:
             raise RuntimeError("batcher is closed")
         prime = np.atleast_1d(np.asarray(prime, np.int32))
@@ -158,9 +167,17 @@ class ContinuousBatcher:
             raise ValueError("prime must be a 1-D class sequence")
         if num_samples < 1:
             raise ValueError("num_samples must be >= 1")
+        if cond is not None:
+            M = self.cfg.cond_channels
+            if M == 0:
+                raise ValueError("cond given but cfg.cond_channels == 0")
+            cond = np.asarray(cond, np.float32)
+            want = (prime.size - 1 + num_samples, M)
+            if cond.shape != want:
+                raise ValueError(f"cond shape {cond.shape} != {want}")
         h = GenerationHandle(num_samples, on_chunk)
         h._classes = self.cfg.classes
-        self._submit_q.put(_Pending(h, prime, float(temperature)))
+        self._submit_q.put(_Pending(h, prime, float(temperature), cond))
         self._wake.set()
         return h
 
@@ -193,9 +210,19 @@ class ContinuousBatcher:
         request's output sample 0)."""
         prime = jnp.asarray(np.stack([p.prime for p in pends]))
         temps = jnp.asarray([p.temperature for p in pends], jnp.float32)
+        cond = None
+        if any(p.cond is not None for p in pends):
+            # the prime consumes cond rows [0, num_given) of each request
+            ng = pends[0].prime.size
+            cond = np.zeros((len(pends), ng, self.cfg.cond_channels),
+                            np.float32)
+            for i, p in enumerate(pends):
+                if p.cond is not None:
+                    cond[i] = p.cond[:ng]
+            cond = jnp.asarray(cond)
         _, cls, st = generate_fast_batched(
             self.params, self.cfg, self._next_key(), 1, prime,
-            temperature=temps, return_state=True, **self._kw,
+            temperature=temps, cond=cond, return_state=True, **self._kw,
         )
         n = len(pends)
         cols = np.asarray(st.ring[:, :n]).copy()
@@ -281,8 +308,11 @@ class ContinuousBatcher:
             for pend, lane, first in zip(group, lanes, firsts):
                 self._temps[lane] = pend.temperature
                 pend.handle._deliver(np.asarray([first], np.int32))
+                rest = None
+                if pend.cond is not None:  # rows the prime didn't consume
+                    rest = pend.cond[pend.prime.size :]
                 act = _Active(pend.handle, lane,
-                              pend.handle.num_samples - 1)
+                              pend.handle.num_samples - 1, rest)
                 if act.remaining <= 0:
                     self._temps[lane] = 0.0
                     self._free.append(lane)
@@ -291,10 +321,22 @@ class ContinuousBatcher:
                     self._active.append(act)
 
     def _step_chunk(self):
+        cond = None
+        if any(act.cond is not None for act in self._active):
+            # assemble this chunk's per-lane cond rows; finished/free/
+            # unconditioned lanes ride zero rows
+            cond = np.zeros((self.lanes, self.chunk, self.cfg.cond_channels),
+                            np.float32)
+            for act in self._active:
+                if act.cond is not None:
+                    k = min(self.chunk, act.cond.shape[0])
+                    cond[act.lane, :k] = act.cond[:k]
+                    act.cond = act.cond[k:]
+            cond = jnp.asarray(cond)
         _, cls, self._state = generate_fast_batched(
             self.params, self.cfg, self._next_key(), self.chunk, None,
             temperature=jnp.asarray(self._temps), state=self._state,
-            return_state=True, **self._kw,
+            cond=cond, return_state=True, **self._kw,
         )
         cls = np.asarray(cls)
         still = []

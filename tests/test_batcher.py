@@ -122,6 +122,65 @@ def test_on_chunk_streaming_and_close(tiny):
         b.submit(np.asarray([1]), 4)
 
 
+def test_conditioned_requests_share_the_pool():
+    """Mel-conditioned (vocoder) requests: each lane carries its own
+    conditioning timeline; a conditioned temp-0 request admitted into a
+    busy pool equals its solo conditioned rollout bitwise, and an
+    unconditioned request rides zero rows unaffected."""
+    cfg = wt.get_config("tiny_vocoder")
+    params = wt.init_wavenet(jax.random.PRNGKey(20), cfg)
+    rf = cfg.receptive_field
+    M = cfg.cond_channels
+    prime = np.asarray(jax.random.randint(
+        jax.random.PRNGKey(21), (rf,), 0, cfg.classes))
+    n1, n2 = 17, 9
+    cond1 = np.asarray(0.5 * jax.random.normal(
+        jax.random.PRNGKey(22), (rf - 1 + n1, M)), np.float32)
+    cond2 = np.asarray(0.5 * jax.random.normal(
+        jax.random.PRNGKey(23), (rf - 1 + n2, M)), np.float32)
+
+    def solo(cond, n):
+        _, cls = wt.generate_fast(
+            params, cfg, jax.random.PRNGKey(9), n,
+            jnp.asarray(prime)[None, :], temperature=0.0,
+            cond=jnp.asarray(cond)[None])
+        return np.asarray(cls)[0]
+
+    b = ContinuousBatcher(params, cfg, lanes=3, chunk=6, interpret=True)
+    try:
+        plain = b.submit(prime, 20, temperature=0.0)  # unconditioned lane
+        h1 = b.submit(prime, n1, temperature=0.0, cond=cond1)
+        _wait_for(h1, 8)
+        h2 = b.submit(prime, n2, temperature=0.0, cond=cond2)  # mid-flight
+        _, c1 = h1.result(timeout=300)
+        _, c2 = h2.result(timeout=300)
+        _, cp = plain.result(timeout=300)
+        np.testing.assert_array_equal(c1, solo(cond1, n1))
+        np.testing.assert_array_equal(c2, solo(cond2, n2))
+        np.testing.assert_array_equal(cp, _solo(params, cfg, prime, 20))
+    finally:
+        b.close()
+
+
+def test_cond_shape_rejected(tiny):
+    cfg, params = tiny  # tiny has cond_channels == 0
+    b = ContinuousBatcher(params, cfg, lanes=2, chunk=4, interpret=True)
+    try:
+        with pytest.raises(ValueError, match="cond_channels"):
+            b.submit(np.asarray([1]), 4, cond=np.zeros((4, 8), np.float32))
+    finally:
+        b.close()
+    cfgv = wt.get_config("tiny_vocoder")
+    pv = wt.init_wavenet(jax.random.PRNGKey(0), cfgv)
+    b = ContinuousBatcher(pv, cfgv, lanes=2, chunk=4, interpret=True)
+    try:
+        with pytest.raises(ValueError, match="cond shape"):
+            b.submit(np.asarray([1]), 4,
+                     cond=np.zeros((3, cfgv.cond_channels), np.float32))
+    finally:
+        b.close()
+
+
 def test_bad_requests_rejected(tiny):
     cfg, params = tiny
     b = ContinuousBatcher(params, cfg, lanes=2, chunk=4, interpret=True)
