@@ -191,6 +191,21 @@ class Synthesizer:
             wav_in, num_mels=self.cfg.cond_channels, n_fft=n_fft,
             hop_length=hop_length, sampling_rate=sr,
         )
+        if self.batcher is not None:
+            # per-lane conditioning: the request rides the shared rollout
+            from pytorch_wavenet_tpu.models.wavenet import upsample_cond
+
+            n = mel.shape[0] * hop_length  # num_given=1 -> F*hop samples
+            cond = np.asarray(upsample_cond(
+                self.params, self.cfg, jnp.asarray(mel)[None],
+                hop_length, n,
+            )[0])
+            h = self.batcher.submit(
+                np.asarray([self.cfg.classes // 2], np.int32), n,
+                temperature=temperature, cond=cond,
+            )
+            wav, _ = h.result(timeout=3600)
+            return wav
         first = jnp.full((1, 1), self.cfg.classes // 2, jnp.int32)
         with self.lock:
             wav, _ = wt.synthesize(

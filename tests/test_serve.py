@@ -118,8 +118,8 @@ def test_vocode_rejected_on_unconditional_model(server):
     assert b"unconditional" in e.value.read()
 
 
-@pytest.fixture(scope="module")
-def vocoder_server(tmp_path_factory):
+@pytest.fixture(scope="module", params=["direct", "batcher"])
+def vocoder_server(request, tmp_path_factory):
     import jax
 
     import pytorch_wavenet_tpu as wt
@@ -130,12 +130,16 @@ def vocoder_server(tmp_path_factory):
     wt.save_checkpoint(str(d), "tinyv", 0, params, cfg=cfg)
     ckpt = os.path.join(str(d), os.listdir(d)[0])
 
+    extra = []
+    if request.param == "batcher":
+        extra = ["--batcher", "--batcher-interpret", "--lanes", "2",
+                 "--batch-chunk", "256"]
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
     proc = subprocess.Popen(
         [sys.executable, "scripts/serve.py", "--snapshot", ckpt,
-         "--port", str(port), "--backend", "xla"],
+         "--port", str(port), "--backend", "xla", *extra],
         cwd=REPO, env=ENV,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
