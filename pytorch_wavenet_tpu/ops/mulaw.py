@@ -47,6 +47,16 @@ def dequantize_data(quantized: np.ndarray, classes: int) -> np.ndarray:
     return mu_law_expansion(x, classes)
 
 
+def dequantize_to_f32(quantized: np.ndarray, classes: int) -> np.ndarray:
+    """Host-side class -> float32 waveform decode that stays in float32
+    end-to-end, matching the on-device decode (models/generate.py) bitwise —
+    serving paths that must byte-match a device rollout use this one."""
+    cls = np.asarray(quantized)
+    return mu_law_expansion(
+        (cls.astype(np.float32) / classes) * 2.0 - 1.0, classes
+    ).astype(np.float32)
+
+
 # ------------------------------------------------------------- jnp (on device)
 
 

@@ -1,3 +1,3 @@
-from .batcher import ContinuousBatcher, GenerationHandle
+from .batcher import ContinuousBatcher, GenerationHandle, RequestCancelled
 
-__all__ = ["ContinuousBatcher", "GenerationHandle"]
+__all__ = ["ContinuousBatcher", "GenerationHandle", "RequestCancelled"]

@@ -43,8 +43,12 @@ import numpy as np
 
 from ..config import WaveNetConfig
 from ..models.wavenet import Params
-from ..ops.mulaw import mu_law_expansion
+from ..ops.mulaw import dequantize_to_f32
 from ..ops.pallas.gen_kernel_hbm import HbmGenState, generate_fast_batched
+
+
+class RequestCancelled(RuntimeError):
+    """Raised by :meth:`GenerationHandle.result` after ``cancel()``."""
 
 
 class GenerationHandle:
@@ -55,6 +59,7 @@ class GenerationHandle:
         self._on_chunk = on_chunk
         self._parts: list[np.ndarray] = []
         self._done = threading.Event()
+        self._cancel = threading.Event()
         self._error: BaseException | None = None
 
     def _deliver(self, cls_chunk: np.ndarray):
@@ -69,6 +74,15 @@ class GenerationHandle:
     def done(self) -> bool:
         return self._done.is_set()
 
+    def cancel(self):
+        """Ask the batcher to drop this request at the next chunk boundary,
+        freeing its lane. No-op once complete; after it takes effect,
+        ``result()`` raises :class:`RequestCancelled`."""
+        self._cancel.set()
+
+    def cancelled(self) -> bool:
+        return self._cancel.is_set()
+
     def result(self, timeout: float | None = None):
         """Block until complete; returns ``(waveform (N,) float32,
         classes (N,) int32)``."""
@@ -77,11 +91,7 @@ class GenerationHandle:
         if self._error is not None:
             raise self._error
         cls = np.concatenate(self._parts)[: self.num_samples]
-        wav = mu_law_expansion(
-            (cls.astype(np.float32) / self._classes) * 2.0 - 1.0,
-            self._classes,
-        ).astype(np.float32)
-        return wav, cls
+        return dequantize_to_f32(cls, self._classes), cls
 
 
 @dataclass
@@ -121,6 +131,10 @@ class ContinuousBatcher:
         if not interpret and lanes % 128:
             raise ValueError(f"lanes must be a multiple of 128 on hardware "
                              f"(lane-aligned ring DMAs), got {lanes}")
+        if head_tiles and lanes % (head_tiles * (1 if interpret else 128)):
+            raise ValueError(
+                f"lanes={lanes} not divisible into head_tiles={head_tiles} "
+                f"lane-aligned stream groups")
         self.cfg = cfg
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
         self.lanes = lanes
@@ -141,6 +155,9 @@ class ContinuousBatcher:
         self._state: HbmGenState | None = None  # created lazily
         self._wake = threading.Event()
         self._closing = False
+        # serializes the _closing check against close()'s final drain, so a
+        # submit can never enqueue into a queue nobody will ever read again
+        self._lifecycle = threading.Lock()
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="wavenet-batcher")
         self._thread.start()
@@ -160,8 +177,6 @@ class ContinuousBatcher:
         Each lane carries its own conditioning timeline, so many mel/TTS
         streams share one rollout; unconditioned requests on a conditioned
         model get zero rows."""
-        if self._closing:
-            raise RuntimeError("batcher is closed")
         prime = np.atleast_1d(np.asarray(prime, np.int32))
         if prime.ndim != 1 or prime.size < 1:
             raise ValueError("prime must be a 1-D class sequence")
@@ -177,19 +192,25 @@ class ContinuousBatcher:
                 raise ValueError(f"cond shape {cond.shape} != {want}")
         h = GenerationHandle(num_samples, on_chunk)
         h._classes = self.cfg.classes
-        self._submit_q.put(_Pending(h, prime, float(temperature), cond))
+        with self._lifecycle:
+            if self._closing:
+                raise RuntimeError("batcher is closed")
+            self._submit_q.put(_Pending(h, prime, float(temperature), cond))
         self._wake.set()
         return h
 
     def close(self):
-        self._closing = True
+        with self._lifecycle:
+            self._closing = True
         self._wake.set()
         self._thread.join(timeout=60)
-        # a submit that raced the close flag may have enqueued after the
-        # loop's final drain
-        while not self._submit_q.empty():
-            self._submit_q.get().handle._finish(
-                RuntimeError("batcher closed"))
+        # the flag flips under the lifecycle lock, so every submit either
+        # raised or enqueued before this drain; the worker's own final drain
+        # plus this one leave no handle unanswered
+        with self._lifecycle:
+            while not self._submit_q.empty():
+                self._submit_q.get().handle._finish(
+                    RuntimeError("batcher closed"))
 
     # ------------------------------------------------------------- device
 
@@ -220,9 +241,13 @@ class ContinuousBatcher:
                 if p.cond is not None:
                     cond[i] = p.cond[:ng]
             cond = jnp.asarray(cond)
+        # prime calls pad to 128 streams, which can't satisfy head_tiles'
+        # streams % (128*G) requirement — and a <=128-wide call doesn't need
+        # head tiling anyway, so drop it here (chunk steps keep it)
         _, cls, st = generate_fast_batched(
             self.params, self.cfg, self._next_key(), 1, prime,
-            temperature=temps, cond=cond, return_state=True, **self._kw,
+            temperature=temps, cond=cond, return_state=True,
+            **{**self._kw, "head_tiles": None},
         )
         n = len(pends)
         cols = np.asarray(st.ring[:, :n]).copy()
@@ -283,7 +308,11 @@ class ContinuousBatcher:
     def _admit(self):
         batch: list[_Pending] = []
         while len(batch) < len(self._free) and not self._submit_q.empty():
-            batch.append(self._submit_q.get())
+            p = self._submit_q.get()
+            if p.handle.cancelled():
+                p.handle._finish(RequestCancelled("request cancelled"))
+            else:
+                batch.append(p)
         if not batch:
             return
         self._ensure_state()
@@ -307,7 +336,13 @@ class ContinuousBatcher:
                 continue
             for pend, lane, first in zip(group, lanes, firsts):
                 self._temps[lane] = pend.temperature
-                pend.handle._deliver(np.asarray([first], np.int32))
+                try:
+                    pend.handle._deliver(np.asarray([first], np.int32))
+                except BaseException as e:  # a caller's on_chunk raised —
+                    self._temps[lane] = 0.0  # fail that request, keep serving
+                    self._free.append(lane)
+                    pend.handle._finish(e)
+                    continue
                 rest = None
                 if pend.cond is not None:  # rows the prime didn't consume
                     rest = pend.cond[pend.prime.size :]
@@ -320,7 +355,34 @@ class ContinuousBatcher:
                 else:
                     self._active.append(act)
 
+    def _reap_cancelled(self):
+        """Drop cancelled requests at the chunk boundary, freeing their
+        lanes (a disconnected streaming client must not hold a lane for the
+        rest of its clip)."""
+        still = []
+        for act in self._active:
+            if act.handle.cancelled():
+                self._temps[act.lane] = 0.0
+                self._free.append(act.lane)
+                act.handle._finish(RequestCancelled("request cancelled"))
+            else:
+                still.append(act)
+        self._active = still
+
+    def _fail_all(self, error: BaseException):
+        """A device step failed: the shared state is suspect, so fail every
+        rider and restart the pool from a fresh bootstrap."""
+        for act in self._active:
+            act.handle._finish(error)
+        self._active = []
+        self._free = list(range(self.lanes))
+        self._temps[:] = 0.0
+        self._state = None
+
     def _step_chunk(self):
+        self._reap_cancelled()
+        if not self._active:
+            return
         cond = None
         if any(act.cond is not None for act in self._active):
             # assemble this chunk's per-lane cond rows; finished/free/
@@ -342,7 +404,13 @@ class ContinuousBatcher:
         still = []
         for act in self._active:
             take = min(act.remaining, self.chunk)
-            act.handle._deliver(cls[act.lane, :take])
+            try:
+                act.handle._deliver(cls[act.lane, :take])
+            except BaseException as e:  # caller's on_chunk raised
+                self._temps[act.lane] = 0.0
+                self._free.append(act.lane)
+                act.handle._finish(e)
+                continue
             act.remaining -= take
             if act.remaining <= 0:
                 self._temps[act.lane] = 0.0
@@ -353,13 +421,20 @@ class ContinuousBatcher:
         self._active = still
 
     def _run(self):
+        # Nothing may escape this loop while the pool is open: an exception
+        # that killed the thread would leave every active and future handle
+        # blocked forever. Per-request failures are handled inline; a failed
+        # device step fails its riders and re-bootstraps the pool.
         while not self._closing:
-            self._admit()
-            if self._active:
-                self._step_chunk()
-            else:
-                self._wake.wait(timeout=0.1)
-                self._wake.clear()
+            try:
+                self._admit()
+                if self._active:
+                    self._step_chunk()
+                else:
+                    self._wake.wait(timeout=0.1)
+                    self._wake.clear()
+            except BaseException as e:
+                self._fail_all(e)
         for act in self._active:
             act.handle._finish(RuntimeError("batcher closed"))
         while not self._submit_q.empty():

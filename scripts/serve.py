@@ -26,7 +26,9 @@ make progress instead of starving). With ``--batcher`` they instead share
 one persistent multi-stream rollout (serving/batcher.py): each request
 claims a lane of the HBM kernel's lane pool at the next chunk boundary,
 carries its own sampling temperature, and streams out as the pool
-produces samples — no head-of-line blocking.
+produces samples — no head-of-line blocking. Cancellation holds in both
+modes: a hung-up client's request is dropped at the next chunk boundary
+(in batcher mode its lane frees for the next request).
 
 Example:
   python scripts/serve.py --snapshot snaps/model_0000001000.ckpt --port 8765
@@ -147,10 +149,12 @@ class Synthesizer:
         """Bridge the batcher's chunk callbacks into a generator: the
         request joins the shared rollout at the next chunk boundary and
         wav chunks flow out as the pool produces them (per-request seeds
-        don't apply — the pool owns one noise stream)."""
+        don't apply — the pool owns one noise stream). If the consumer
+        abandons the stream (client hang-up), the request is cancelled so
+        its lane frees at the next chunk boundary."""
         import queue as _q
 
-        from pytorch_wavenet_tpu.ops.mulaw import mu_law_expansion
+        from pytorch_wavenet_tpu.ops.mulaw import dequantize_to_f32
 
         chunks: _q.Queue = _q.Queue()
         handle = self.batcher.submit(
@@ -158,20 +162,26 @@ class Synthesizer:
             temperature=temperature, on_chunk=chunks.put,
         )
         got = 0
-        while got < num_samples:
-            try:
-                cls = chunks.get(timeout=1.0)
-            except _q.Empty:
-                if handle.done():
-                    handle.result(timeout=0)  # re-raise a batcher error
-                    break
-                continue
-            cls = cls[: num_samples - got]
-            got += cls.size
-            yield mu_law_expansion(
-                (cls.astype(np.float32) / self.cfg.classes) * 2.0 - 1.0,
-                self.cfg.classes,
-            ).astype(np.float32)
+        try:
+            while got < num_samples:
+                try:
+                    cls = chunks.get(timeout=1.0)
+                except _q.Empty:
+                    if not handle.done():
+                        continue
+                    # _deliver and _finish are adjacent on the batcher
+                    # thread: the final chunk(s) can land between our
+                    # timeout and the done() check — drain before breaking
+                    try:
+                        cls = chunks.get_nowait()
+                    except _q.Empty:
+                        handle.result(timeout=0)  # re-raise a batcher error
+                        break
+                cls = cls[: num_samples - got]
+                got += cls.size
+                yield dequantize_to_f32(cls, self.cfg.classes)
+        finally:
+            handle.cancel()  # no-op if complete; frees the lane otherwise
 
     def vocode(self, wav_bytes: bytes, hop_length: int, n_fft: int,
                temperature: float, seed: int) -> np.ndarray:

@@ -191,3 +191,102 @@ def test_bad_requests_rejected(tiny):
             b.submit(np.asarray([1]), 0)
     finally:
         b.close()
+
+
+def test_cancel_frees_the_lane(tiny):
+    """cancel() drops a request at the next chunk boundary; its lane is
+    reused by a later request and result() raises RequestCancelled."""
+    from pytorch_wavenet_tpu.serving import RequestCancelled
+
+    cfg, params = tiny
+    prime = np.asarray([cfg.classes // 2])
+    b = ContinuousBatcher(params, cfg, lanes=1, chunk=4, interpret=True)
+    try:
+        doomed = b.submit(prime, 10_000, temperature=0.0)
+        _wait_for(doomed, 5)
+        doomed.cancel()
+        # the single lane must free up for this one to ever complete
+        after = b.submit(prime, 8, temperature=0.0)
+        _, cls = after.result(timeout=300)
+        np.testing.assert_array_equal(cls, _solo(params, cfg, prime, 8))
+        assert doomed.done() and doomed.cancelled()
+        with pytest.raises(RequestCancelled):
+            doomed.result(timeout=0)
+    finally:
+        b.close()
+
+
+def test_raising_on_chunk_fails_only_that_request(tiny):
+    """A caller's on_chunk callback raising must not kill the pool thread:
+    that handle fails with the callback's error, neighbors complete."""
+    cfg, params = tiny
+    prime = np.asarray([cfg.classes // 2])
+    b = ContinuousBatcher(params, cfg, lanes=2, chunk=4, interpret=True)
+    try:
+        def boom(_):
+            raise ValueError("consumer exploded")
+
+        bad = b.submit(prime, 12, temperature=0.0, on_chunk=boom)
+        good = b.submit(prime, 12, temperature=0.0)
+        with pytest.raises(ValueError, match="consumer exploded"):
+            bad.result(timeout=300)
+        _, cls = good.result(timeout=300)
+        np.testing.assert_array_equal(cls, _solo(params, cfg, prime, 12))
+        # the pool is still alive: a fresh request completes
+        _, cls2 = b.submit(prime, 6, temperature=0.0).result(timeout=300)
+        np.testing.assert_array_equal(cls2, _solo(params, cfg, prime, 6))
+    finally:
+        b.close()
+
+
+def test_device_step_failure_fails_riders_and_pool_recovers(tiny, monkeypatch):
+    """A kernel-call failure mid-rollout fails the riding handles (instead
+    of hanging them forever) and the pool re-bootstraps for new work."""
+    import pytorch_wavenet_tpu.serving.batcher as bm
+
+    cfg, params = tiny
+    prime = np.asarray([cfg.classes // 2])
+    real = bm.generate_fast_batched
+    state = {"fail": False, "failed": False}
+
+    def flaky(*args, **kwargs):
+        if state["fail"]:
+            state["fail"] = False
+            state["failed"] = True
+            raise RuntimeError("synthetic device failure")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(bm, "generate_fast_batched", flaky)
+    b = ContinuousBatcher(params, cfg, lanes=2, chunk=4, interpret=True)
+    try:
+        h = b.submit(prime, 10_000, temperature=0.0)
+        _wait_for(h, 5)
+        state["fail"] = True  # next kernel call (prime or chunk) raises
+        with pytest.raises(RuntimeError, match="synthetic device failure"):
+            h.result(timeout=300)
+        assert state["failed"]
+        # pool recovered: a fresh request runs end-to-end
+        _, cls = b.submit(prime, 8, temperature=0.0).result(timeout=300)
+        np.testing.assert_array_equal(cls, _solo(params, cfg, prime, 8))
+    finally:
+        b.close()
+
+
+def test_head_tiles_admission(tiny):
+    """head_tiles pools must still admit solo requests: the prime call
+    drops the tiling (its padded width can't satisfy streams % (128*G));
+    chunk steps keep it. Exactness is unchanged."""
+    cfg, params = tiny
+    prime = np.asarray(jax.random.randint(
+        jax.random.PRNGKey(4), (cfg.receptive_field,), 0, cfg.classes))
+    b = ContinuousBatcher(params, cfg, lanes=4, chunk=6, interpret=True,
+                          head_tiles=2)
+    try:
+        h = b.submit(prime, 13, temperature=0.0)
+        _, cls = h.result(timeout=300)
+        np.testing.assert_array_equal(cls, _solo(params, cfg, prime, 13))
+    finally:
+        b.close()
+    with pytest.raises(ValueError, match="head_tiles"):
+        ContinuousBatcher(params, cfg, lanes=3, chunk=6, interpret=True,
+                          head_tiles=2)
