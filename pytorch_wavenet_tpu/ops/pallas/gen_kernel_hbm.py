@@ -64,7 +64,8 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                  ring_dtype=jnp.float32, fuse_res: bool = False,
                  stage_layers: int | None = None,
                  head_tiles: int | None = None,
-                 lane_temp: bool = False):
+                 lane_temp: bool = False,
+                 lane_seed: bool = False):
     L = cfg.num_layers
     D = cfg.dilation_channels
     S = cfg.skip_channels
@@ -127,6 +128,12 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
             # temp <= 0 take the argmax (greedy) branch
             temp_ref = refs[0]
             refs = refs[1:]
+        if lane_seed:
+            # per-stream noise counters: (1, NS) int32 seed and (1, NS)
+            # int32 clock offset rebasing the kernel clock to each
+            # request's own step count (see hash_gumbel)
+            seed_row_ref, toff_row_ref = refs[:2]
+            refs = refs[2:]
         if fuse_res:
             # pre-multiplied chain weights (see generate_fast_batched):
             # wf[l] = w_cur[l+1] @ w_res[l]^T  (2D, D), and the folded bias
@@ -361,14 +368,30 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                     # lanes ignore it; hot lanes get an independent-ish
                     # uniform per (step, class, lane).
                     sr = lax.shift_right_logical
-                    idx = (
-                        lax.broadcasted_iota(jnp.int32, (C, NSg), 0) * NS
-                        + lax.broadcasted_iota(jnp.int32, (C, NSg), 1)
-                        + g * NSg
-                    )
-                    x = idx * jnp.int32(-1640531527)  # golden-ratio mix
-                    x = x ^ ((t + toff) * jnp.int32(-2048144789))
-                    x = x ^ seed_ref[0, 0]
+                    if lane_seed:
+                        # request-local counters: the draw depends only on
+                        # (class, request-local step, request seed) — NOT
+                        # on the lane index, stream width, head tile, or
+                        # pool clock — so a hot request's rollout is
+                        # bitwise identical solo or spliced into any lane
+                        # pool at any admission time (give each request a
+                        # distinct seed; equal seeds share noise)
+                        idx = lax.broadcasted_iota(jnp.int32, (C, NSg), 0)
+                        tloc = (t + toff) + toff_row_ref[
+                            :, g * NSg : (g + 1) * NSg
+                        ]
+                        x = idx * jnp.int32(-1640531527)
+                        x = x ^ (tloc * jnp.int32(-2048144789))
+                        x = x ^ seed_row_ref[:, g * NSg : (g + 1) * NSg]
+                    else:
+                        idx = (
+                            lax.broadcasted_iota(jnp.int32, (C, NSg), 0) * NS
+                            + lax.broadcasted_iota(jnp.int32, (C, NSg), 1)
+                            + g * NSg
+                        )
+                        x = idx * jnp.int32(-1640531527)  # golden-ratio mix
+                        x = x ^ ((t + toff) * jnp.int32(-2048144789))
+                        x = x ^ seed_ref[0, 0]
                     x = x ^ sr(x, 16)
                     x = x * jnp.int32(-2048144789)
                     x = x ^ sr(x, 13)
@@ -463,12 +486,33 @@ def generate_fast_batched(
     pad_streams: int | None = None,
     stage_layers: int | None = None,
     head_tiles: int | None = None,
+    lane_seed: jnp.ndarray | None = None,
+    lane_clock: jnp.ndarray | None = None,
 ):
     """Public entry — see :func:`_generate_fast_batched_jit` for the full
     contract. ``temperature`` may also be a per-stream ``(streams,)`` array
     (serving: requests at different temperatures share one batched rollout);
     lanes with temperature <= 0 take the greedy argmax branch, bitwise equal
-    to a scalar temperature-0 rollout of that stream."""
+    to a scalar temperature-0 rollout of that stream.
+
+    ``lane_seed`` (``(streams,)`` int32) switches sampling noise to
+    per-stream request-local counters: each draw depends only on (class,
+    request-local step, that stream's seed), so a hot rollout is bitwise
+    REPRODUCIBLE — identical for the same seed whether run solo or spliced
+    into any lane pool at any admission time, any stream width, any
+    head_tiles, any chunking. ``lane_clock`` (``(streams,)`` int32,
+    default zeros) rebases the kernel clock to each stream's own step
+    count (the continuous batcher sets it to local-minus-global at
+    admission). Give concurrent requests distinct seeds — equal seeds draw
+    equal noise. Implies the per-stream-temperature path (a scalar
+    ``temperature`` is broadcast)."""
+    if lane_seed is not None and isinstance(temperature, (int, float)):
+        streams = (
+            state.cls.shape[0] if state is not None
+            else jnp.atleast_2d(first_samples).shape[0]
+            if first_samples is not None else 1
+        )
+        temperature = jnp.full((streams,), temperature, jnp.float32)
     if isinstance(temperature, (int, float)):
         return _generate_fast_batched_jit(
             params, cfg, key, num_samples, first_samples,
@@ -489,6 +533,11 @@ def generate_fast_batched(
         pad_streams=pad_streams, stage_layers=stage_layers,
         head_tiles=head_tiles,
         lane_temp=jnp.asarray(temperature, jnp.float32),
+        lane_seed=None if lane_seed is None
+        else jnp.asarray(lane_seed, jnp.int32),
+        lane_clock=None if lane_seed is None
+        else jnp.zeros_like(jnp.asarray(lane_seed, jnp.int32))
+        if lane_clock is None else jnp.asarray(lane_clock, jnp.int32),
     )
 
 
@@ -517,6 +566,8 @@ def _generate_fast_batched_jit(
     stage_layers: int | None = None,
     head_tiles: int | None = None,
     lane_temp: jnp.ndarray | None = None,
+    lane_seed: jnp.ndarray | None = None,
+    lane_clock: jnp.ndarray | None = None,
 ):
     """Batched fused generation with HBM queue state. Same contract as
     ``models.generate.generate_fast``, including local conditioning:
@@ -691,6 +742,25 @@ def _generate_fast_batched_jit(
         )
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
+    if lane_seed is not None:
+        if lane_temp is None:
+            raise ValueError("lane_seed needs per-stream temperature "
+                             "(the counter-noise sampling path)")
+        for name, row in (("lane_seed", lane_seed), ("lane_clock",
+                                                     lane_clock)):
+            if row is None or row.shape != (true_streams,):
+                raise ValueError(
+                    f"{name} must be ({true_streams},) int32, got "
+                    f"{None if row is None else row.shape}"
+                )
+        for row in (lane_seed, lane_clock):
+            args.append(
+                jnp.pad(
+                    row.astype(jnp.int32), (0, streams - true_streams)
+                ).reshape(1, streams)
+            )
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
     if fuse_res:
         # chain weights: wf[l] = w_cur[l+1] @ w_res[l]^T  (2D, D), and the
         # folded bias bf[l] = w_cur[l+1] @ b_res[l] + b_in[l+1]
@@ -765,6 +835,7 @@ def _generate_fast_batched_jit(
         cond_rows=Mp, has_gcond=global_cond is not None, resume=resume,
         ring_dtype=rdt, fuse_res=fuse_res, stage_layers=stage_layers,
         head_tiles=head_tiles, lane_temp=lane_temp is not None,
+        lane_seed=lane_seed is not None,
     )
     n_chunks = -(-total // _CHUNK)
 

@@ -19,12 +19,16 @@ at chunk boundaries:
 * each request carries its own sampling temperature (the kernel's
   per-stream temperature lanes), so mixed-temperature traffic shares one
   rollout;
+* each request carries its own sampling seed, counted off its OWN step
+  clock (the kernel's lane_seed/lane_clock rows), so even hot rollouts
+  are reproducible;
 * outputs are distributed per chunk, so callers can stream audio while
   later requests keep joining.
 
-Admission is exact: a request's rollout is bitwise identical (at
-temperature 0) to a solo rollout of the same prime, no matter when it is
-admitted — pinned in tests/test_batcher.py.
+Admission is exact at every temperature: a request's rollout is bitwise
+identical to a solo rollout of the same (prime, seed, temperature), no
+matter when it is admitted or what shares the pool — pinned in
+tests/test_batcher.py.
 
 The reference has no serving analogue (its generation is a blocking
 batch-1 script, wavenet_model.py:237); this is the TPU-native replacement
@@ -108,6 +112,7 @@ class _Pending:
     prime: np.ndarray
     temperature: float
     cond: np.ndarray | None = None
+    seed: int = 0
 
 
 class ContinuousBatcher:
@@ -152,6 +157,13 @@ class ContinuousBatcher:
         self._active: list[_Active] = []
         self._free = list(range(lanes))
         self._temps = np.zeros(lanes, np.float32)
+        # per-lane noise counters (reproducible sampling): each lane draws
+        # from its request's seed at its request-local clock, so a hot
+        # rollout is bitwise identical to the same-seed solo run no matter
+        # when it was admitted
+        self._seeds = np.zeros(lanes, np.int32)
+        self._toffs = np.zeros(lanes, np.int32)
+        self._auto_seed = int(seed) & 0xFFFFFFFF
         self._state: HbmGenState | None = None  # created lazily
         self._wake = threading.Event()
         self._closing = False
@@ -165,7 +177,8 @@ class ContinuousBatcher:
     # ------------------------------------------------------------- client
 
     def submit(self, prime, num_samples: int, temperature: float = 1.0,
-               on_chunk=None, cond=None) -> GenerationHandle:
+               on_chunk=None, cond=None,
+               seed: int | None = None) -> GenerationHandle:
         """Queue a request. ``prime`` is an int class sequence
         ``(num_given,)`` (at least 1 sample; use ``classes // 2`` for an
         unprimed stream). ``on_chunk(cls_chunk)`` fires from the batcher
@@ -176,7 +189,16 @@ class ContinuousBatcher:
         contract (row t conditions the step that consumes input sample t).
         Each lane carries its own conditioning timeline, so many mel/TTS
         streams share one rollout; unconditioned requests on a conditioned
-        model get zero rows."""
+        model get zero rows.
+
+        ``seed``: per-request sampling seed. Sampling noise is counted off
+        (class, request-local step, seed), so the rollout is bitwise
+        REPRODUCIBLE: resubmitting the same (prime, seed, temperature,
+        cond) returns the same samples regardless of pool load or
+        admission time, and equals a solo ``generate_fast_batched`` call
+        with ``lane_seed=[seed]``. Defaults to a distinct per-request seed
+        derived from the pool seed (reproducible pool-wide, not
+        per-request)."""
         prime = np.atleast_1d(np.asarray(prime, np.int32))
         if prime.ndim != 1 or prime.size < 1:
             raise ValueError("prime must be a 1-D class sequence")
@@ -195,7 +217,15 @@ class ContinuousBatcher:
         with self._lifecycle:
             if self._closing:
                 raise RuntimeError("batcher is closed")
-            self._submit_q.put(_Pending(h, prime, float(temperature), cond))
+            if seed is None:  # distinct per request, derived from pool seed
+                self._auto_seed = (
+                    self._auto_seed * 2654435761 + 1) & 0xFFFFFFFF
+                seed = self._auto_seed
+            seed = int(seed) & 0xFFFFFFFF  # wrap into int32 range
+            if seed >= 1 << 31:
+                seed -= 1 << 32
+            self._submit_q.put(
+                _Pending(h, prime, float(temperature), cond, seed))
         self._wake.set()
         return h
 
@@ -247,6 +277,7 @@ class ContinuousBatcher:
         _, cls, st = generate_fast_batched(
             self.params, self.cfg, self._next_key(), 1, prime,
             temperature=temps, cond=cond, return_state=True,
+            lane_seed=jnp.asarray([p.seed for p in pends], jnp.int32),
             **{**self._kw, "head_tiles": None},
         )
         n = len(pends)
@@ -336,6 +367,10 @@ class ContinuousBatcher:
                 continue
             for pend, lane, first in zip(group, lanes, firsts):
                 self._temps[lane] = pend.temperature
+                self._seeds[lane] = pend.seed
+                # rebase the lane's noise clock: request-local time =
+                # pool time + toff, constant from admission on
+                self._toffs[lane] = t_local - self._global_t()
                 try:
                     pend.handle._deliver(np.asarray([first], np.int32))
                 except BaseException as e:  # a caller's on_chunk raised —
@@ -398,7 +433,9 @@ class ContinuousBatcher:
         _, cls, self._state = generate_fast_batched(
             self.params, self.cfg, self._next_key(), self.chunk, None,
             temperature=jnp.asarray(self._temps), state=self._state,
-            cond=cond, return_state=True, **self._kw,
+            cond=cond, return_state=True,
+            lane_seed=jnp.asarray(self._seeds),
+            lane_clock=jnp.asarray(self._toffs), **self._kw,
         )
         cls = np.asarray(cls)
         still = []

@@ -145,13 +145,15 @@ class Synthesizer:
             return partial(generate_fast_fused, fuse_res=True)
         return wt.generate_fast
 
-    def _stream_batched(self, num_samples: int, temperature: float):
+    def _stream_batched(self, num_samples: int, temperature: float,
+                        seed: int):
         """Bridge the batcher's chunk callbacks into a generator: the
         request joins the shared rollout at the next chunk boundary and
-        wav chunks flow out as the pool produces them (per-request seeds
-        don't apply — the pool owns one noise stream). If the consumer
-        abandons the stream (client hang-up), the request is cancelled so
-        its lane frees at the next chunk boundary."""
+        wav chunks flow out as the pool produces them. The request's seed
+        drives its own lane's noise counters, so the response is
+        reproducible regardless of pool load. If the consumer abandons
+        the stream (client hang-up), the request is cancelled so its lane
+        frees at the next chunk boundary."""
         import queue as _q
 
         from pytorch_wavenet_tpu.ops.mulaw import dequantize_to_f32
@@ -159,7 +161,7 @@ class Synthesizer:
         chunks: _q.Queue = _q.Queue()
         handle = self.batcher.submit(
             np.asarray([self.cfg.classes // 2], np.int32), num_samples,
-            temperature=temperature, on_chunk=chunks.put,
+            temperature=temperature, on_chunk=chunks.put, seed=seed,
         )
         got = 0
         try:
@@ -212,7 +214,7 @@ class Synthesizer:
             )[0])
             h = self.batcher.submit(
                 np.asarray([self.cfg.classes // 2], np.int32), n,
-                temperature=temperature, cond=cond,
+                temperature=temperature, cond=cond, seed=seed,
             )
             wav, _ = h.result(timeout=3600)
             return wav
@@ -230,7 +232,7 @@ class Synthesizer:
         """Yield float32 (chunk,) waveform arrays; ring state carries
         across chunks (bitwise-equal to a single shot at temperature 0)."""
         if self.batcher is not None:
-            yield from self._stream_batched(num_samples, temperature)
+            yield from self._stream_batched(num_samples, temperature, seed)
             return
         gen = self._gen_fn()
         cfg = self.cfg

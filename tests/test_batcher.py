@@ -290,3 +290,39 @@ def test_head_tiles_admission(tiny):
     with pytest.raises(ValueError, match="head_tiles"):
         ContinuousBatcher(params, cfg, lanes=3, chunk=6, interpret=True,
                           head_tiles=2)
+
+
+def test_hot_requests_are_reproducible(tiny):
+    """Per-request seeds: a temperature>0 request's rollout is bitwise
+    identical to the same-seed solo kernel call, no matter when it is
+    admitted or what shares the pool — and resubmission reproduces it."""
+    from pytorch_wavenet_tpu.ops.pallas.gen_kernel_hbm import (
+        generate_fast_batched,
+    )
+
+    cfg, params = tiny
+    rf = cfg.receptive_field
+    prime = np.asarray(jax.random.randint(
+        jax.random.PRNGKey(6), (rf,), 0, cfg.classes))
+    n = 21
+    _, solo = generate_fast_batched(
+        params, cfg, jax.random.PRNGKey(0), n, jnp.asarray(prime)[None],
+        temperature=jnp.asarray([0.9]), lane_seed=jnp.asarray([1234]),
+        interpret=True)
+    solo = np.asarray(solo)[0]
+    assert len(set(solo.tolist())) > 1  # sampling, not greedy
+
+    b = ContinuousBatcher(params, cfg, lanes=3, chunk=6, interpret=True)
+    try:
+        noise = b.submit(prime, 40, temperature=1.3)  # pool traffic
+        _wait_for(noise, 7)
+        h = b.submit(prime, n, temperature=0.9, seed=1234)  # mid-flight
+        _, cls = h.result(timeout=300)
+        np.testing.assert_array_equal(cls, solo)
+        # resubmitting reproduces exactly at a different admission time
+        h2 = b.submit(prime, n, temperature=0.9, seed=1234)
+        _, cls2 = h2.result(timeout=300)
+        np.testing.assert_array_equal(cls2, solo)
+        noise.result(timeout=300)
+    finally:
+        b.close()

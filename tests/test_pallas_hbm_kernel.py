@@ -535,3 +535,86 @@ def test_batched_fuse_res_streaming_and_k3(tiny):
                                      fuse_res=True, interpret=True)
         chunked = np.concatenate([np.asarray(a), np.asarray(b)], axis=1)
         np.testing.assert_array_equal(np.asarray(one), chunked)
+
+
+def test_lane_seed_reproducible_across_everything(tiny):
+    """lane_seed switches sampling noise to request-local counters: the
+    draw depends only on (class, request-local step, seed) — so a hot
+    rollout is bitwise identical across stream width, neighbor seeds,
+    head tiling, PRNG key, and chunk boundaries."""
+    cfg, params = tiny
+    rf = cfg.receptive_field
+    prime = jax.random.randint(jax.random.PRNGKey(7), (rf,), 0, cfg.classes)
+    key = jax.random.PRNGKey(99)
+    n = 24
+
+    def run(primes, seeds, temps, nn, **kw):
+        _, cls = generate_fast_batched(
+            params, cfg, key, nn, primes,
+            temperature=jnp.asarray(temps, jnp.float32),
+            lane_seed=jnp.asarray(seeds, jnp.int32), interpret=True, **kw)
+        return np.asarray(cls)
+
+    solo = run(prime[None], [7], [1.0], n)[0]
+    assert len(set(solo.tolist())) > 1  # actually sampling, not greedy
+
+    # the jax PRNG key must be irrelevant under lane_seed
+    _, other_key = generate_fast_batched(
+        params, cfg, jax.random.PRNGKey(5), n, prime[None],
+        temperature=jnp.asarray([1.0]), lane_seed=jnp.asarray([7]),
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(other_key)[0], solo)
+
+    # stream width + neighbor independence: equal seeds draw equal noise,
+    # different seeds diverge
+    tri = run(jnp.stack([prime] * 3), [7, 8, 7], [1.0] * 3, n)
+    np.testing.assert_array_equal(tri[0], solo)
+    np.testing.assert_array_equal(tri[2], solo)
+    assert (tri[1] != solo).any()
+
+    # head tiling must not change the draw
+    quad = run(jnp.stack([prime] * 4), [7, 8, 9, 10], [1.0] * 4, n,
+               head_tiles=2)
+    np.testing.assert_array_equal(quad[0], solo)
+
+    # chunked (state resume) == single shot, and a nonzero lane_clock
+    # shifts the noise stream
+    _, c1, st = generate_fast_batched(
+        params, cfg, key, 10, prime[None], temperature=jnp.asarray([1.0]),
+        lane_seed=jnp.asarray([7]), interpret=True, return_state=True)
+    _, c2 = generate_fast_batched(
+        params, cfg, key, n - 10, None, temperature=jnp.asarray([1.0]),
+        lane_seed=jnp.asarray([7]), state=st, interpret=True)
+    np.testing.assert_array_equal(
+        np.r_[np.asarray(c1)[0], np.asarray(c2)[0]], solo)
+    _, c3 = generate_fast_batched(
+        params, cfg, key, n - 10, None, temperature=jnp.asarray([1.0]),
+        lane_seed=jnp.asarray([7]), lane_clock=jnp.asarray([3]), state=st,
+        interpret=True)
+    assert (np.asarray(c3)[0] != np.asarray(c2)[0]).any()
+
+
+def test_lane_seed_temp0_lanes_stay_greedy(tiny):
+    """Greedy lanes ignore the noise counters entirely."""
+    cfg, params = tiny
+    rf = cfg.receptive_field
+    prime = jax.random.randint(
+        jax.random.PRNGKey(8), (2, rf), 0, cfg.classes)
+    key = jax.random.PRNGKey(0)
+    _, mixed = generate_fast_batched(
+        params, cfg, key, 20, prime,
+        temperature=jnp.asarray([0.0, 1.0]),
+        lane_seed=jnp.asarray([11, 12]), interpret=True)
+    _, greedy = generate_fast_batched(
+        params, cfg, key, 20, prime, temperature=0.0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(mixed)[0], np.asarray(greedy)[0])
+
+
+def test_lane_seed_validation(tiny):
+    cfg, params = tiny
+    prime = jnp.full((2, 1), cfg.classes // 2, jnp.int32)
+    with pytest.raises(ValueError, match="lane_seed"):
+        generate_fast_batched(
+            params, cfg, jax.random.PRNGKey(0), 4, prime,
+            temperature=jnp.asarray([1.0, 1.0]),
+            lane_seed=jnp.asarray([1]), interpret=True)
