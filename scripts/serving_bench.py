@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Serving load benchmark: the continuous batcher under concurrent traffic.
+
+Drives :class:`pytorch_wavenet_tpu.serving.ContinuousBatcher` (the engine
+behind ``scripts/serve.py --batcher``) with a closed-loop load generator —
+``--concurrency`` in-flight requests are kept outstanding until
+``--requests`` complete — and reports the serving numbers that matter:
+
+* aggregate throughput (samples/s across all completed requests) and the
+  per-stream realtime factor at that load;
+* time-to-first-audio (submit -> first delivered chunk, which includes
+  lane-admission wait under saturation) p50/p95;
+* request completion latency p50/p95.
+
+The reference has no serving story at all (generation is a blocking
+batch-1 script, wavenet_model.py:237), so there is no baseline column —
+these numbers stand on their own in docs/PERF.md.
+
+Examples:
+  # capacity: saturate a 256-lane pool with 4s clips
+  python scripts/serving_bench.py --config saber --lanes 256 \
+      --concurrency 512 --requests 1024 --num-samples 64000
+  # latency: a lightly loaded pool
+  python scripts/serving_bench.py --lanes 256 --concurrency 8 --requests 64
+  # CPU smoke (tiny everything, interpret-mode kernel)
+  python scripts/serving_bench.py --interpret --config tiny --lanes 3 \
+      --chunk 32 --concurrency 2 --requests 4 --num-samples 64
+"""
+
+import os
+
+if os.environ.get("WAVENET_TPU_FORCE_CPU"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
+import argparse
+import json
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default="saber")
+    p.add_argument("--snapshot", default=None,
+                   help="checkpoint file (default: random init — serving "
+                        "perf does not depend on the weights' values)")
+    p.add_argument("--lanes", type=int, default=256)
+    p.add_argument("--chunk", type=int, default=2048,
+                   help="splice granularity in samples (= streaming "
+                        "time-to-first-audio floor)")
+    p.add_argument("--concurrency", type=int, default=512,
+                   help="closed-loop in-flight requests (> lanes "
+                        "saturates the pool and measures capacity)")
+    p.add_argument("--requests", type=int, default=1024)
+    p.add_argument("--num-samples", type=int, default=16000)
+    p.add_argument("--prime-len", type=int, default=1,
+                   help="request prime length (1 = unprimed; the "
+                        "receptive field exercises solo-prime admission)")
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--ring-dtype", choices=("f32", "bf16"), default="bf16")
+    p.add_argument("--exact-chain", action="store_true",
+                   help="disable fuse_res (the reassociated serial chain)")
+    p.add_argument("--stage-layers", type=int, default=8)
+    p.add_argument("--head-tiles", type=int, default=None)
+    p.add_argument("--interpret", action="store_true",
+                   help="interpret-mode kernel on CPU (smoke test only)")
+    p.add_argument("--sr", type=int, default=16000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--json", action="store_true",
+                   help="emit one machine-readable JSON line at the end")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    import pytorch_wavenet_tpu as wt
+    from pytorch_wavenet_tpu.serving import ContinuousBatcher
+
+    if args.snapshot:
+        from pytorch_wavenet_tpu.utils.checkpoints import load_checkpoint
+
+        ck = load_checkpoint(args.snapshot)
+        params, cfg = ck["params"], ck["cfg"]
+    else:
+        cfg = wt.get_config(args.config)
+        params = wt.init_wavenet(jax.random.PRNGKey(args.seed), cfg)
+
+    batcher = ContinuousBatcher(
+        params, cfg, lanes=args.lanes, chunk=args.chunk, seed=args.seed,
+        interpret=args.interpret,
+        ring_dtype=jnp.bfloat16 if args.ring_dtype == "bf16"
+        else jnp.float32,
+        fuse_res=not args.exact_chain,
+        stage_layers=args.stage_layers, head_tiles=args.head_tiles,
+    )
+
+    rng = np.random.default_rng(args.seed)
+    if args.prime_len == 1:
+        primes = [np.asarray([cfg.classes // 2], np.int32)] * args.requests
+    else:
+        primes = [rng.integers(0, cfg.classes, args.prime_len,
+                               dtype=np.int32) for _ in range(args.requests)]
+
+    # one warm-up request compiles the admission + pool-step programs so
+    # the measured window is steady-state serving, not XLA compilation
+    t0 = time.perf_counter()
+    batcher.submit(primes[0], min(args.num_samples, 2 * args.chunk),
+                   temperature=args.temperature).result(timeout=3600)
+    print(f"warm-up (compile): {time.perf_counter() - t0:.1f} s",
+          flush=True)
+
+    lock = threading.Lock()
+    issued = 0
+    ttfa: list[float] = []
+    latency: list[float] = []
+
+    def worker():
+        nonlocal issued
+        while True:
+            with lock:
+                if issued >= args.requests:
+                    return
+                i = issued
+                issued += 1
+            first = []
+            t_sub = time.perf_counter()
+            h = batcher.submit(
+                primes[i], args.num_samples,
+                temperature=args.temperature, seed=i,
+                on_chunk=lambda c, f=first, t=t_sub: f.append(
+                    time.perf_counter() - t) if not f else None,
+            )
+            _, cls = h.result(timeout=3600)
+            t_done = time.perf_counter() - t_sub
+            assert cls.shape == (args.num_samples,)
+            with lock:
+                ttfa.append(first[0])
+                latency.append(t_done)
+
+    threads = [threading.Thread(target=worker)
+               for _ in range(args.concurrency)]
+    t_start = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t_start
+    batcher.close()
+
+    total = args.requests * args.num_samples
+    agg = total / wall
+    q = lambda xs, p: float(np.percentile(np.asarray(xs), p))  # noqa: E731
+    summary = {
+        "config": args.config, "lanes": args.lanes, "chunk": args.chunk,
+        "concurrency": args.concurrency, "requests": args.requests,
+        "num_samples": args.num_samples, "wall_s": round(wall, 3),
+        "agg_samples_per_s": round(agg),
+        "realtime_x": round(agg / args.sr, 1),
+        "ttfa_p50_ms": round(q(ttfa, 50) * 1e3, 1),
+        "ttfa_p95_ms": round(q(ttfa, 95) * 1e3, 1),
+        "latency_p50_s": round(q(latency, 50), 3),
+        "latency_p95_s": round(q(latency, 95), 3),
+    }
+    print(
+        f"{args.requests} x {args.num_samples} samples, "
+        f"{args.concurrency} in flight over {args.lanes} lanes "
+        f"(chunk {args.chunk}): {agg:,.0f} samples/s aggregate "
+        f"({agg / args.sr:,.1f}x realtime)\n"
+        f"TTFA p50/p95: {summary['ttfa_p50_ms']:.0f}/"
+        f"{summary['ttfa_p95_ms']:.0f} ms | completion p50/p95: "
+        f"{summary['latency_p50_s']:.2f}/{summary['latency_p95_s']:.2f} s"
+    )
+    if args.json:
+        print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -190,3 +190,18 @@ def test_distill_cli_flow(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "student resumed at step 3" in r.stdout
     assert "one parallel pass" in r.stdout
+
+
+def test_serving_bench_cli_smoke():
+    """Closed-loop batcher load generator: completes, and the JSON line
+    carries sane throughput/latency fields."""
+    r = run([
+        "scripts/serving_bench.py", "--interpret", "--config", "tiny",
+        "--lanes", "3", "--chunk", "32", "--concurrency", "2",
+        "--requests", "4", "--num-samples", "64", "--json",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    blob = json.loads(r.stdout.strip().splitlines()[-1])
+    assert blob["requests"] == 4 and blob["agg_samples_per_s"] > 0
+    assert 0 < blob["ttfa_p50_ms"] <= blob["ttfa_p95_ms"]
+    assert blob["latency_p50_s"] <= blob["latency_p95_s"]
