@@ -165,6 +165,11 @@ class ContinuousBatcher:
         self._toffs = np.zeros(lanes, np.int32)
         self._auto_seed = int(seed) & 0xFFFFFFFF
         self._state: HbmGenState | None = None  # created lazily
+        # observability counters (worker-thread writes are plain int +=,
+        # atomic under the GIL; stats() reads are a consistent-enough
+        # snapshot for monitoring)
+        self._n = dict(admitted=0, completed=0, cancelled=0, failed=0,
+                       samples_out=0, pool_steps=0, prime_calls=0)
         self._wake = threading.Event()
         self._closing = False
         # serializes the _closing check against close()'s final drain, so a
@@ -229,6 +234,20 @@ class ContinuousBatcher:
         self._wake.set()
         return h
 
+    def stats(self) -> dict:
+        """Point-in-time pool metrics (safe from any thread): static shape
+        (``lanes``, ``chunk``), live gauges (``active``, ``free``,
+        ``queued``, ``pool_clock``), and lifetime counters (``admitted``,
+        ``completed``, ``cancelled``, ``failed``, ``samples_out``,
+        ``pool_steps``, ``prime_calls``). Served by ``scripts/serve.py``'s
+        ``/stats`` endpoint."""
+        active = len(self._active)
+        return {
+            "lanes": self.lanes, "chunk": self.chunk, "active": active,
+            "free": self.lanes - active, "queued": self._submit_q.qsize(),
+            "pool_clock": self._global_t(), **self._n,
+        }
+
     def close(self):
         with self._lifecycle:
             self._closing = True
@@ -274,6 +293,7 @@ class ContinuousBatcher:
         # prime calls pad to 128 streams, which can't satisfy head_tiles'
         # streams % (128*G) requirement — and a <=128-wide call doesn't need
         # head tiling anyway, so drop it here (chunk steps keep it)
+        self._n["prime_calls"] += 1
         _, cls, st = generate_fast_batched(
             self.params, self.cfg, self._next_key(), 1, prime,
             temperature=temps, cond=cond, return_state=True,
@@ -341,6 +361,7 @@ class ContinuousBatcher:
         while len(batch) < len(self._free) and not self._submit_q.empty():
             p = self._submit_q.get()
             if p.handle.cancelled():
+                self._n["cancelled"] += 1
                 p.handle._finish(RequestCancelled("request cancelled"))
             else:
                 batch.append(p)
@@ -354,6 +375,7 @@ class ContinuousBatcher:
             try:
                 cols, t_local, firsts = self._prime_states(group)
             except BaseException as e:  # surface to callers, keep serving
+                self._n["failed"] += len(group)
                 for p in group:
                     p.handle._finish(e)
                 continue
@@ -362,9 +384,11 @@ class ContinuousBatcher:
                 self._align_and_insert(cols, t_local, lanes, firsts)
             except BaseException as e:
                 self._free.extend(lanes)
+                self._n["failed"] += len(group)
                 for p in group:
                     p.handle._finish(e)
                 continue
+            self._n["admitted"] += len(group)
             for pend, lane, first in zip(group, lanes, firsts):
                 self._temps[lane] = pend.temperature
                 self._seeds[lane] = pend.seed
@@ -373,9 +397,11 @@ class ContinuousBatcher:
                 self._toffs[lane] = t_local - self._global_t()
                 try:
                     pend.handle._deliver(np.asarray([first], np.int32))
+                    self._n["samples_out"] += 1
                 except BaseException as e:  # a caller's on_chunk raised —
                     self._temps[lane] = 0.0  # fail that request, keep serving
                     self._free.append(lane)
+                    self._n["failed"] += 1
                     pend.handle._finish(e)
                     continue
                 rest = None
@@ -386,6 +412,7 @@ class ContinuousBatcher:
                 if act.remaining <= 0:
                     self._temps[lane] = 0.0
                     self._free.append(lane)
+                    self._n["completed"] += 1
                     act.handle._finish()
                 else:
                     self._active.append(act)
@@ -399,6 +426,7 @@ class ContinuousBatcher:
             if act.handle.cancelled():
                 self._temps[act.lane] = 0.0
                 self._free.append(act.lane)
+                self._n["cancelled"] += 1
                 act.handle._finish(RequestCancelled("request cancelled"))
             else:
                 still.append(act)
@@ -407,6 +435,7 @@ class ContinuousBatcher:
     def _fail_all(self, error: BaseException):
         """A device step failed: the shared state is suspect, so fail every
         rider and restart the pool from a fresh bootstrap."""
+        self._n["failed"] += len(self._active)
         for act in self._active:
             act.handle._finish(error)
         self._active = []
@@ -430,6 +459,7 @@ class ContinuousBatcher:
                     cond[act.lane, :k] = act.cond[:k]
                     act.cond = act.cond[k:]
             cond = jnp.asarray(cond)
+        self._n["pool_steps"] += 1
         _, cls, self._state = generate_fast_batched(
             self.params, self.cfg, self._next_key(), self.chunk, None,
             temperature=jnp.asarray(self._temps), state=self._state,
@@ -443,15 +473,18 @@ class ContinuousBatcher:
             take = min(act.remaining, self.chunk)
             try:
                 act.handle._deliver(cls[act.lane, :take])
+                self._n["samples_out"] += take
             except BaseException as e:  # caller's on_chunk raised
                 self._temps[act.lane] = 0.0
                 self._free.append(act.lane)
+                self._n["failed"] += 1
                 act.handle._finish(e)
                 continue
             act.remaining -= take
             if act.remaining <= 0:
                 self._temps[act.lane] = 0.0
                 self._free.append(act.lane)
+                self._n["completed"] += 1
                 act.handle._finish()
             else:
                 still.append(act)

@@ -11,6 +11,9 @@ the next chunk boundary.
 
 Endpoints
   GET  /health          -> JSON {status, params, receptive_field, backend}
+  GET  /stats           -> JSON pool metrics (batcher mode: lane occupancy,
+       queue depth, lifetime admitted/completed/cancelled/failed counters,
+       samples_out, pool_steps — see ContinuousBatcher.stats)
   GET  /synthesize      -> audio/wav, streamed while it generates
        query params: num_samples (default 16000), temperature (1.0),
                      seed (0), chunk (2048)
@@ -325,6 +328,11 @@ def make_handler(synth: Synthesizer, max_samples: int):
                     "classes": synth.cfg.classes,
                     "sample_rate": synth.sr,
                 })
+            if path == "/stats":
+                out = {"backend": synth.backend}
+                if synth.batcher is not None:
+                    out.update(synth.batcher.stats())
+                return self._json(200, out)
             if path == "/synthesize":
                 return self._synthesize({})
             self._json(404, {"error": f"no route {path}"})

@@ -326,3 +326,42 @@ def test_hot_requests_are_reproducible(tiny):
         noise.result(timeout=300)
     finally:
         b.close()
+
+
+def test_stats_counters(tiny):
+    """stats() reflects pool shape, lifetime counters, and sample totals."""
+    cfg, params = tiny
+    rf = cfg.receptive_field
+    prime = np.asarray(jax.random.randint(
+        jax.random.PRNGKey(3), (rf,), 0, cfg.classes))
+    b = ContinuousBatcher(params, cfg, lanes=3, chunk=6, interpret=True)
+    try:
+        s0 = b.stats()
+        assert s0["lanes"] == 3 and s0["chunk"] == 6
+        assert s0["admitted"] == s0["samples_out"] == 0
+
+        h1 = b.submit(prime, 13, temperature=0.0)
+        h2 = b.submit(prime, 5, temperature=0.0)
+        h1.result(timeout=300)
+        h2.result(timeout=300)
+
+        hc = b.submit(prime, 10_000, temperature=0.0)
+        _wait_for(hc, 1)
+        hc.cancel()
+        with pytest.raises(Exception):
+            hc.result(timeout=300)
+
+        deadline = time.time() + 60
+        while b.stats()["cancelled"] < 1 and time.time() < deadline:
+            time.sleep(0.05)
+        s = b.stats()
+        assert s["admitted"] == 3 and s["completed"] == 2
+        assert s["cancelled"] == 1 and s["failed"] == 0
+        # every delivered sample is counted (the cancelled request
+        # delivered at least its admission sample)
+        assert s["samples_out"] >= 13 + 5 + 1
+        assert s["pool_steps"] >= 3 and s["prime_calls"] >= 1
+        assert s["active"] == 0 and s["free"] == 3 and s["queued"] == 0
+        assert s["pool_clock"] > 0
+    finally:
+        b.close()

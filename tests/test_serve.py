@@ -253,6 +253,18 @@ def test_batcher_concurrent_requests(batcher_server):
     assert pcm_hot.size == 12
 
 
+def test_batcher_stats_endpoint(batcher_server):
+    """/stats exposes the pool's lifetime counters."""
+    base, _, _ = batcher_server
+    _fetch_wav(f"{base}/synthesize?num_samples=3&temperature=0")
+    with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+        s = json.loads(r.read())
+    assert s["backend"] == "hbm-batcher"
+    assert s["lanes"] >= 2 and s["admitted"] >= 1
+    assert s["samples_out"] >= s["completed"]
+    assert s["pool_steps"] >= 1
+
+
 def test_post_json_and_limits(server):
     base, _, _ = server
     req = urllib.request.Request(
