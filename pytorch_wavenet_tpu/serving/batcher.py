@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from dataclasses import dataclass
 
 import jax
@@ -124,8 +125,8 @@ class ContinuousBatcher:
     a streaming consumer's time-to-first-audio.
 
     All device work happens on one background thread; ``submit`` only
-    enqueues. ``close()`` drains nothing — outstanding handles get a
-    RuntimeError.
+    enqueues. ``close()`` abandons outstanding handles with a
+    RuntimeError; ``close(drain=True)`` finishes accepted work first.
     """
 
     def __init__(self, params: Params, cfg: WaveNetConfig, *, lanes: int = 128,
@@ -172,6 +173,7 @@ class ContinuousBatcher:
                        samples_out=0, pool_steps=0, prime_calls=0)
         self._wake = threading.Event()
         self._closing = False
+        self._draining = False
         # serializes the _closing check against close()'s final drain, so a
         # submit can never enqueue into a queue nobody will ever read again
         self._lifecycle = threading.Lock()
@@ -220,7 +222,7 @@ class ContinuousBatcher:
         h = GenerationHandle(num_samples, on_chunk)
         h._classes = self.cfg.classes
         with self._lifecycle:
-            if self._closing:
+            if self._closing or self._draining:
                 raise RuntimeError("batcher is closed")
             if seed is None:  # distinct per request, derived from pool seed
                 self._auto_seed = (
@@ -248,7 +250,22 @@ class ContinuousBatcher:
             "pool_clock": self._global_t(), **self._n,
         }
 
-    def close(self):
+    def close(self, drain: bool = False, timeout: float = 60.0):
+        """Stop the pool. ``drain=False`` (default) abandons outstanding
+        work: every active and queued handle gets a RuntimeError at the
+        next chunk boundary. ``drain=True`` refuses new submissions but
+        keeps stepping until every already-accepted request completes (or
+        ``timeout`` seconds pass, after which the remainder is abandoned
+        as in the default path)."""
+        if drain:
+            with self._lifecycle:
+                self._draining = True  # submit() now refuses
+            deadline = time.monotonic() + timeout
+            while time.monotonic() < deadline:
+                s = self.stats()
+                if s["active"] == 0 and s["queued"] == 0:
+                    break
+                time.sleep(0.05)
         with self._lifecycle:
             self._closing = True
         self._wake.set()

@@ -417,6 +417,9 @@ def main():
         server.serve_forever()
     except KeyboardInterrupt:
         pass
+    finally:
+        if synth.batcher is not None:  # finish in-flight clips, then stop
+            synth.batcher.close(drain=True)
 
 
 if __name__ == "__main__":

@@ -5,6 +5,7 @@ temperature 0) to a solo rollout of the same prime, regardless of WHEN the
 request joins the shared rollout — admission re-bases the primed ring
 state onto the batcher's global clock."""
 
+import threading
 import time
 
 import jax
@@ -365,3 +366,29 @@ def test_stats_counters(tiny):
         assert s["pool_clock"] > 0
     finally:
         b.close()
+
+
+def test_close_drain_finishes_accepted_work(tiny):
+    """close(drain=True) refuses new submissions but completes every
+    already-accepted request instead of abandoning it."""
+    cfg, params = tiny
+    prime = np.asarray([cfg.classes // 2], np.int32)
+    b = ContinuousBatcher(params, cfg, lanes=2, chunk=6, interpret=True)
+    h1 = b.submit(prime, 40, temperature=0.0)
+    h2 = b.submit(prime, 25, temperature=0.7, seed=3)
+    _wait_for(h1, 1)
+    t = threading.Thread(target=b.close, kwargs=dict(drain=True))
+    t.start()
+    # the drain flag flips quickly; new submissions must be refused while
+    # accepted ones still run to completion
+    deadline = time.time() + 30
+    while not b._draining and time.time() < deadline:
+        time.sleep(0.01)
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit(prime, 5)
+    _, cls1 = h1.result(timeout=300)
+    _, cls2 = h2.result(timeout=300)
+    t.join(timeout=60)
+    assert cls1.shape == (40,) and cls2.shape == (25,)
+    s = b.stats()
+    assert s["completed"] == 2 and s["failed"] == 0
