@@ -187,3 +187,34 @@ def test_streaming_state_any_architecture(cfg, seed, n1):
                    **kw)
         chunked = np.concatenate([np.asarray(c1), np.asarray(c2)], axis=1)
         np.testing.assert_array_equal(chunked, np.asarray(c_all))
+
+
+@settings(max_examples=4, deadline=None)
+@given(cfg=cfg_strategy, seed=st.integers(0, 2**16))
+def test_lane_seed_invariance_any_architecture(cfg, seed):
+    """Request-local noise counters hold for arbitrary architectures: a
+    seeded hot rollout is bitwise identical across stream width, neighbor
+    seeds, and PRNG key (the lane_seed contract the batcher builds on)."""
+    from pytorch_wavenet_tpu.ops.pallas.gen_kernel_hbm import (
+        generate_fast_batched,
+    )
+
+    key = jax.random.PRNGKey(seed)
+    params = wt.init_wavenet(key, cfg)
+    prime = jax.random.randint(
+        jax.random.fold_in(key, 9), (cfg.receptive_field,), 0, cfg.classes
+    )
+    n = 8
+
+    _, solo = generate_fast_batched(
+        params, cfg, key, n, prime[None], temperature=jnp.asarray([1.0]),
+        lane_seed=jnp.asarray([seed]), interpret=True)
+    solo = np.asarray(solo)[0]
+
+    _, tri = generate_fast_batched(
+        params, cfg, jax.random.fold_in(key, 1), n, jnp.stack([prime] * 3),
+        temperature=jnp.full((3,), 1.0, jnp.float32),
+        lane_seed=jnp.asarray([seed, seed + 1, seed]), interpret=True)
+    tri = np.asarray(tri)
+    np.testing.assert_array_equal(tri[0], solo)
+    np.testing.assert_array_equal(tri[2], solo)
