@@ -116,3 +116,64 @@ def sharded_generate_fast_batched(
         check_vma=False,
     )
     return fn(key, first_samples)
+
+
+def sharded_pool_step(
+    params, cfg, mesh: Mesh, key, chunk: int, state, *,
+    temperature, lane_seed, lane_clock, cond=None,
+    interpret: bool = False, ring_dtype=None, fuse_res: bool = False,
+    stage_layers: int | None = None, head_tiles: int | None = None,
+):
+    """One continuous-batching pool step with the lane axis sharded over
+    the data mesh axis: every chip advances its shard of the shared
+    :class:`~pytorch_wavenet_tpu.ops.pallas.gen_kernel_hbm.HbmGenState`
+    by ``chunk`` samples in one fused kernel call. This is the multi-chip
+    backend of :class:`~pytorch_wavenet_tpu.serving.ContinuousBatcher`
+    (``mesh=``): a pod serves ``n_chips x lanes_per_chip`` concurrent
+    streams out of one pool.
+
+    Because sampling noise rides the per-lane request counters
+    (``lane_seed``/``lane_clock`` — both required here), a lane's rollout
+    is bitwise identical no matter how many chips the pool is sharded
+    over; the jax ``key`` is irrelevant to sampling on seeded lanes.
+    Returns ``(cls (lanes, chunk), new_state)``.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.pallas.gen_kernel_hbm import HbmGenState, generate_fast_batched
+
+    n_data = mesh.shape[DATA_AXIS]
+    lanes = state.cls.shape[0]
+    if lanes % n_data:
+        raise ValueError(f"{lanes} lanes not divisible by data axis {n_data}")
+
+    def per_chip(ring, t, cls, temps, seeds, toffs, *cond_s):
+        _, out, st = generate_fast_batched(
+            params, cfg, key, chunk, None,
+            temperature=temps, state=HbmGenState(ring=ring, t=t, cls=cls),
+            cond=cond_s[0] if cond_s else None, return_state=True,
+            lane_seed=seeds, lane_clock=toffs, interpret=interpret,
+            ring_dtype=state.ring.dtype if ring_dtype is None else ring_dtype,
+            fuse_res=fuse_res, stage_layers=stage_layers,
+            head_tiles=head_tiles,
+        )
+        return out, st.ring, st.t, st.cls
+
+    lane = P(DATA_AXIS)
+    fn = shard_map(
+        per_chip,
+        mesh=mesh,
+        in_specs=(P(None, DATA_AXIS), P(), lane, lane, lane, lane)
+        + ((lane,) if cond is not None else ()),
+        out_specs=(lane, P(None, DATA_AXIS), P(), lane),
+        check_vma=False,
+    )
+    args = (state.ring, state.t, state.cls,
+            jnp.asarray(temperature, jnp.float32),
+            jnp.asarray(lane_seed, jnp.int32),
+            jnp.asarray(lane_clock, jnp.int32))
+    if cond is not None:
+        args += (jnp.asarray(cond, jnp.float32),)
+    out, ring, t, cls = fn(*args)
+    return out, HbmGenState(ring=ring, t=t, cls=cls)

@@ -133,16 +133,35 @@ class ContinuousBatcher:
                  chunk: int = 128, seed: int = 0, interpret: bool = False,
                  ring_dtype=jnp.float32, fuse_res: bool = False,
                  stage_layers: int | None = None,
-                 head_tiles: int | None = None):
-        if not interpret and lanes % 128:
-            raise ValueError(f"lanes must be a multiple of 128 on hardware "
-                             f"(lane-aligned ring DMAs), got {lanes}")
-        if head_tiles and lanes % (head_tiles * (1 if interpret else 128)):
+                 head_tiles: int | None = None,
+                 mesh=None):
+        """``mesh``: a ``jax.sharding.Mesh`` with a data axis — the lane
+        pool is sharded over it and every chunk advances on all chips in
+        one :func:`~pytorch_wavenet_tpu.parallel.training.sharded_pool_step`
+        (pod-scale serving: n_chips x lanes-per-chip streams, one pool).
+        Per-request seeds make this transparent: a lane's rollout is
+        bitwise identical however many chips the pool spans."""
+        per_chip = lanes
+        if mesh is not None:
+            from ..parallel.mesh import DATA_AXIS
+
+            n_data = mesh.shape[DATA_AXIS]
+            if lanes % n_data:
+                raise ValueError(
+                    f"lanes={lanes} not divisible by the mesh data axis "
+                    f"({n_data} chips)")
+            per_chip = lanes // n_data
+        if not interpret and per_chip % 128:
+            raise ValueError(f"lanes must be a multiple of 128 per chip on "
+                             f"hardware (lane-aligned ring DMAs), got "
+                             f"{per_chip}")
+        if head_tiles and per_chip % (head_tiles * (1 if interpret else 128)):
             raise ValueError(
-                f"lanes={lanes} not divisible into head_tiles={head_tiles} "
-                f"lane-aligned stream groups")
+                f"{per_chip} per-chip lanes not divisible into "
+                f"head_tiles={head_tiles} lane-aligned stream groups")
         self.cfg = cfg
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.mesh = mesh
         self.lanes = lanes
         self.chunk = chunk  # pool clock is int32: one pool serves ~2^31
         # samples (~37 h of 16 kHz audio per lane) before needing a restart
@@ -370,6 +389,20 @@ class ContinuousBatcher:
             t=jnp.asarray(max(self._periods), jnp.int32),
             cls=jnp.full((self.lanes,), self.cfg.classes // 2, jnp.int32),
         )
+        if self.mesh is not None:  # lane axis sharded over the data axis
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS
+
+            lane = NamedSharding(self.mesh, P(DATA_AXIS))
+            self._state = HbmGenState(
+                ring=jax.device_put(
+                    self._state.ring,
+                    NamedSharding(self.mesh, P(None, DATA_AXIS))),
+                t=jax.device_put(
+                    self._state.t, NamedSharding(self.mesh, P())),
+                cls=jax.device_put(self._state.cls, lane),
+            )
 
     # --------------------------------------------------------------- loop
 
@@ -477,13 +510,24 @@ class ContinuousBatcher:
                     act.cond = act.cond[k:]
             cond = jnp.asarray(cond)
         self._n["pool_steps"] += 1
-        _, cls, self._state = generate_fast_batched(
-            self.params, self.cfg, self._next_key(), self.chunk, None,
-            temperature=jnp.asarray(self._temps), state=self._state,
-            cond=cond, return_state=True,
-            lane_seed=jnp.asarray(self._seeds),
-            lane_clock=jnp.asarray(self._toffs), **self._kw,
-        )
+        if self.mesh is not None:
+            from ..parallel.training import sharded_pool_step
+
+            kw = {k: v for k, v in self._kw.items() if k != "pad_streams"}
+            cls, self._state = sharded_pool_step(
+                self.params, self.cfg, self.mesh, self._next_key(),
+                self.chunk, self._state, temperature=self._temps,
+                lane_seed=self._seeds, lane_clock=self._toffs, cond=cond,
+                **kw,
+            )
+        else:
+            _, cls, self._state = generate_fast_batched(
+                self.params, self.cfg, self._next_key(), self.chunk, None,
+                temperature=jnp.asarray(self._temps), state=self._state,
+                cond=cond, return_state=True,
+                lane_seed=jnp.asarray(self._seeds),
+                lane_clock=jnp.asarray(self._toffs), **self._kw,
+            )
         cls = np.asarray(cls)
         still = []
         for act in self._active:

@@ -82,6 +82,11 @@ def parse_args():
     p.add_argument("--batch-chunk", type=int, default=1024,
                    help="batcher splice granularity in samples (also the "
                         "streaming time-to-first-audio)")
+    p.add_argument("--mesh-data", type=int, default=0,
+                   help="shard the batcher lane pool over this many chips "
+                        "(a data-axis mesh; --lanes is the POOL total, a "
+                        "multiple of 128 per chip). Per-request seeds make "
+                        "responses identical to single-chip serving.")
     p.add_argument("--batcher-interpret", action="store_true",
                    help=argparse.SUPPRESS)  # CPU tests of the batcher path
     p.add_argument("--max-samples", type=int, default=16000 * 60,
@@ -402,6 +407,12 @@ def main():
                             interpret=args.batcher_interpret)
         if not args.batcher_interpret:
             batcher_opts["fuse_res"] = True
+        if args.mesh_data:
+            from pytorch_wavenet_tpu.parallel.mesh import make_mesh
+
+            batcher_opts["mesh"] = make_mesh(
+                args.mesh_data, 1,
+                devices=jax.devices()[: args.mesh_data])
     synth = Synthesizer(blob["params"], blob["config"], args.backend,
                         args.sr, batcher_opts=batcher_opts)
 

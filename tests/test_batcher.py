@@ -392,3 +392,46 @@ def test_close_drain_finishes_accepted_work(tiny):
     assert cls1.shape == (40,) and cls2.shape == (25,)
     s = b.stats()
     assert s["completed"] == 2 and s["failed"] == 0
+
+
+def test_mesh_sharded_pool(tiny):
+    """mesh=: the lane pool shards over 4 virtual chips; admissions and
+    rollouts behave exactly as on one device — greedy requests equal their
+    solo rollouts bitwise, and a seeded hot request equals the same-seed
+    solo kernel call (per-request counters make sharding transparent)."""
+    from pytorch_wavenet_tpu.ops.pallas.gen_kernel_hbm import (
+        generate_fast_batched,
+    )
+    from pytorch_wavenet_tpu.parallel.mesh import make_mesh
+
+    cfg, params = tiny
+    rf = cfg.receptive_field
+    primes = [
+        np.asarray(jax.random.randint(jax.random.fold_in(
+            jax.random.PRNGKey(44), i), (rf,), 0, cfg.classes))
+        for i in range(3)
+    ]
+    mesh = make_mesh(4, 1, devices=jax.devices()[:4])
+    b = ContinuousBatcher(params, cfg, lanes=4, chunk=6, interpret=True,
+                          mesh=mesh)
+    try:
+        h0 = b.submit(primes[0], 25, temperature=0.0)
+        _wait_for(h0, 7)  # staggered: h1 joins a pool already mid-flight
+        h1 = b.submit(primes[1], 17, temperature=0.0)
+        h2 = b.submit(primes[2], 21, temperature=0.9, seed=77)
+        for h, prime, n in ((h0, primes[0], 25), (h1, primes[1], 17)):
+            _, cls = h.result(timeout=300)
+            np.testing.assert_array_equal(cls, _solo(params, cfg, prime, n))
+        _, hot = h2.result(timeout=300)
+        _, solo_hot = generate_fast_batched(
+            params, cfg, jax.random.PRNGKey(0), 21,
+            jnp.asarray(primes[2])[None], temperature=jnp.asarray([0.9]),
+            lane_seed=jnp.asarray([77]), interpret=True)
+        np.testing.assert_array_equal(hot, np.asarray(solo_hot)[0])
+        assert b.stats()["completed"] == 3
+    finally:
+        b.close()
+
+    with pytest.raises(ValueError, match="divisible"):
+        ContinuousBatcher(params, cfg, lanes=5, chunk=6, interpret=True,
+                          mesh=mesh)

@@ -353,3 +353,55 @@ def test_time_sharded_rejects_small_shards():
         time_sharded_logits(
             params, cfg, jnp.zeros((1, 129), jnp.int32), mesh
         )
+
+
+def test_sharded_pool_step_matches_unsharded(setup):
+    """The multi-chip batcher backend: a pool step with lanes sharded over
+    4 chips is bitwise identical to the single-device step — including
+    temperature>0 lanes, whose noise rides the per-lane request counters."""
+    from pytorch_wavenet_tpu.ops.pallas.gen_kernel_hbm import (
+        generate_fast_batched,
+    )
+    from pytorch_wavenet_tpu.parallel.training import sharded_pool_step
+
+    cfg, params, _, _ = setup
+    rf = cfg.receptive_field
+    lanes, chunk = 8, 6
+    prime = jax.random.randint(
+        jax.random.PRNGKey(30), (lanes, rf), 0, cfg.classes)
+    temps = jnp.asarray([0.0, 1.0, 0.7, 0.0, 1.3, 1.0, 0.0, 0.9])
+    seeds = jnp.arange(lanes, dtype=jnp.int32) * 17
+    toffs = jnp.asarray([0, 3, 0, 0, -2, 0, 1, 0], jnp.int32)
+
+    key = jax.random.PRNGKey(31)
+    _, _, st = generate_fast_batched(
+        params, cfg, key, 1, prime, temperature=temps, lane_seed=seeds,
+        lane_clock=toffs, return_state=True, interpret=True)
+
+    _, ref, st_ref = generate_fast_batched(
+        params, cfg, key, chunk, None, temperature=temps, state=st,
+        lane_seed=seeds, lane_clock=toffs, return_state=True,
+        interpret=True)
+
+    mesh = make_mesh(4, 1, devices=jax.devices()[:4])
+    out, st2 = sharded_pool_step(
+        params, cfg, mesh, jax.random.PRNGKey(99), chunk, st,
+        temperature=temps, lane_seed=seeds, lane_clock=toffs,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(st2.cls),
+                                  np.asarray(st_ref.cls))
+    assert int(st2.t) == int(st_ref.t)
+    np.testing.assert_array_equal(np.asarray(st2.ring),
+                                  np.asarray(st_ref.ring))
+
+    # a second chained sharded step consumes the sharded state it returned
+    out2, _ = sharded_pool_step(
+        params, cfg, mesh, jax.random.PRNGKey(5), chunk, st2,
+        temperature=temps, lane_seed=seeds, lane_clock=toffs,
+        interpret=True)
+    _, ref2, _ = generate_fast_batched(
+        params, cfg, key, chunk, None, temperature=temps, state=st_ref,
+        lane_seed=seeds, lane_clock=toffs, return_state=True,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(ref2))
