@@ -435,3 +435,35 @@ def test_mesh_sharded_pool(tiny):
     with pytest.raises(ValueError, match="divisible"):
         ContinuousBatcher(params, cfg, lanes=5, chunk=6, interpret=True,
                           mesh=mesh)
+
+
+def test_mesh_sharded_pool_conditioned():
+    """Conditioned lanes through the sharded pool: the per-lane cond slab
+    shards over the data axis with the lanes; a conditioned request in a
+    4-chip pool equals its solo conditioned rollout bitwise."""
+    from pytorch_wavenet_tpu.parallel.mesh import make_mesh
+
+    cfg = wt.get_config("tiny_vocoder")
+    params = wt.init_wavenet(jax.random.PRNGKey(20), cfg)
+    rf, M = cfg.receptive_field, cfg.cond_channels
+    prime = np.asarray(jax.random.randint(
+        jax.random.PRNGKey(25), (rf,), 0, cfg.classes))
+    n = 15
+    cond = np.asarray(0.5 * jax.random.normal(
+        jax.random.PRNGKey(26), (rf - 1 + n, M)), np.float32)
+    _, solo = wt.generate_fast(
+        params, cfg, jax.random.PRNGKey(9), n, jnp.asarray(prime)[None],
+        temperature=0.0, cond=jnp.asarray(cond)[None])
+
+    mesh = make_mesh(4, 1, devices=jax.devices()[:4])
+    b = ContinuousBatcher(params, cfg, lanes=4, chunk=6, interpret=True,
+                          mesh=mesh)
+    try:
+        noise = b.submit(prime, 20, temperature=1.1)  # busy pool
+        _wait_for(noise, 3)
+        h = b.submit(prime, n, temperature=0.0, cond=cond)
+        _, cls = h.result(timeout=300)
+        np.testing.assert_array_equal(cls, np.asarray(solo)[0])
+        noise.result(timeout=300)
+    finally:
+        b.close()
