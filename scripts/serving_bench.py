@@ -71,6 +71,9 @@ def parse_args():
                    help="disable fuse_res (the reassociated serial chain)")
     p.add_argument("--stage-layers", type=int, default=8)
     p.add_argument("--head-tiles", type=int, default=None)
+    p.add_argument("--mesh-data", type=int, default=0,
+                   help="shard the lane pool over this many chips "
+                        "(--lanes is the pool total)")
     p.add_argument("--interpret", action="store_true",
                    help="interpret-mode kernel on CPU (smoke test only)")
     p.add_argument("--sr", type=int, default=16000)
@@ -95,6 +98,12 @@ def main():
         cfg = wt.get_config(args.config)
         params = wt.init_wavenet(jax.random.PRNGKey(args.seed), cfg)
 
+    mesh = None
+    if args.mesh_data:
+        from pytorch_wavenet_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh_data, 1,
+                         devices=jax.devices()[: args.mesh_data])
     batcher = ContinuousBatcher(
         params, cfg, lanes=args.lanes, chunk=args.chunk, seed=args.seed,
         interpret=args.interpret,
@@ -102,6 +111,7 @@ def main():
         else jnp.float32,
         fuse_res=not args.exact_chain,
         stage_layers=args.stage_layers, head_tiles=args.head_tiles,
+        mesh=mesh,
     )
 
     rng = np.random.default_rng(args.seed)
