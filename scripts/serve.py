@@ -87,6 +87,14 @@ def parse_args():
                         "(a data-axis mesh; --lanes is the POOL total, a "
                         "multiple of 128 per chip). Per-request seeds make "
                         "responses identical to single-chip serving.")
+    p.add_argument("--bf16-rings", action="store_true",
+                   help="batcher: store ring state in bfloat16 (halves DMA "
+                        "traffic / VMEM staging — the lever for 1024+ "
+                        "lanes; see PERF.md)")
+    p.add_argument("--head-tiles", type=int, default=None,
+                   help="batcher: run the kernel's embed/head/sampling "
+                        "block in G stream groups (VMEM lever for "
+                        "wide-head configs at high lane counts)")
     p.add_argument("--batcher-interpret", action="store_true",
                    help=argparse.SUPPRESS)  # CPU tests of the batcher path
     p.add_argument("--max-samples", type=int, default=16000 * 60,
@@ -404,9 +412,22 @@ def main():
     batcher_opts = None
     if args.batcher:
         batcher_opts = dict(lanes=args.lanes, chunk=args.batch_chunk,
-                            interpret=args.batcher_interpret)
+                            interpret=args.batcher_interpret,
+                            head_tiles=args.head_tiles)
+        if args.bf16_rings:
+            batcher_opts["ring_dtype"] = jnp.bfloat16
         if not args.batcher_interpret:
             batcher_opts["fuse_res"] = True
+            # all-L tap/activation staging crowds VMEM at high per-chip
+            # lane counts; the 8-layer rotating window measured 1.61x at
+            # 2048 bf16 streams / 1.36x at 512 f32 (PERF.md), neutral below
+            per_chip = args.lanes // max(args.mesh_data, 1)
+            cfg_ = blob["config"]
+            if cfg_.num_layers > 8 and (
+                per_chip >= 2048
+                or (per_chip >= 512 and not args.bf16_rings)
+            ):
+                batcher_opts["stage_layers"] = 8
         if args.mesh_data:
             from pytorch_wavenet_tpu.parallel.mesh import make_mesh
 
