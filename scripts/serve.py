@@ -17,7 +17,10 @@ Endpoints
   GET  /synthesize      -> audio/wav, streamed while it generates
        query params: num_samples (default 16000), temperature (1.0),
                      seed (0), chunk (2048)
-  POST /synthesize      -> same, parameters as a JSON body
+  POST /synthesize      -> same, parameters as a JSON body; additionally
+       "prime" (mu-law class ids) or "prime_audio" (float samples in
+       [-1, 1], quantized server-side) continues from caller history
+       instead of the mid-class cold start
   POST /vocode          -> audio/wav copy-synthesis: body is a wav upload,
        the server featurizes it to log-mels and re-synthesizes through the
        conditioned model (requires cfg.cond_channels > 0); query params:
@@ -162,7 +165,7 @@ class Synthesizer:
         return wt.generate_fast
 
     def _stream_batched(self, num_samples: int, temperature: float,
-                        seed: int):
+                        seed: int, prime=None):
         """Bridge the batcher's chunk callbacks into a generator: the
         request joins the shared rollout at the next chunk boundary and
         wav chunks flow out as the pool produces them. The request's seed
@@ -175,8 +178,10 @@ class Synthesizer:
         from pytorch_wavenet_tpu.ops.mulaw import dequantize_to_f32
 
         chunks: _q.Queue = _q.Queue()
+        if prime is None:
+            prime = np.asarray([self.cfg.classes // 2], np.int32)
         handle = self.batcher.submit(
-            np.asarray([self.cfg.classes // 2], np.int32), num_samples,
+            np.asarray(prime, np.int32), num_samples,
             temperature=temperature, on_chunk=chunks.put, seed=seed,
         )
         got = 0
@@ -244,16 +249,20 @@ class Synthesizer:
             return np.asarray(wav[0])
 
     def stream(self, num_samples: int, temperature: float, seed: int,
-               chunk: int):
+               chunk: int, prime=None):
         """Yield float32 (chunk,) waveform arrays; ring state carries
-        across chunks (bitwise-equal to a single shot at temperature 0)."""
+        across chunks (bitwise-equal to a single shot at temperature 0).
+        ``prime`` (flat int class ids) seeds the rollout with caller
+        history instead of the mid-class cold start."""
         if self.batcher is not None:
-            yield from self._stream_batched(num_samples, temperature, seed)
+            yield from self._stream_batched(num_samples, temperature, seed,
+                                            prime)
             return
         gen = self._gen_fn()
         cfg = self.cfg
         key = jax.random.PRNGKey(seed)
-        first = jnp.full((1, 1), cfg.classes // 2, jnp.int32)
+        first = (jnp.full((1, 1), cfg.classes // 2, jnp.int32)
+                 if prime is None else jnp.asarray(prime, jnp.int32)[None])
         state = None
         done = 0
         while done < num_samples:
@@ -294,12 +303,38 @@ def make_handler(synth: Synthesizer, max_samples: int):
                     return cast(query[name][0])
                 return default
 
-            return {
+            req = {
                 "num_samples": pick("num_samples", int, 16000),
                 "temperature": pick("temperature", float, 1.0),
                 "seed": pick("seed", int, 0),
                 "chunk": pick("chunk", int, 2048),
+                "prime": None,
             }
+            # continuation: the rollout is primed on caller-provided
+            # history instead of the mid-class cold start (the reference's
+            # dataset-primed generation, generate_script.py:19-32) —
+            # "prime" is mu-law class ids, "prime_audio" raw float samples
+            # in [-1, 1] (quantized server-side)
+            if body.get("prime") is not None:
+                req["prime"] = np.asarray(body["prime"], np.int64)
+                if (req["prime"].ndim != 1
+                        or (req["prime"] < 0).any()
+                        or (req["prime"] >= synth.cfg.classes).any()):
+                    raise ValueError(
+                        f"prime must be a flat list of class ids in "
+                        f"[0, {synth.cfg.classes})")
+            elif body.get("prime_audio") is not None:
+                from pytorch_wavenet_tpu.ops.mulaw import quantize_data
+
+                audio = np.asarray(body["prime_audio"], np.float64)
+                if audio.ndim != 1:
+                    raise ValueError("prime_audio must be a flat list "
+                                     "of samples in [-1, 1]")
+                req["prime"] = quantize_data(
+                    np.clip(audio, -1.0, 1.0), synth.cfg.classes)
+            if req["prime"] is not None:
+                req["prime"] = req["prime"].astype(np.int32)
+            return req
 
         def _synthesize(self, body: dict):
             q = parse_qs(urlparse(self.path).query)
@@ -313,6 +348,11 @@ def make_handler(synth: Synthesizer, max_samples: int):
                                    f"(0, {max_samples}]"})
             if req["chunk"] < 1:
                 return self._json(400, {"error": "chunk must be >= 1"})
+            if req["prime"] is not None and not (
+                    1 <= req["prime"].size <= max_samples):
+                return self._json(
+                    400, {"error": f"prime length must be in "
+                                   f"[1, {max_samples}]"})
 
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
@@ -323,7 +363,7 @@ def make_handler(synth: Synthesizer, max_samples: int):
             try:
                 for wav in synth.stream(req["num_samples"],
                                         req["temperature"], req["seed"],
-                                        req["chunk"]):
+                                        req["chunk"], req["prime"]):
                     pcm = np.clip(wav * 32767.0, -32768, 32767)
                     self.wfile.write(pcm.astype("<i2").tobytes())
                     self.wfile.flush()

@@ -282,3 +282,50 @@ def test_post_json_and_limits(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(bad, timeout=30)
     assert e.value.code == 400
+
+
+def test_primed_synthesis(server, batcher_server):
+    """POST "prime" continues from caller history: the temperature-0
+    response equals a direct rollout primed on the same classes — on both
+    the direct and the continuous-batching server."""
+    import jax
+    import jax.numpy as jnp
+
+    import pytorch_wavenet_tpu as wt
+
+    for base, _, (params, cfg) in (server, batcher_server):
+        rf = cfg.receptive_field
+        prime = np.asarray(jax.random.randint(
+            jax.random.PRNGKey(50), (rf,), 0, cfg.classes))
+        req = urllib.request.Request(
+            base + "/synthesize",
+            data=json.dumps({"num_samples": 14, "temperature": 0,
+                             "prime": prime.tolist()}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=300) as r:
+            blob = r.read()
+        pcm = np.frombuffer(blob[44:], "<i2")
+        wav, _ = wt.generate_fast(
+            params, cfg, jax.random.PRNGKey(0), 14,
+            jnp.asarray(prime)[None], temperature=0.0)
+        expect = np.clip(np.asarray(wav[0]) * 32767.0, -32768,
+                         32767).astype("<i2")
+        np.testing.assert_array_equal(pcm, expect)
+
+    # prime_audio floats quantize server-side; bad class ids -> 400
+    base, _, (params, cfg) = server
+    req = urllib.request.Request(
+        base + "/synthesize",
+        data=json.dumps({"num_samples": 6, "temperature": 0,
+                         "prime_audio": [0.0, 0.25, -0.5]}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert len(r.read()) == 44 + 6 * 2
+    bad = urllib.request.Request(
+        base + "/synthesize",
+        data=json.dumps({"num_samples": 6,
+                         "prime": [cfg.classes + 5]}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(bad, timeout=30)
+    assert e.value.code == 400
