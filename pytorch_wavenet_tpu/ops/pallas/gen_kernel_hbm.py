@@ -506,6 +506,9 @@ def generate_fast_batched(
     admission). Give concurrent requests distinct seeds — equal seeds draw
     equal noise. Implies the per-stream-temperature path (a scalar
     ``temperature`` is broadcast)."""
+    if lane_clock is not None and lane_seed is None:
+        raise ValueError("lane_clock only rebases the lane_seed noise "
+                         "counters — pass lane_seed too")
     if lane_seed is not None and isinstance(temperature, (int, float)):
         streams = (
             state.cls.shape[0] if state is not None

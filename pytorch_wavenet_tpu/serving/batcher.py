@@ -66,6 +66,7 @@ class GenerationHandle:
         self._done = threading.Event()
         self._cancel = threading.Event()
         self._error: BaseException | None = None
+        self._on_done = None  # batcher bookkeeping hook, fired exactly once
 
     def _deliver(self, cls_chunk: np.ndarray):
         self._parts.append(cls_chunk)
@@ -73,8 +74,12 @@ class GenerationHandle:
             self._on_chunk(cls_chunk)
 
     def _finish(self, error: BaseException | None = None):
+        if self._done.is_set():  # idempotent: worker drain + close() drain
+            return
         self._error = error
         self._done.set()
+        if self._on_done is not None:
+            self._on_done()
 
     def done(self) -> bool:
         return self._done.is_set()
@@ -190,6 +195,16 @@ class ContinuousBatcher:
         # snapshot for monitoring)
         self._n = dict(admitted=0, completed=0, cancelled=0, failed=0,
                        samples_out=0, pool_steps=0, prime_calls=0)
+        # accepted-but-unfinished requests (covers the submit-queue, the
+        # in-admission window _admit holds them in, and active lanes) —
+        # the drain condition; guarded by its own lock because handles
+        # finish while close() holds the lifecycle lock
+        self._outstanding = 0
+        self._count_lock = threading.Lock()
+        # host mirror of the pool clock (state.t): bootstrap value +
+        # chunk per pool step — serving /stats and admission rebasing
+        # without forcing a device sync against the in-flight step
+        self._clock = 0
         self._wake = threading.Event()
         self._closing = False
         self._draining = False
@@ -250,6 +265,9 @@ class ContinuousBatcher:
             seed = int(seed) & 0xFFFFFFFF  # wrap into int32 range
             if seed >= 1 << 31:
                 seed -= 1 << 32
+            with self._count_lock:
+                self._outstanding += 1
+            h._on_done = self._request_done
             self._submit_q.put(
                 _Pending(h, prime, float(temperature), cond, seed))
         self._wake.set()
@@ -258,14 +276,18 @@ class ContinuousBatcher:
     def stats(self) -> dict:
         """Point-in-time pool metrics (safe from any thread): static shape
         (``lanes``, ``chunk``), live gauges (``active``, ``free``,
-        ``queued``, ``pool_clock``), and lifetime counters (``admitted``,
+        ``queued``, ``outstanding``, ``pool_clock``), and lifetime
+        counters (``admitted``,
         ``completed``, ``cancelled``, ``failed``, ``samples_out``,
         ``pool_steps``, ``prime_calls``). Served by ``scripts/serve.py``'s
         ``/stats`` endpoint."""
         active = len(self._active)
+        with self._count_lock:
+            outstanding = self._outstanding
         return {
             "lanes": self.lanes, "chunk": self.chunk, "active": active,
             "free": self.lanes - active, "queued": self._submit_q.qsize(),
+            "outstanding": outstanding,
             "pool_clock": self._global_t(), **self._n,
         }
 
@@ -281,9 +303,13 @@ class ContinuousBatcher:
                 self._draining = True  # submit() now refuses
             deadline = time.monotonic() + timeout
             while time.monotonic() < deadline:
-                s = self.stats()
-                if s["active"] == 0 and s["queued"] == 0:
-                    break
+                # _outstanding covers queued, in-admission (popped but not
+                # yet a lane), and active requests — unlike queue/lane
+                # gauges it has no window where an accepted request is
+                # invisible to the drain
+                with self._count_lock:
+                    if self._outstanding == 0:
+                        break
                 time.sleep(0.05)
         with self._lifecycle:
             self._closing = True
@@ -299,12 +325,18 @@ class ContinuousBatcher:
 
     # ------------------------------------------------------------- device
 
+    def _request_done(self):
+        with self._count_lock:
+            self._outstanding -= 1
+
     def _next_key(self):
         self._calls += 1
         return jax.random.fold_in(self._key, self._calls)
 
     def _global_t(self) -> int:
-        return 0 if self._state is None else int(self._state.t)
+        # host mirror, not int(state.t): reading the device scalar would
+        # block on the in-flight chunk (and race _fail_all nulling state)
+        return 0 if self._state is None else self._clock
 
     def _prime_states(
         self, pends: list[_Pending]
@@ -383,10 +415,11 @@ class ContinuousBatcher:
         if self._state is not None:
             return
         R = self.cfg.residual_channels
+        self._clock = max(self._periods)
         self._state = HbmGenState(
             ring=jnp.zeros((int(self._ring_off[-1]) * R, self.lanes),
                            self._kw["ring_dtype"]),
-            t=jnp.asarray(max(self._periods), jnp.int32),
+            t=jnp.asarray(self._clock, jnp.int32),
             cls=jnp.full((self.lanes,), self.cfg.classes // 2, jnp.int32),
         )
         if self.mesh is not None:  # lane axis sharded over the data axis
@@ -528,6 +561,7 @@ class ContinuousBatcher:
                 lane_seed=jnp.asarray(self._seeds),
                 lane_clock=jnp.asarray(self._toffs), **self._kw,
             )
+        self._clock += self.chunk
         cls = np.asarray(cls)
         still = []
         for act in self._active:

@@ -20,7 +20,11 @@ Endpoints
   POST /synthesize      -> same, parameters as a JSON body; additionally
        "prime" (mu-law class ids) or "prime_audio" (float samples in
        [-1, 1], quantized server-side) continues from caller history
-       instead of the mid-class cold start
+       instead of the mid-class cold start. Primes are truncated to the
+       last receptive_field samples (bitwise-exact — older history cannot
+       influence the rollout); each distinct prime length compiles a
+       specialized program once, so callers should prefer a consistent
+       prime length (e.g. always >= receptive_field)
   POST /vocode          -> audio/wav copy-synthesis: body is a wav upload,
        the server featurizes it to log-mels and re-synthesizes through the
        conditioned model (requires cfg.cond_channels > 0); query params:
@@ -263,10 +267,14 @@ class Synthesizer:
         key = jax.random.PRNGKey(seed)
         first = (jnp.full((1, 1), cfg.classes // 2, jnp.int32)
                  if prime is None else jnp.asarray(prime, jnp.int32)[None])
+        # the vmem backend was budgeted at startup for rf + 8192 samples
+        # per dispatch (_pick_backend); a larger client chunk must split
+        # (ring state carries across calls, so this is bitwise-invisible)
+        max_n = 8192 if self.backend == "vmem" else num_samples
         state = None
         done = 0
         while done < num_samples:
-            n = min(chunk, num_samples - done)
+            n = min(chunk, num_samples - done, max_n)
             key, sub = jax.random.split(key)
             with self.lock:
                 wav, _, state = gen(
@@ -333,7 +341,13 @@ def make_handler(synth: Synthesizer, max_samples: int):
                 req["prime"] = quantize_data(
                     np.clip(audio, -1.0, 1.0), synth.cfg.classes)
             if req["prime"] is not None:
-                req["prime"] = req["prime"].astype(np.int32)
+                # only the last receptive_field samples can influence the
+                # rollout (the ring holds exactly that much history), so
+                # truncating is bitwise-exact — and it bounds both the
+                # kernel's prime buffers and the number of distinct
+                # compile shapes a client can force
+                rf = synth.cfg.receptive_field
+                req["prime"] = req["prime"][-rf:].astype(np.int32)
             return req
 
         def _synthesize(self, body: dict):

@@ -131,11 +131,12 @@ def main():
 
     lock = threading.Lock()
     issued = 0
+    failures = 0
     ttfa: list[float] = []
     latency: list[float] = []
 
     def worker():
-        nonlocal issued
+        nonlocal issued, failures
         while True:
             with lock:
                 if issued >= args.requests:
@@ -144,15 +145,22 @@ def main():
                 issued += 1
             first = []
             t_sub = time.perf_counter()
-            h = batcher.submit(
-                primes[i], args.num_samples,
-                temperature=args.temperature, seed=i,
-                on_chunk=lambda c, f=first, t=t_sub: f.append(
-                    time.perf_counter() - t) if not f else None,
-            )
-            _, cls = h.result(timeout=3600)
-            t_done = time.perf_counter() - t_sub
-            assert cls.shape == (args.num_samples,)
+            try:
+                h = batcher.submit(
+                    primes[i], args.num_samples,
+                    temperature=args.temperature, seed=i,
+                    on_chunk=lambda c, f=first, t=t_sub: f.append(
+                        time.perf_counter() - t) if not f else None,
+                )
+                _, cls = h.result(timeout=3600)
+                t_done = time.perf_counter() - t_sub
+                assert cls.shape == (args.num_samples,), cls.shape
+            except BaseException as e:  # count it, keep loading the pool
+                with lock:
+                    failures += 1
+                print(f"request {i} failed: {type(e).__name__}: {e}",
+                      file=sys.stderr, flush=True)
+                continue
             with lock:
                 ttfa.append(first[0])
                 latency.append(t_done)
@@ -167,12 +175,16 @@ def main():
     wall = time.perf_counter() - t_start
     batcher.close()
 
-    total = args.requests * args.num_samples
+    if not latency:
+        print(f"all {args.requests} requests failed", file=sys.stderr)
+        sys.exit(1)
+    total = len(latency) * args.num_samples  # completed requests only
     agg = total / wall
     q = lambda xs, p: float(np.percentile(np.asarray(xs), p))  # noqa: E731
     summary = {
         "config": args.config, "lanes": args.lanes, "chunk": args.chunk,
         "concurrency": args.concurrency, "requests": args.requests,
+        "completed": len(latency), "failed": failures,
         "num_samples": args.num_samples, "wall_s": round(wall, 3),
         "agg_samples_per_s": round(agg),
         "realtime_x": round(agg / args.sr, 1),
@@ -182,7 +194,7 @@ def main():
         "latency_p95_s": round(q(latency, 95), 3),
     }
     print(
-        f"{args.requests} x {args.num_samples} samples, "
+        f"{len(latency)}/{args.requests} x {args.num_samples} samples, "
         f"{args.concurrency} in flight over {args.lanes} lanes "
         f"(chunk {args.chunk}): {agg:,.0f} samples/s aggregate "
         f"({agg / args.sr:,.1f}x realtime)\n"

@@ -467,3 +467,19 @@ def test_mesh_sharded_pool_conditioned():
         noise.result(timeout=300)
     finally:
         b.close()
+
+
+def test_drain_covers_in_admission_requests(tiny):
+    """A request popped from the submit queue but still inside its (slow)
+    admission prime call is in neither the queue nor a lane; drain must
+    still wait for it (the outstanding counter, not the gauges)."""
+    cfg, params = tiny
+    rf = cfg.receptive_field
+    prime = np.asarray(jax.random.randint(
+        jax.random.PRNGKey(60), (rf,), 0, cfg.classes))
+    b = ContinuousBatcher(params, cfg, lanes=2, chunk=6, interpret=True)
+    h = b.submit(prime, 20, temperature=0.0)
+    b.close(drain=True)  # immediately: admission prime is still running
+    _, cls = h.result(timeout=1)
+    np.testing.assert_array_equal(cls, _solo(params, cfg, prime, 20))
+    assert b.stats()["completed"] == 1

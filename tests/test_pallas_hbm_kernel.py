@@ -618,3 +618,9 @@ def test_lane_seed_validation(tiny):
             params, cfg, jax.random.PRNGKey(0), 4, prime,
             temperature=jnp.asarray([1.0, 1.0]),
             lane_seed=jnp.asarray([1]), interpret=True)
+    # a clock with no seed would be silently meaningless — reject it
+    with pytest.raises(ValueError, match="lane_clock"):
+        generate_fast_batched(
+            params, cfg, jax.random.PRNGKey(0), 4, prime,
+            temperature=jnp.asarray([1.0, 1.0]),
+            lane_clock=jnp.asarray([1, 2]), interpret=True)

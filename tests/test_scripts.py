@@ -203,5 +203,6 @@ def test_serving_bench_cli_smoke():
     assert r.returncode == 0, r.stderr[-2000:]
     blob = json.loads(r.stdout.strip().splitlines()[-1])
     assert blob["requests"] == 4 and blob["agg_samples_per_s"] > 0
+    assert blob["completed"] == 4 and blob["failed"] == 0
     assert 0 < blob["ttfa_p50_ms"] <= blob["ttfa_p95_ms"]
     assert blob["latency_p50_s"] <= blob["latency_p95_s"]
