@@ -72,6 +72,12 @@ def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--snapshot-path", default="snapshots")
     p.add_argument("--snapshot", default=None, help="explicit checkpoint file")
+    p.add_argument("--torch-snapshot", default=None,
+                   help="serve a reference pytorch-wavenet snapshot "
+                        "directly (whole-module pickle or state dict; see "
+                        "generate.py --torch-snapshot)")
+    p.add_argument("--torch-layers", type=int, default=None)
+    p.add_argument("--torch-blocks", type=int, default=None)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8765)
     p.add_argument("--backend", choices=("auto", "xla", "vmem"),
@@ -459,7 +465,12 @@ def main():
     args = parse_args()
     import pytorch_wavenet_tpu as wt
 
-    if args.snapshot:
+    if args.torch_snapshot:
+        params, cfg = wt.load_reference_snapshot(
+            args.torch_snapshot, layers=args.torch_layers,
+            blocks=args.torch_blocks)
+        blob = {"params": params, "config": cfg}
+    elif args.snapshot:
         blob = wt.load_checkpoint(args.snapshot)
     else:
         blob = wt.load_latest_model_from(args.snapshot_path)

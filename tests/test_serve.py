@@ -329,3 +329,50 @@ def test_primed_synthesis(server, batcher_server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(bad, timeout=30)
     assert e.value.code == 400
+
+
+def test_serve_reference_torch_snapshot(tmp_path_factory):
+    """--torch-snapshot: a reference whole-module pickle serves directly
+    (the migration path: reference checkpoint -> TPU serving)."""
+    import jax
+
+    import pytorch_wavenet_tpu as wt
+    from test_convert import _random_state_dict, _save_reference_like_module
+
+    cfg = wt.WaveNetConfig(layers=3, blocks=2, dilation_channels=8,
+                           residual_channels=8, skip_channels=16,
+                           end_channels=16, classes=32)
+    sd = _random_state_dict(cfg, seed=7)
+    d = tmp_path_factory.mktemp("serve_ref")
+    snap = os.path.join(str(d), "ref_module.pt")
+    _save_reference_like_module(cfg, sd, snap)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    proc = subprocess.Popen(
+        [sys.executable, "scripts/serve.py", "--torch-snapshot", snap,
+         "--port", str(port), "--backend", "xla", "--max-samples", "4000"],
+        cwd=REPO, env=ENV,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    base = f"http://127.0.0.1:{port}"
+    try:
+        deadline = time.time() + 120
+        while True:
+            try:
+                with urllib.request.urlopen(base + "/health", timeout=5) as r:
+                    health = json.loads(r.read())
+                break
+            except OSError:
+                if proc.poll() is not None or time.time() > deadline:
+                    out = proc.stdout.read() if proc.stdout else ""
+                    raise RuntimeError(f"server died:\n{out[-2000:]}")
+                time.sleep(0.5)
+        assert health["receptive_field"] == cfg.receptive_field
+        assert health["parameter_count"] == cfg.parameter_count()
+        pcm = _fetch_wav(f"{base}/synthesize?num_samples=30&temperature=0")
+        assert pcm.size == 30
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
