@@ -104,7 +104,7 @@ class GenerationHandle:
         return dequantize_to_f32(cls, self._classes), cls
 
 
-@dataclass
+@dataclass(eq=False)  # identity semantics: instances ride snapshot lists
 class _Active:
     handle: GenerationHandle
     lane: int
@@ -526,10 +526,12 @@ class ContinuousBatcher:
         self._temps[:] = 0.0
         self._state = None
 
-    def _step_chunk(self):
-        self._reap_cancelled()
-        if not self._active:
-            return
+    def _dispatch_chunk(self):
+        """Enqueue one pool step on the device and return ``(cls, riders)``
+        WITHOUT materializing the result — jax dispatch is asynchronous, so
+        the device starts computing while the worker goes on to deliver the
+        PREVIOUS chunk (host-side delivery and the device step overlap; see
+        _run). ``riders`` snapshots the active list as of this dispatch."""
         cond = None
         if any(act.cond is not None for act in self._active):
             # assemble this chunk's per-lane cond rows; finished/free/
@@ -561,10 +563,22 @@ class ContinuousBatcher:
                 lane_seed=jnp.asarray(self._seeds),
                 lane_clock=jnp.asarray(self._toffs), **self._kw,
             )
-        self._clock += self.chunk
+        self._clock += self.chunk  # admissions after this dispatch rebase
+        # against the advanced clock (state.t moves with the dispatch)
+        return cls, list(self._active)
+
+    def _deliver_chunk(self, cls, riders):
+        """Materialize a dispatched chunk (blocks until the device step
+        completes) and distribute it to its riders. A rider that finished
+        or was cancelled after the dispatch is skipped — its trailing
+        samples are discarded, like a free lane's greedy output."""
         cls = np.asarray(cls)
         still = []
+        rider_ids = {id(a) for a in riders}
         for act in self._active:
+            if id(act) not in rider_ids:  # admitted after this dispatch
+                still.append(act)
+                continue
             take = min(act.remaining, self.chunk)
             try:
                 act.handle._deliver(cls[act.lane, :take])
@@ -590,14 +604,31 @@ class ContinuousBatcher:
         # that killed the thread would leave every active and future handle
         # blocked forever. Per-request failures are handled inline; a failed
         # device step fails its riders and re-bootstraps the pool.
+        # One-chunk-deep pipeline: dispatch chunk i+1 (async) BEFORE
+        # materializing chunk i, so per-chunk host work (device->host
+        # transfer, on_chunk callbacks, socket writes) overlaps the next
+        # device step instead of serializing with it. Admissions happen
+        # between the two, against the already-advanced state, and
+        # deliveries pair each chunk with its dispatch-time rider
+        # snapshot, so per-lane outputs are unchanged.
+        pending = None  # (cls future, riders) of the in-flight chunk
         while not self._closing:
             try:
+                self._reap_cancelled()
                 self._admit()
-                if self._active:
-                    self._step_chunk()
-                else:
+                nxt = self._dispatch_chunk() if self._active else None
+                if pending is not None:
+                    self._deliver_chunk(*pending)
+                pending = nxt
+                if pending is None and not self._active:
                     self._wake.wait(timeout=0.1)
                     self._wake.clear()
+            except BaseException as e:
+                pending = None
+                self._fail_all(e)
+        if pending is not None:  # drain the in-flight chunk: its riders'
+            try:  # final samples must not vanish on a graceful close
+                self._deliver_chunk(*pending)
             except BaseException as e:
                 self._fail_all(e)
         for act in self._active:
