@@ -139,6 +139,7 @@ class ContinuousBatcher:
                  ring_dtype=jnp.float32, fuse_res: bool = False,
                  stage_layers: int | None = None,
                  head_tiles: int | None = None,
+                 regularize: float = 0.0,
                  mesh=None):
         """``mesh``: a ``jax.sharding.Mesh`` with a data axis — the lane
         pool is sharded over it and every chunk advances on all chips in
@@ -172,7 +173,7 @@ class ContinuousBatcher:
         # samples (~37 h of 16 kHz audio per lane) before needing a restart
         self._kw = dict(interpret=interpret, ring_dtype=ring_dtype,
                         fuse_res=fuse_res, stage_layers=stage_layers,
-                        head_tiles=head_tiles,
+                        head_tiles=head_tiles, regularize=float(regularize),
                         pad_streams=None if interpret else 128)
         self._key = jax.random.PRNGKey(seed)
         self._calls = 0

@@ -483,3 +483,22 @@ def test_drain_covers_in_admission_requests(tiny):
     _, cls = h.result(timeout=1)
     np.testing.assert_array_equal(cls, _solo(params, cfg, prime, 20))
     assert b.stats()["completed"] == 1
+
+
+def test_pool_regularize_matches_solo(tiny):
+    """Pool-wide logit regularization (the reference's generate_fast
+    knob) flows through admission and chunk steps."""
+    cfg, params = tiny
+    rf = cfg.receptive_field
+    prime = np.asarray(jax.random.randint(
+        jax.random.PRNGKey(70), (rf,), 0, cfg.classes))
+    _, solo = wt.generate_fast(
+        params, cfg, jax.random.PRNGKey(9), 18, jnp.asarray(prime)[None],
+        temperature=0.0, regularize=0.1)
+    b = ContinuousBatcher(params, cfg, lanes=2, chunk=6, interpret=True,
+                          regularize=0.1)
+    try:
+        _, cls = b.submit(prime, 18, temperature=0.0).result(timeout=300)
+        np.testing.assert_array_equal(cls, np.asarray(solo)[0])
+    finally:
+        b.close()
