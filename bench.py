@@ -26,6 +26,9 @@ BASELINE_SAMPLES_PER_SEC = 81.0  # reference CPU, profiling.ipynb cell 5
 
 
 def main():
+    from pytorch_wavenet_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # restarts reload compiled programs from disk
     import pytorch_wavenet_tpu as wt
     from pytorch_wavenet_tpu.ops.pallas.gen_kernel import generate_fast_fused
 

@@ -32,6 +32,9 @@ def timed(fn, reps=3):
 
 
 def main():
+    from pytorch_wavenet_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # restarts reload compiled programs from disk
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="chaconne")
     p.add_argument("--batch-size", type=int, default=16)

@@ -118,6 +118,9 @@ def load_student(path, scfg):
 
 
 def main():
+    from pytorch_wavenet_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # restarts reload compiled programs from disk
     args = parse_args()
     from pytorch_wavenet_tpu.models.iaf import (
         IAFConfig,

@@ -51,6 +51,9 @@ def measure(cfg, tx, mesh, global_batch, steps=20):
 
 
 def main():
+    from pytorch_wavenet_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # restarts reload compiled programs from disk
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="chaconne")
     ap.add_argument("--per-device-batch", type=int, default=16)

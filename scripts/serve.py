@@ -462,6 +462,9 @@ def make_handler(synth: Synthesizer, max_samples: int):
 
 
 def main():
+    from pytorch_wavenet_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # restarts reload compiled programs from disk
     args = parse_args()
     import pytorch_wavenet_tpu as wt
 

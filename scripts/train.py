@@ -83,6 +83,9 @@ def parse_args():
 
 
 def main():
+    from pytorch_wavenet_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # restarts reload compiled programs from disk
     args = parse_args()
     import pytorch_wavenet_tpu as wt
     from pytorch_wavenet_tpu.utils.visualize import param_summary
