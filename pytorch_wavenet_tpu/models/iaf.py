@@ -259,3 +259,27 @@ def student_generate(
 
 def student_parameter_count(params: StudentParams) -> int:
     return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+
+
+def load_student_snapshot(path: str, scfg: IAFConfig | None = None):
+    """Load a student checkpoint written by ``scripts/distill.py``:
+    returns ``(params, scfg, step)``. The architecture is restored from
+    the checkpoint's ``iaf_config`` extra; ``scfg`` (optional) supplies
+    defaults for fields the snapshot stored as None (compute_dtype)."""
+    import dataclasses
+
+    from flax import serialization
+
+    from ..utils.checkpoints import load_checkpoint
+
+    blob = load_checkpoint(path)
+    scfg = scfg or IAFConfig()
+    saved = (blob.get("extra") or {}).get("iaf_config")
+    if saved:
+        names = {f.name for f in dataclasses.fields(scfg)}
+        scfg = dataclasses.replace(
+            scfg, **{k: v for k, v in saved.items()
+                     if k in names and v is not None})
+    template = init_student(jax.random.PRNGKey(0), scfg)
+    params = serialization.from_state_dict(template, blob["params"])
+    return params, scfg, blob["step"]

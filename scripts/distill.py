@@ -97,24 +97,9 @@ def load_teacher(path):
 
 
 def load_student(path, scfg):
-    from flax import serialization
+    from pytorch_wavenet_tpu.models.iaf import load_student_snapshot
 
-    from pytorch_wavenet_tpu.models.iaf import init_student
-    from pytorch_wavenet_tpu.utils.checkpoints import load_checkpoint
-
-    blob = load_checkpoint(path)
-    saved = blob["extra"].get("iaf_config")
-    if saved:
-        names = {f.name for f in dataclasses.fields(scfg)}
-        # compute_dtype is stored as None (dtypes aren't msgpack types);
-        # keep the in-code default
-        scfg = dataclasses.replace(
-            scfg, **{k: v for k, v in saved.items()
-                     if k in names and v is not None}
-        )
-    template = init_student(jax.random.PRNGKey(0), scfg)
-    params = serialization.from_state_dict(template, blob["params"])
-    return params, scfg, blob["step"]
+    return load_student_snapshot(path, scfg)
 
 
 def main():

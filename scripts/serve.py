@@ -78,6 +78,13 @@ def parse_args():
                         "generate.py --torch-snapshot)")
     p.add_argument("--torch-layers", type=int, default=None)
     p.add_argument("--torch-blocks", type=int, default=None)
+    p.add_argument("--student-snapshot", default=None,
+                   help="serve a distilled IAF student (scripts/distill.py "
+                        "checkpoint): whole clips synthesize in ONE dense "
+                        "parallel pass instead of an autoregressive loop. "
+                        "temperature and prime are not supported on this "
+                        "backend (the student samples from its own "
+                        "logistic noise; per-request seed still applies)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8765)
     p.add_argument("--backend", choices=("auto", "xla", "vmem"),
@@ -127,19 +134,31 @@ def wav_header(num_samples: int, sr: int) -> bytes:
     )
 
 
+def _param_count(synth) -> int:
+    cfg = synth.cfg
+    if hasattr(cfg, "parameter_count"):
+        return cfg.parameter_count()
+    return sum(int(x.size)  # IAFConfig carries no count; count the tree
+               for x in jax.tree_util.tree_leaves(synth.params))
+
+
 class Synthesizer:
     """Owns the model and the device; serializes rollouts chunk-by-chunk —
     or, with a :class:`ContinuousBatcher`, splices concurrent requests into
     one persistent multi-stream rollout."""
 
     def __init__(self, params, cfg, backend: str, sr: int,
-                 batcher_opts: dict | None = None):
+                 batcher_opts: dict | None = None, student: bool = False):
         self.cfg = cfg
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
         self.sr = sr
         self.lock = threading.Lock()
         self.batcher = None
-        if batcher_opts is not None:
+        if student:
+            # distilled IAF student: clips synthesize in one dense
+            # parallel pass (models/iaf.py student_generate)
+            self.backend = "iaf-student"
+        elif batcher_opts is not None:
             from pytorch_wavenet_tpu.serving import ContinuousBatcher
 
             self.batcher = ContinuousBatcher(
@@ -264,6 +283,16 @@ class Synthesizer:
         across chunks (bitwise-equal to a single shot at temperature 0).
         ``prime`` (flat int class ids) seeds the rollout with caller
         history instead of the mid-class cold start."""
+        if self.backend == "iaf-student":
+            from pytorch_wavenet_tpu.models.iaf import student_generate
+
+            with self.lock:  # one dense pass for the whole clip
+                wav = np.asarray(student_generate(
+                    self.params, self.cfg, jax.random.PRNGKey(seed),
+                    num_samples)[0])
+            for i in range(0, num_samples, chunk):
+                yield wav[i : i + chunk]
+            return
         if self.batcher is not None:
             yield from self._stream_batched(num_samples, temperature, seed,
                                             prime)
@@ -329,6 +358,11 @@ def make_handler(synth: Synthesizer, max_samples: int):
             # dataset-primed generation, generate_script.py:19-32) —
             # "prime" is mu-law class ids, "prime_audio" raw float samples
             # in [-1, 1] (quantized server-side)
+            if (synth.backend == "iaf-student"
+                    and (body.get("prime") is not None
+                         or body.get("prime_audio") is not None)):
+                raise ValueError("the IAF student has no autoregressive "
+                                 "history to prime")
             if body.get("prime") is not None:
                 req["prime"] = np.asarray(body["prime"], np.int64)
                 if (req["prime"].ndim != 1
@@ -397,8 +431,8 @@ def make_handler(synth: Synthesizer, max_samples: int):
                     "status": "ok",
                     "backend": synth.backend,
                     "receptive_field": synth.cfg.receptive_field,
-                    "parameter_count": synth.cfg.parameter_count(),
-                    "classes": synth.cfg.classes,
+                    "parameter_count": _param_count(synth),
+                    "classes": getattr(synth.cfg, "classes", None),
                     "sample_rate": synth.sr,
                 })
             if path == "/stats":
@@ -411,6 +445,10 @@ def make_handler(synth: Synthesizer, max_samples: int):
             self._json(404, {"error": f"no route {path}"})
 
         def _vocode(self):
+            if synth.backend == "iaf-student":
+                return self._json(
+                    400, {"error": "/vocode runs the AR conditioned "
+                                   "model; serve a WaveNet snapshot"})
             if synth.cfg.cond_channels == 0:
                 return self._json(
                     400, {"error": "this model is unconditional "
@@ -468,7 +506,13 @@ def main():
     args = parse_args()
     import pytorch_wavenet_tpu as wt
 
-    if args.torch_snapshot:
+    if args.student_snapshot:
+        from pytorch_wavenet_tpu.models.iaf import load_student_snapshot
+
+        params, scfg, step = load_student_snapshot(args.student_snapshot)
+        print(f"student resumed at step {step}")
+        blob = {"params": params, "config": scfg}
+    elif args.torch_snapshot:
         params, cfg = wt.load_reference_snapshot(
             args.torch_snapshot, layers=args.torch_layers,
             blocks=args.torch_blocks)
@@ -478,6 +522,9 @@ def main():
     else:
         blob = wt.load_latest_model_from(args.snapshot_path)
     batcher_opts = None
+    if args.batcher and args.student_snapshot:
+        raise SystemExit("--batcher is the AR lane pool; the student "
+                         "already synthesizes whole clips in one pass")
     if args.batcher:
         batcher_opts = dict(lanes=args.lanes, chunk=args.batch_chunk,
                             interpret=args.batcher_interpret,
@@ -503,14 +550,15 @@ def main():
                 args.mesh_data, 1,
                 devices=jax.devices()[: args.mesh_data])
     synth = Synthesizer(blob["params"], blob["config"], args.backend,
-                        args.sr, batcher_opts=batcher_opts)
+                        args.sr, batcher_opts=batcher_opts,
+                        student=bool(args.student_snapshot))
 
     # warm the compile cache so the first request doesn't eat it
     next(iter(synth.stream(1, 1.0, 0, 1)))
 
     server = ThreadingHTTPServer(
         (args.host, args.port), make_handler(synth, args.max_samples))
-    print(f"serving {synth.cfg.parameter_count():,}-param model on "
+    print(f"serving {_param_count(synth):,}-param model on "
           f"http://{args.host}:{server.server_address[1]} "
           f"(backend: {synth.backend})", flush=True)
     try:

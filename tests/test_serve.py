@@ -376,3 +376,63 @@ def test_serve_reference_torch_snapshot(tmp_path_factory):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+def test_serve_iaf_student(tmp_path_factory):
+    """--student-snapshot: the distilled student serves whole clips in one
+    dense pass; per-request seeds are reproducible, primes rejected."""
+    import dataclasses
+
+    import jax
+
+    from pytorch_wavenet_tpu.models.iaf import IAFConfig, init_student
+    from pytorch_wavenet_tpu.utils.checkpoints import save_checkpoint
+
+    scfg = IAFConfig(flows=2, layers=2, blocks=1, residual_channels=8,
+                     dilation_channels=8, skip_channels=8, end_channels=8)
+    params = init_student(jax.random.PRNGKey(0), scfg)
+    d = str(tmp_path_factory.mktemp("serve_student"))
+    snap = save_checkpoint(d, "student", 5, params,
+                           extra={"iaf_config": dataclasses.asdict(
+                               dataclasses.replace(scfg,
+                                                   compute_dtype=None))})
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    proc = subprocess.Popen(
+        [sys.executable, "scripts/serve.py", "--student-snapshot", snap,
+         "--port", str(port), "--max-samples", "64000"],
+        cwd=REPO, env=ENV,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    base = f"http://127.0.0.1:{port}"
+    try:
+        deadline = time.time() + 120
+        while True:
+            try:
+                with urllib.request.urlopen(base + "/health", timeout=5) as r:
+                    health = json.loads(r.read())
+                break
+            except OSError:
+                if proc.poll() is not None or time.time() > deadline:
+                    out = proc.stdout.read() if proc.stdout else ""
+                    raise RuntimeError(f"server died:\n{out[-2000:]}")
+                time.sleep(0.5)
+        assert health["backend"] == "iaf-student"
+        a = _fetch_wav(f"{base}/synthesize?num_samples=4000&seed=3")
+        b = _fetch_wav(f"{base}/synthesize?num_samples=4000&seed=3")
+        c = _fetch_wav(f"{base}/synthesize?num_samples=4000&seed=4")
+        np.testing.assert_array_equal(a, b)
+        assert (a != c).any()
+
+        req = urllib.request.Request(
+            base + "/synthesize",
+            data=json.dumps({"num_samples": 8, "prime": [1, 2]}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
