@@ -117,6 +117,11 @@ def parse_args():
                         "wide-head configs at high lane counts)")
     p.add_argument("--batcher-interpret", action="store_true",
                    help=argparse.SUPPRESS)  # CPU tests of the batcher path
+    p.add_argument("--profile-dir", default=None,
+                   help="enable POST /profile: capture a jax.profiler "
+                        "trace of the live server into this directory "
+                        "(view with tensorboard/xprof). Body/query: "
+                        "seconds (default 3, max 60)")
     p.add_argument("--max-samples", type=int, default=16000 * 60,
                    help="per-request ceiling")
     p.add_argument("--sr", type=int, default=16000)
@@ -322,7 +327,9 @@ class Synthesizer:
             yield out
 
 
-def make_handler(synth: Synthesizer, max_samples: int):
+def make_handler(synth: Synthesizer, max_samples: int,
+                 profile_dir: str | None = None):
+    profile_lock = threading.Lock()
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -444,6 +451,33 @@ def make_handler(synth: Synthesizer, max_samples: int):
                 return self._synthesize({})
             self._json(404, {"error": f"no route {path}"})
 
+        def _profile(self):
+            """Capture a jax.profiler trace of whatever the server is
+            doing right now (device steps, transfers, host callbacks) —
+            the production 'why is this pool slow' tool. One capture at a
+            time; requests keep serving while it runs."""
+            if profile_dir is None:
+                return self._json(
+                    400, {"error": "start the server with --profile-dir"})
+            q = parse_qs(urlparse(self.path).query)
+            try:
+                seconds = float(q.get("seconds", ["3"])[0])
+            except ValueError:
+                return self._json(400, {"error": "bad seconds"})
+            seconds = min(max(seconds, 0.1), 60.0)
+            if not profile_lock.acquire(blocking=False):
+                return self._json(409, {"error": "a capture is running"})
+            try:
+                import time as _t
+
+                jax.profiler.start_trace(profile_dir)
+                _t.sleep(seconds)
+            finally:
+                jax.profiler.stop_trace()
+                profile_lock.release()
+            return self._json(200, {"trace_dir": profile_dir,
+                                    "seconds": seconds})
+
         def _vocode(self):
             if synth.backend == "iaf-student":
                 return self._json(
@@ -485,6 +519,8 @@ def make_handler(synth: Synthesizer, max_samples: int):
             path = urlparse(self.path).path
             if path == "/vocode":
                 return self._vocode()
+            if path == "/profile":
+                return self._profile()
             if path != "/synthesize":
                 return self._json(404, {"error": f"no route {path}"})
             length = int(self.headers.get("Content-Length", 0) or 0)
@@ -557,7 +593,8 @@ def main():
     next(iter(synth.stream(1, 1.0, 0, 1)))
 
     server = ThreadingHTTPServer(
-        (args.host, args.port), make_handler(synth, args.max_samples))
+        (args.host, args.port),
+        make_handler(synth, args.max_samples, args.profile_dir))
     print(f"serving {_param_count(synth):,}-param model on "
           f"http://{args.host}:{server.server_address[1]} "
           f"(backend: {synth.backend})", flush=True)

@@ -44,9 +44,11 @@ def server(tmp_path_factory):
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
 
+    prof = str(tmp_path_factory.mktemp("prof"))
     proc = subprocess.Popen(
         [sys.executable, "scripts/serve.py", "--snapshot", ckpt,
-         "--port", str(port), "--backend", "xla", "--max-samples", "4000"],
+         "--port", str(port), "--backend", "xla", "--max-samples", "4000",
+         "--profile-dir", prof],
         cwd=REPO, env=ENV,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
@@ -436,3 +438,16 @@ def test_serve_iaf_student(tmp_path_factory):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+def test_profile_endpoint(server):
+    """POST /profile captures a jax.profiler trace of the live server."""
+    base, _, _ = server
+    req = urllib.request.Request(base + "/profile?seconds=0.5",
+                                 data=b"", method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        out = json.loads(r.read())
+    files = []
+    for root, _, names in os.walk(out["trace_dir"]):
+        files += [os.path.join(root, n) for n in names]
+    assert any("xplane" in f or "trace.json" in f for f in files), files
