@@ -25,6 +25,8 @@ Endpoints
        influence the rollout); each distinct prime length compiles a
        specialized program once, so callers should prefer a consistent
        prime length (e.g. always >= receptive_field)
+  POST /profile         -> capture a jax.profiler trace of the live server
+       (requires --profile-dir); query: seconds (default 3)
   POST /vocode          -> audio/wav copy-synthesis: body is a wav upload,
        the server featurizes it to log-mels and re-synthesizes through the
        conditioned model (requires cfg.cond_channels > 0); query params:
