@@ -70,16 +70,60 @@ def sgd_normalized(
 
 
 def reference_adam(
-    lr: float, weight_decay: float = 0.0, gradient_clipping: float | None = None
+    lr, weight_decay: float = 0.0, gradient_clipping: float | None = None
 ) -> optax.GradientTransformation:
     """The reference trainer's default optimizer stack: optional
     clip_grad_norm, then Adam with L2-style weight decay folded into the
-    gradient (torch semantics; reference: wavenet_training.py:41,74-76)."""
+    gradient (torch semantics; reference: wavenet_training.py:41,74-76).
+    ``lr`` may be a float or an optax schedule (see :func:`lr_schedule`);
+    a float reproduces the reference's constant-lr behavior exactly."""
     chain = []
     if gradient_clipping is not None:
         chain.append(optax.clip_by_global_norm(gradient_clipping))
     if weight_decay != 0.0:
         chain.append(optax.add_decayed_weights(weight_decay))
     chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
-    chain.append(optax.scale(-lr))
+    chain.append(optax.scale_by_learning_rate(lr))
     return optax.chain(*chain)
+
+
+def lr_schedule(
+    lr: float,
+    kind: str = "constant",
+    warmup_steps: int = 0,
+    decay_steps: int | None = None,
+    min_lr_ratio: float = 0.0,
+):
+    """Learning-rate schedule factory for :func:`reference_adam` and the
+    train CLI. ``kind``: ``constant`` | ``cosine`` (decay to
+    ``lr * min_lr_ratio`` over ``decay_steps``) | ``exponential``
+    (``lr * min_lr_ratio ** (step / decay_steps)``). ``warmup_steps``
+    prepends a linear 0 -> lr ramp. Returns a plain float when the result
+    is a constant (so the optimizer state stays schedule-free). No
+    reference analogue (the reference hard-codes a constant lr,
+    train_script.py:70)."""
+    if kind == "constant":
+        main = None if not warmup_steps else optax.constant_schedule(lr)
+    elif kind == "cosine":
+        if not decay_steps:
+            raise ValueError("cosine schedule needs decay_steps")
+        main = optax.cosine_decay_schedule(lr, decay_steps,
+                                           alpha=min_lr_ratio)
+    elif kind == "exponential":
+        if not decay_steps:
+            raise ValueError("exponential schedule needs decay_steps")
+        if not 0.0 < min_lr_ratio < 1.0:
+            raise ValueError("exponential schedule needs min_lr_ratio "
+                             "in (0, 1) — the decay per decay_steps")
+        main = optax.exponential_decay(lr, decay_steps,
+                                       decay_rate=min_lr_ratio)
+    else:
+        raise ValueError(f"unknown schedule kind {kind!r}")
+    if main is None:
+        return lr
+    if not warmup_steps:
+        return main
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, lr, warmup_steps), main],
+        [warmup_steps],
+    )

@@ -63,6 +63,19 @@ def parse_args():
                    help="sgd_normalized momentum")
     p.add_argument("--weight-decay", type=float, default=0.0)
     p.add_argument("--clip", type=float, default=None)
+    p.add_argument("--lr-schedule", default="constant",
+                   choices=("constant", "cosine", "exponential"),
+                   help="cosine decays to lr*min-lr-ratio over "
+                        "--decay-steps; exponential multiplies by "
+                        "min-lr-ratio every decay-steps")
+    p.add_argument("--warmup-steps", type=int, default=0,
+                   help="linear 0 -> lr ramp before the schedule")
+    p.add_argument("--decay-steps", type=int, default=None)
+    p.add_argument("--min-lr-ratio", type=float, default=0.0)
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help="gradient accumulation: apply the optimizer every "
+                        "k micro-batches (effective batch = k * "
+                        "batch-size without k * the activation memory)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--test-stride", type=int, default=500)
     p.add_argument("--snapshot-path", default="snapshots")
@@ -172,12 +185,28 @@ def main():
         mesh = make_mesh(args.mesh_data, args.mesh_model)
         print(f"mesh: {dict(mesh.shape)}")
 
-    optimizer = None
+    from pytorch_wavenet_tpu.training.optimizers import (
+        lr_schedule,
+        reference_adam,
+    )
+
+    lr = lr_schedule(args.lr, args.lr_schedule, args.warmup_steps,
+                     args.decay_steps, args.min_lr_ratio)
     if args.optimizer == "sgd_normalized":
+        if not isinstance(lr, float):
+            raise SystemExit("--lr-schedule/--warmup-steps only apply to "
+                             "the adam optimizer")
         optimizer = wt.sgd_normalized(
             lr=args.lr, momentum=args.momentum,
             weight_decay=args.weight_decay,
         )
+    else:
+        optimizer = reference_adam(lr, args.weight_decay, args.clip)
+    if args.accum_steps > 1:
+        import optax
+
+        optimizer = optax.MultiSteps(
+            optimizer, every_k_schedule=args.accum_steps)
 
     trainer = wt.WaveNetTrainer(
         cfg,

@@ -206,3 +206,26 @@ def test_serving_bench_cli_smoke():
     assert blob["completed"] == 4 and blob["failed"] == 0
     assert 0 < blob["ttfa_p50_ms"] <= blob["ttfa_p95_ms"]
     assert blob["latency_p50_s"] <= blob["latency_p95_s"]
+
+
+def test_train_cli_schedule_and_accum(audio_dir, tmp_path):
+    """LR schedule (warmup + cosine) and gradient accumulation train,
+    snapshot, and resume through the CLI."""
+    snaps = str(tmp_path / "snaps_sched")
+    common = [
+        "scripts/train.py", "--data-dir", str(audio_dir), "--config", "tiny",
+        "--batch-size", "2", "--epochs", "1",
+        "--lr-schedule", "cosine", "--warmup-steps", "2",
+        "--decay-steps", "20", "--min-lr-ratio", "0.1",
+        "--accum-steps", "2",
+        "--snapshot-path", snaps, "--snapshot-interval", "4",
+        "--log-interval", "1", "--validation-interval", "100000",
+        "--generate-interval", "100000", "--test-stride", "50",
+    ]
+    r = run([*common, "--max-steps", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "loss at step 1" in r.stdout
+    # resume restores the MultiSteps/schedule optimizer state
+    r = run([*common, "--max-steps", "6", "--resume"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "resuming at step 4" in r.stdout
