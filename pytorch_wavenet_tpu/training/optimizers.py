@@ -127,3 +127,65 @@ def lr_schedule(
         [optax.linear_schedule(0.0, lr, warmup_steps), main],
         [warmup_steps],
     )
+
+
+class EmaState(NamedTuple):
+    inner: optax.OptState
+    ema: optax.Params
+
+
+def with_ema(tx: optax.GradientTransformation,
+             decay: float = 0.9999) -> optax.GradientTransformation:
+    """Track an exponential moving average of the PARAMETERS alongside
+    ``tx``: after each applied update, ``ema = decay * ema +
+    (1 - decay) * new_params``. The EMA rides the optimizer state, so
+    snapshots/exact-resume/sharding need nothing new; extract it with
+    :func:`ema_params` (live state) or :func:`find_ema_state_dict` (a raw
+    checkpoint blob). Parallel-WaveNet-style deployments generate from
+    the averaged weights (no reference analogue — torch 0.3 training
+    keeps only the live weights)."""
+
+    def init(params):
+        return EmaState(tx.init(params),
+                        jax.tree_util.tree_map(jnp.asarray, params))
+
+    def update(grads, state, params=None):
+        updates, inner = tx.update(grads, state.inner, params)
+        new_params = optax.apply_updates(params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1.0 - decay) * p,
+            state.ema, new_params)
+        return updates, EmaState(inner, ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def ema_params(opt_state):
+    """Pull the EMA parameter tree out of a live optimizer state built
+    with :func:`with_ema` (at any wrapping depth); None if absent."""
+    found = []
+
+    def walk(s):
+        if isinstance(s, EmaState):
+            found.append(s.ema)
+            return
+        if isinstance(s, tuple):
+            for c in s:
+                walk(c)
+
+    walk(opt_state)
+    return found[0] if found else None
+
+
+def find_ema_state_dict(opt_state_dict):
+    """Locate the EMA subtree in a DESERIALIZED checkpoint's opt_state
+    state-dict (EmaState serializes its fields by name); None if absent.
+    Restore with ``flax.serialization.from_state_dict(params, found)``."""
+    if isinstance(opt_state_dict, dict):
+        if "ema" in opt_state_dict and "inner" in opt_state_dict:
+            return opt_state_dict["ema"]
+        for v in opt_state_dict.values():
+            got = find_ema_state_dict(v)
+            if got is not None:
+                return got
+    return None

@@ -79,6 +79,9 @@ def parse_args():
                         "temperature 0, single stream)")
     p.add_argument("--speculate-k", type=int, default=8,
                    help="speculation depth per verify pass")
+    p.add_argument("--ema", action="store_true",
+                   help="generate from the snapshot's EMA weights "
+                        "(train.py --ema-decay)")
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--regularize", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=0)
@@ -107,6 +110,19 @@ def main():
         blob = wt.load_latest_model_from(args.snapshot_path)
         cfg = blob["config"]
         params = blob["params"]
+    if args.ema:
+        from pytorch_wavenet_tpu.training.optimizers import (
+            find_ema_state_dict,
+        )
+
+        ema = (find_ema_state_dict(blob["opt_state"])
+               if not args.torch_snapshot and blob.get("opt_state")
+               else None)
+        if ema is None:
+            raise SystemExit("--ema: this snapshot carries no EMA weights "
+                             "(train with --ema-decay)")
+        params = ema
+        print("generating from EMA weights")
     params = jax.tree_util.tree_map(jnp.asarray, params)
     print(f"receptive field: {cfg.receptive_field}")
     print(f"parameter count: {cfg.parameter_count():,}")

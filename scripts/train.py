@@ -76,6 +76,10 @@ def parse_args():
                    help="gradient accumulation: apply the optimizer every "
                         "k micro-batches (effective batch = k * "
                         "batch-size without k * the activation memory)")
+    p.add_argument("--ema-decay", type=float, default=None,
+                   help="track an exponential moving average of the "
+                        "weights in the optimizer state (e.g. 0.9995); "
+                        "generate from it with generate.py --ema")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--test-stride", type=int, default=500)
     p.add_argument("--snapshot-path", default="snapshots")
@@ -202,6 +206,11 @@ def main():
         )
     else:
         optimizer = reference_adam(lr, args.weight_decay, args.clip)
+    if args.ema_decay:
+        from pytorch_wavenet_tpu.training.optimizers import with_ema
+
+        # inside MultiSteps, so the average moves once per APPLIED update
+        optimizer = with_ema(optimizer, args.ema_decay)
     if args.accum_steps > 1:
         import optax
 

@@ -229,3 +229,49 @@ def test_train_cli_schedule_and_accum(audio_dir, tmp_path):
     r = run([*common, "--max-steps", "6", "--resume"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "resuming at step 4" in r.stdout
+
+
+def test_train_ema_and_generate(audio_dir, tmp_path):
+    """--ema-decay tracks averaged weights in the optimizer state;
+    generate.py --ema rolls out from them (and refuses EMA-less snaps)."""
+    snaps = str(tmp_path / "snaps_ema")
+    r = run([
+        "scripts/train.py", "--data-dir", str(audio_dir), "--config", "tiny",
+        "--batch-size", "2", "--epochs", "1", "--max-steps", "3",
+        "--ema-decay", "0.5",
+        "--snapshot-path", snaps, "--snapshot-interval", "3",
+        "--log-interval", "1", "--validation-interval", "100000",
+        "--generate-interval", "100000", "--test-stride", "50",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = str(tmp_path / "ema.wav")
+    r = run([
+        "scripts/generate.py", "--snapshot-path", snaps, "--ema",
+        "--num-samples", "16", "--temperature", "0", "--out", out,
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "generating from EMA weights" in r.stdout
+    assert os.path.exists(out)
+
+    # EMA weights differ from the live weights after 3 steps
+    sys.path.insert(0, REPO)
+    import pytorch_wavenet_tpu as wt
+    from pytorch_wavenet_tpu.training.optimizers import find_ema_state_dict
+
+    blob = wt.load_latest_model_from(snaps)
+    ema = find_ema_state_dict(blob["opt_state"])
+    assert ema is not None
+    live = blob["params"]["start"]["w"]
+    assert (np.asarray(ema["start"]["w"]) != np.asarray(live)).any()
+
+    # a snapshot trained without EMA is refused
+    snaps2 = str(tmp_path / "snaps_no_ema")
+    run(["scripts/train.py", "--data-dir", str(audio_dir), "--config",
+         "tiny", "--batch-size", "2", "--epochs", "1", "--max-steps", "1",
+         "--snapshot-path", snaps2, "--snapshot-interval", "1",
+         "--log-interval", "1", "--validation-interval", "100000",
+         "--generate-interval", "100000", "--test-stride", "50"])
+    r = run(["scripts/generate.py", "--snapshot-path", snaps2, "--ema",
+             "--num-samples", "8", "--out", str(tmp_path / "x.wav")])
+    assert r.returncode != 0
+    assert "no EMA weights" in r.stderr + r.stdout
