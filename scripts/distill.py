@@ -40,6 +40,9 @@ def parse_args():
     p.add_argument("--teacher-snapshot", required=True,
                    help="teacher .ckpt file or snapshot directory (newest "
                         "is used)")
+    p.add_argument("--teacher-ema", action="store_true",
+                   help="distill against the teacher's EMA weights "
+                        "(train.py --ema-decay)")
     p.add_argument("--flows", type=int, default=4)
     p.add_argument("--layers", type=int, default=10)
     p.add_argument("--blocks", type=int, default=1)
@@ -72,7 +75,7 @@ def parse_args():
     return p.parse_args()
 
 
-def load_teacher(path):
+def load_teacher(path, ema: bool = False):
     from pytorch_wavenet_tpu.utils.checkpoints import (
         latest_checkpoint,
         load_checkpoint,
@@ -87,10 +90,20 @@ def load_teacher(path):
         raise SystemExit(f"{path} has no embedded config")
     import pytorch_wavenet_tpu as wt
 
+    source = blob["params"]
+    if ema:
+        from pytorch_wavenet_tpu.training.optimizers import (
+            find_ema_state_dict,
+        )
+
+        source = find_ema_state_dict(blob.get("opt_state"))
+        if source is None:
+            raise SystemExit("--teacher-ema: snapshot carries no EMA "
+                             "weights (train with --ema-decay)")
     template = wt.init_wavenet(jax.random.PRNGKey(0), blob["config"])
     from flax import serialization
 
-    params = serialization.from_state_dict(template, blob["params"])
+    params = serialization.from_state_dict(template, source)
     print(f"teacher: {path} (step {blob['step']}, "
           f"rf {blob['config'].receptive_field})")
     return params, blob["config"]
@@ -116,7 +129,7 @@ def main():
     from pytorch_wavenet_tpu.training.distill import distill_step
     from pytorch_wavenet_tpu.utils.checkpoints import save_checkpoint
 
-    teacher, tcfg = load_teacher(args.teacher_snapshot)
+    teacher, tcfg = load_teacher(args.teacher_snapshot, args.teacher_ema)
     if tcfg.cond_channels:
         raise SystemExit(
             "conditioned (vocoder) teachers are not supported by this CLI "

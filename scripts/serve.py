@@ -80,6 +80,9 @@ def parse_args():
                         "generate.py --torch-snapshot)")
     p.add_argument("--torch-layers", type=int, default=None)
     p.add_argument("--torch-blocks", type=int, default=None)
+    p.add_argument("--ema", action="store_true",
+                   help="serve the snapshot's EMA weights "
+                        "(train.py --ema-decay)")
     p.add_argument("--student-snapshot", default=None,
                    help="serve a distilled IAF student (scripts/distill.py "
                         "checkpoint): whole clips synthesize in ONE dense "
@@ -559,6 +562,20 @@ def main():
         blob = wt.load_checkpoint(args.snapshot)
     else:
         blob = wt.load_latest_model_from(args.snapshot_path)
+    if args.ema:
+        from pytorch_wavenet_tpu.training.optimizers import (
+            find_ema_state_dict,
+        )
+
+        if args.torch_snapshot or args.student_snapshot:
+            raise SystemExit("--ema applies to framework WaveNet "
+                             "snapshots")
+        ema = find_ema_state_dict(blob.get("opt_state"))
+        if ema is None:
+            raise SystemExit("--ema: this snapshot carries no EMA weights "
+                             "(train with --ema-decay)")
+        blob = {"params": ema, "config": blob["config"]}
+        print("serving EMA weights")
     batcher_opts = None
     if args.batcher and args.student_snapshot:
         raise SystemExit("--batcher is the AR lane pool; the student "
