@@ -55,7 +55,13 @@ from .models.iaf import (
 )
 from .training.distill import distill_loss, distill_step
 from .training.trainer import WaveNetTrainer, generate_audio, train_step, eval_step
-from .training.optimizers import sgd_normalized, reference_adam
+from .training.optimizers import (
+    ema_params,
+    lr_schedule,
+    reference_adam,
+    sgd_normalized,
+    with_ema,
+)
 from .utils.logging import Logger, TensorboardLogger
 from .utils.checkpoints import (
     save_checkpoint,
