@@ -209,6 +209,7 @@ class ContinuousBatcher:
         self._wake = threading.Event()
         self._closing = False
         self._draining = False
+        self._staged_params = None  # pending update_params swap
         # serializes the _closing check against close()'s final drain, so a
         # submit can never enqueue into a queue nobody will ever read again
         self._lifecycle = threading.Lock()
@@ -273,6 +274,28 @@ class ContinuousBatcher:
                 _Pending(h, prime, float(temperature), cond, seed))
         self._wake.set()
         return h
+
+    def update_params(self, params):
+        """Swap the model weights at the next chunk boundary WITHOUT
+        dropping streams — rolling weight updates from a live trainer.
+        In-flight requests continue on the new weights from their next
+        chunk (their ring history was computed by the old weights; for
+        strictly-one-model rollouts, drain first). The tree must match the
+        compiled program: same structure, shapes, and dtypes as the
+        current params."""
+        new = jax.tree_util.tree_map(jnp.asarray, params)
+        old_s = jax.tree_util.tree_structure(self.params)
+        new_s = jax.tree_util.tree_structure(new)
+        if old_s != new_s:
+            raise ValueError(f"params tree mismatch: {new_s} != {old_s}")
+        for a, b in zip(jax.tree_util.tree_leaves(self.params),
+                        jax.tree_util.tree_leaves(new)):
+            if a.shape != b.shape or a.dtype != b.dtype:
+                raise ValueError(
+                    f"leaf mismatch: {b.shape}/{b.dtype} vs expected "
+                    f"{a.shape}/{a.dtype} (same config required)")
+        self._staged_params = new  # picked up by the worker loop
+        self._wake.set()
 
     def stats(self) -> dict:
         """Point-in-time pool metrics (safe from any thread): static shape
@@ -615,6 +638,9 @@ class ContinuousBatcher:
         pending = None  # (cls future, riders) of the in-flight chunk
         while not self._closing:
             try:
+                if self._staged_params is not None:
+                    self.params = self._staged_params
+                    self._staged_params = None
                 self._reap_cancelled()
                 self._admit()
                 nxt = self._dispatch_chunk() if self._active else None

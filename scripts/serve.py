@@ -27,6 +27,9 @@ Endpoints
        prime length (e.g. always >= receptive_field)
   POST /profile         -> capture a jax.profiler trace of the live server
        (requires --profile-dir); query: seconds (default 3)
+  POST /reload          -> rolling weight update: swap in a snapshot's
+       weights (newest under --snapshot-path, or body {"snapshot": path,
+       "ema": bool}) without dropping streams; same config required
   POST /vocode          -> audio/wav copy-synthesis: body is a wav upload,
        the server featurizes it to log-mels and re-synthesizes through the
        conditioned model (requires cfg.cond_channels > 0); query params:
@@ -333,7 +336,8 @@ class Synthesizer:
 
 
 def make_handler(synth: Synthesizer, max_samples: int,
-                 profile_dir: str | None = None):
+                 profile_dir: str | None = None,
+                 snapshot_path: str = "snapshots"):
     profile_lock = threading.Lock()
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -456,6 +460,52 @@ def make_handler(synth: Synthesizer, max_samples: int,
                 return self._synthesize({})
             self._json(404, {"error": f"no route {path}"})
 
+        def _reload(self):
+            """Rolling weight update: load a snapshot (newest under the
+            server's --snapshot-path by default, or body {"snapshot":
+            path, "ema": bool}) and swap the weights into the live
+            pool/synthesizer without dropping streams. Same-config
+            snapshots only — the compiled programs key on shapes."""
+            import pytorch_wavenet_tpu as wt
+
+            if synth.backend == "iaf-student":
+                return self._json(400, {"error": "reload serves WaveNet "
+                                                 "snapshots"})
+            length = int(self.headers.get("Content-Length", 0) or 0)
+            body = {}
+            if length:
+                try:
+                    body = json.loads(self.rfile.read(length) or b"{}")
+                except json.JSONDecodeError:
+                    return self._json(400, {"error": "body is not JSON"})
+            try:
+                if body.get("snapshot"):
+                    blob = wt.load_checkpoint(body["snapshot"])
+                else:
+                    blob = wt.load_latest_model_from(snapshot_path)
+                params = blob["params"]
+                if body.get("ema"):
+                    from pytorch_wavenet_tpu.training.optimizers import (
+                        find_ema_state_dict,
+                    )
+
+                    params = find_ema_state_dict(blob.get("opt_state"))
+                    if params is None:
+                        raise ValueError("snapshot carries no EMA weights")
+                if blob["config"] is not None and blob["config"] != synth.cfg:
+                    raise ValueError("snapshot config differs from the "
+                                     "serving config")
+                params = jax.tree_util.tree_map(jnp.asarray, params)
+                if synth.batcher is not None:
+                    synth.batcher.update_params(params)
+                else:
+                    with synth.lock:
+                        synth.params = params
+            except (FileNotFoundError, ValueError, KeyError) as e:
+                return self._json(400, {"error": str(e)})
+            return self._json(200, {"reloaded": True,
+                                    "step": blob.get("step")})
+
         def _profile(self):
             """Capture a jax.profiler trace of whatever the server is
             doing right now (device steps, transfers, host callbacks) —
@@ -526,6 +576,8 @@ def make_handler(synth: Synthesizer, max_samples: int,
                 return self._vocode()
             if path == "/profile":
                 return self._profile()
+            if path == "/reload":
+                return self._reload()
             if path != "/synthesize":
                 return self._json(404, {"error": f"no route {path}"})
             length = int(self.headers.get("Content-Length", 0) or 0)
@@ -613,7 +665,8 @@ def main():
 
     server = ThreadingHTTPServer(
         (args.host, args.port),
-        make_handler(synth, args.max_samples, args.profile_dir))
+        make_handler(synth, args.max_samples, args.profile_dir,
+                     args.snapshot_path))
     print(f"serving {_param_count(synth):,}-param model on "
           f"http://{args.host}:{server.server_address[1]} "
           f"(backend: {synth.backend})", flush=True)

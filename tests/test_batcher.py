@@ -502,3 +502,24 @@ def test_pool_regularize_matches_solo(tiny):
         np.testing.assert_array_equal(cls, np.asarray(solo)[0])
     finally:
         b.close()
+
+
+def test_update_params_rolling_swap(tiny):
+    """update_params swaps weights at a chunk boundary without dropping
+    streams; new requests roll out under the new weights."""
+    cfg, params = tiny
+    params2 = wt.init_wavenet(jax.random.PRNGKey(99), cfg)
+    prime = np.asarray([cfg.classes // 2], np.int32)
+    b = ContinuousBatcher(params, cfg, lanes=2, chunk=6, interpret=True)
+    try:
+        h = b.submit(prime, 12, temperature=0.0)
+        h.result(timeout=300)
+        b.update_params(params2)
+        _, cls = b.submit(prime, 12, temperature=0.0).result(timeout=300)
+        np.testing.assert_array_equal(cls, _solo(params2, cfg, prime, 12))
+        with pytest.raises(ValueError, match="mismatch|config"):
+            b.update_params(wt.init_wavenet(
+                jax.random.PRNGKey(1), wt.get_config(
+                    "tiny", residual_channels=4)))
+    finally:
+        b.close()
