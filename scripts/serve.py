@@ -125,6 +125,13 @@ def parse_args():
                         "wide-head configs at high lane counts)")
     p.add_argument("--batcher-interpret", action="store_true",
                    help=argparse.SUPPRESS)  # CPU tests of the batcher path
+    p.add_argument("--reload-interval", type=float, default=0,
+                   help="follow a live training run: poll --snapshot-path "
+                        "every N seconds and roll newer snapshots into the "
+                        "running server (streams keep flowing)")
+    p.add_argument("--reload-ema", action="store_true",
+                   help="with --reload-interval: roll in the snapshots' "
+                        "EMA weights")
     p.add_argument("--profile-dir", default=None,
                    help="enable POST /profile: capture a jax.profiler "
                         "trace of the live server into this directory "
@@ -289,6 +296,36 @@ class Synthesizer:
                 temperature=temperature, backend=self._gen_fn(),
             )
             return np.asarray(wav[0])
+
+    def reload(self, snapshot: str | None, snapshot_path: str,
+               ema: bool = False) -> int:
+        """Rolling weight update into the live pool/synthesizer (see
+        POST /reload); returns the snapshot's step."""
+        import pytorch_wavenet_tpu as wt
+
+        if self.backend == "iaf-student":
+            raise ValueError("reload serves WaveNet snapshots")
+        blob = (wt.load_checkpoint(snapshot) if snapshot
+                else wt.load_latest_model_from(snapshot_path))
+        params = blob["params"]
+        if ema:
+            from pytorch_wavenet_tpu.training.optimizers import (
+                find_ema_state_dict,
+            )
+
+            params = find_ema_state_dict(blob.get("opt_state"))
+            if params is None:
+                raise ValueError("snapshot carries no EMA weights")
+        if blob["config"] is not None and blob["config"] != self.cfg:
+            raise ValueError("snapshot config differs from the serving "
+                             "config")
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        if self.batcher is not None:
+            self.batcher.update_params(params)
+        else:
+            with self.lock:
+                self.params = params
+        return blob.get("step")
 
     def stream(self, num_samples: int, temperature: float, seed: int,
                chunk: int, prime=None):
@@ -466,11 +503,6 @@ def make_handler(synth: Synthesizer, max_samples: int,
             path, "ema": bool}) and swap the weights into the live
             pool/synthesizer without dropping streams. Same-config
             snapshots only — the compiled programs key on shapes."""
-            import pytorch_wavenet_tpu as wt
-
-            if synth.backend == "iaf-student":
-                return self._json(400, {"error": "reload serves WaveNet "
-                                                 "snapshots"})
             length = int(self.headers.get("Content-Length", 0) or 0)
             body = {}
             if length:
@@ -479,32 +511,11 @@ def make_handler(synth: Synthesizer, max_samples: int,
                 except json.JSONDecodeError:
                     return self._json(400, {"error": "body is not JSON"})
             try:
-                if body.get("snapshot"):
-                    blob = wt.load_checkpoint(body["snapshot"])
-                else:
-                    blob = wt.load_latest_model_from(snapshot_path)
-                params = blob["params"]
-                if body.get("ema"):
-                    from pytorch_wavenet_tpu.training.optimizers import (
-                        find_ema_state_dict,
-                    )
-
-                    params = find_ema_state_dict(blob.get("opt_state"))
-                    if params is None:
-                        raise ValueError("snapshot carries no EMA weights")
-                if blob["config"] is not None and blob["config"] != synth.cfg:
-                    raise ValueError("snapshot config differs from the "
-                                     "serving config")
-                params = jax.tree_util.tree_map(jnp.asarray, params)
-                if synth.batcher is not None:
-                    synth.batcher.update_params(params)
-                else:
-                    with synth.lock:
-                        synth.params = params
+                step = synth.reload(body.get("snapshot"), snapshot_path,
+                                    ema=bool(body.get("ema")))
             except (FileNotFoundError, ValueError, KeyError) as e:
                 return self._json(400, {"error": str(e)})
-            return self._json(200, {"reloaded": True,
-                                    "step": blob.get("step")})
+            return self._json(200, {"reloaded": True, "step": step})
 
         def _profile(self):
             """Capture a jax.profiler trace of whatever the server is
@@ -662,6 +673,28 @@ def main():
 
     # warm the compile cache so the first request doesn't eat it
     next(iter(synth.stream(1, 1.0, 0, 1)))
+
+    if args.reload_interval > 0:
+        from pytorch_wavenet_tpu.utils.checkpoints import latest_checkpoint
+
+        def follow():
+            seen = latest_checkpoint(args.snapshot_path)
+            while True:
+                threading.Event().wait(args.reload_interval)
+                newest = latest_checkpoint(args.snapshot_path)
+                if newest and newest != seen:
+                    try:
+                        step = synth.reload(newest, args.snapshot_path,
+                                            ema=args.reload_ema)
+                        print(f"rolled in {newest} (step {step})",
+                              flush=True)
+                        seen = newest
+                    except (ValueError, KeyError, OSError) as e:
+                        print(f"reload of {newest} failed: {e}",
+                              flush=True)
+
+        threading.Thread(target=follow, daemon=True,
+                         name="snapshot-follower").start()
 
     server = ThreadingHTTPServer(
         (args.host, args.port),
