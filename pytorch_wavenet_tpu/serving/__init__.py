@@ -1,3 +1,13 @@
-from .batcher import ContinuousBatcher, GenerationHandle, RequestCancelled
+from .batcher import (
+    ContinuousBatcher,
+    GenerationHandle,
+    PoolOverloaded,
+    RequestCancelled,
+)
 
-__all__ = ["ContinuousBatcher", "GenerationHandle", "RequestCancelled"]
+__all__ = [
+    "ContinuousBatcher",
+    "GenerationHandle",
+    "PoolOverloaded",
+    "RequestCancelled",
+]

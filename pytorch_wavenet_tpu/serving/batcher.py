@@ -56,6 +56,12 @@ class RequestCancelled(RuntimeError):
     """Raised by :meth:`GenerationHandle.result` after ``cancel()``."""
 
 
+class PoolOverloaded(RuntimeError):
+    """Raised by :meth:`ContinuousBatcher.submit` when the waiting queue
+    is at ``max_pending`` — shed load instead of buffering unboundedly
+    (the server maps this to HTTP 503)."""
+
+
 class GenerationHandle:
     """Caller-side view of a submitted request."""
 
@@ -140,6 +146,7 @@ class ContinuousBatcher:
                  stage_layers: int | None = None,
                  head_tiles: int | None = None,
                  regularize: float = 0.0,
+                 max_pending: int | None = None,
                  mesh=None):
         """``mesh``: a ``jax.sharding.Mesh`` with a data axis — the lane
         pool is sharded over it and every chunk advances on all chips in
@@ -171,6 +178,7 @@ class ContinuousBatcher:
         self.lanes = lanes
         self.chunk = chunk  # pool clock is int32: one pool serves ~2^31
         # samples (~37 h of 16 kHz audio per lane) before needing a restart
+        self.max_pending = max_pending
         self._kw = dict(interpret=interpret, ring_dtype=ring_dtype,
                         fuse_res=fuse_res, stage_layers=stage_layers,
                         head_tiles=head_tiles, regularize=float(regularize),
@@ -260,6 +268,11 @@ class ContinuousBatcher:
         with self._lifecycle:
             if self._closing or self._draining:
                 raise RuntimeError("batcher is closed")
+            if (self.max_pending is not None
+                    and self._submit_q.qsize() >= self.max_pending):
+                raise PoolOverloaded(
+                    f"{self._submit_q.qsize()} requests already waiting "
+                    f"(max_pending={self.max_pending})")
             if seed is None:  # distinct per request, derived from pool seed
                 self._auto_seed = (
                     self._auto_seed * 2654435761 + 1) & 0xFFFFFFFF

@@ -125,6 +125,10 @@ def parse_args():
                         "wide-head configs at high lane counts)")
     p.add_argument("--batcher-interpret", action="store_true",
                    help=argparse.SUPPRESS)  # CPU tests of the batcher path
+    p.add_argument("--max-pending", type=int, default=None,
+                   help="batcher admission control: requests beyond this "
+                        "queue depth get HTTP 503 instead of buffering "
+                        "unboundedly")
     p.add_argument("--reload-interval", type=float, default=0,
                    help="follow a live training run: poll --snapshot-path "
                         "every N seconds and roll newer snapshots into the "
@@ -461,6 +465,18 @@ def make_handler(synth: Synthesizer, max_samples: int,
                     400, {"error": f"prime length must be in "
                                    f"[1, {max_samples}]"})
 
+            # pull the first chunk BEFORE committing a 200: admission
+            # errors (e.g. a full pool under --max-pending) still map to
+            # an HTTP status instead of a truncated audio stream
+            from pytorch_wavenet_tpu.serving import PoolOverloaded
+
+            gen = synth.stream(req["num_samples"], req["temperature"],
+                               req["seed"], req["chunk"], req["prime"])
+            try:
+                first = next(gen)
+            except PoolOverloaded as e:
+                return self._json(503, {"error": str(e)})
+
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
             self.send_header(
@@ -468,14 +484,15 @@ def make_handler(synth: Synthesizer, max_samples: int,
             self.end_headers()
             self.wfile.write(wav_header(req["num_samples"], synth.sr))
             try:
-                for wav in synth.stream(req["num_samples"],
-                                        req["temperature"], req["seed"],
-                                        req["chunk"], req["prime"]):
+                pcm = np.clip(first * 32767.0, -32768, 32767)
+                self.wfile.write(pcm.astype("<i2").tobytes())
+                self.wfile.flush()
+                for wav in gen:
                     pcm = np.clip(wav * 32767.0, -32768, 32767)
                     self.wfile.write(pcm.astype("<i2").tobytes())
                     self.wfile.flush()
             except BrokenPipeError:
-                pass  # client hung up; the next chunk simply isn't computed
+                gen.close()  # client hung up; cancel at the next boundary
 
         def do_GET(self):
             path = urlparse(self.path).path
@@ -563,6 +580,8 @@ def make_handler(synth: Synthesizer, max_samples: int,
             def qp(name, cast, default):
                 return cast(q[name][0]) if name in q else default
 
+            from pytorch_wavenet_tpu.serving import PoolOverloaded
+
             try:
                 wav = synth.vocode(
                     blob,
@@ -571,6 +590,8 @@ def make_handler(synth: Synthesizer, max_samples: int,
                     temperature=qp("temperature", float, 1.0),
                     seed=qp("seed", int, 0),
                 )
+            except PoolOverloaded as e:
+                return self._json(503, {"error": str(e)})
             except (ValueError, TypeError) as e:
                 return self._json(400, {"error": str(e)})
             pcm = np.clip(wav * 32767.0, -32768, 32767).astype("<i2")
@@ -646,7 +667,8 @@ def main():
     if args.batcher:
         batcher_opts = dict(lanes=args.lanes, chunk=args.batch_chunk,
                             interpret=args.batcher_interpret,
-                            head_tiles=args.head_tiles)
+                            head_tiles=args.head_tiles,
+                            max_pending=args.max_pending)
         if args.bf16_rings:
             batcher_opts["ring_dtype"] = jnp.bfloat16
         if not args.batcher_interpret:

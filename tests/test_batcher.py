@@ -523,3 +523,28 @@ def test_update_params_rolling_swap(tiny):
                     "tiny", residual_channels=4)))
     finally:
         b.close()
+
+
+def test_max_pending_sheds_load(tiny):
+    """Admission control: submits beyond max_pending raise PoolOverloaded
+    instead of buffering unboundedly; draining the queue re-opens it."""
+    from pytorch_wavenet_tpu.serving import PoolOverloaded
+
+    cfg, params = tiny
+    prime = np.asarray([cfg.classes // 2], np.int32)
+    b = ContinuousBatcher(params, cfg, lanes=1, chunk=6, interpret=True,
+                          max_pending=2)
+    try:
+        handles = []
+        with pytest.raises(PoolOverloaded):
+            for _ in range(12):  # 1 lane: the queue fills within a few
+                handles.append(b.submit(prime, 30, temperature=0.0))
+        assert handles  # accepted requests still complete exactly
+        for h in handles:
+            _, cls = h.result(timeout=300)
+            np.testing.assert_array_equal(
+                cls, _solo(params, cfg, prime, 30))
+        # queue drained: admission re-opens
+        b.submit(prime, 5, temperature=0.0).result(timeout=300)
+    finally:
+        b.close()
