@@ -283,3 +283,40 @@ def load_student_snapshot(path: str, scfg: IAFConfig | None = None):
     template = init_student(jax.random.PRNGKey(0), scfg)
     params = serialization.from_state_dict(template, blob["params"])
     return params, scfg, blob["step"]
+
+
+def student_synthesize(
+    params: StudentParams,
+    scfg: IAFConfig,
+    key: jax.Array,
+    mel: jnp.ndarray,
+    hop_length: int,
+    num_samples: int | None = None,
+    global_cond: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Mel frames -> audio in ONE dense parallel pass — the
+    Parallel-WaveNet vocoder deployment (the whole point of distilling:
+    arXiv:1711.10433 serves exactly this shape). ``mel`` is
+    ``(S, F, cond_channels)`` (or 2-D for one stream) of log-mel frames
+    at ``hop_length``-sample resolution; frames are linearly upsampled to
+    per-sample rows aligned with output positions (the student's cond
+    contract). Counterpart of the AR :func:`models.generate.synthesize`.
+    Returns ``(S, num_samples)`` float32 in [-1, 1]."""
+    if scfg.cond_channels == 0:
+        raise ValueError("this student is unconditional "
+                         "(scfg.cond_channels == 0)")
+    if mel.ndim == 2:
+        mel = mel[None]
+    S, F, M = mel.shape
+    if M != scfg.cond_channels:
+        raise ValueError(f"mel has {M} channels but scfg.cond_channels "
+                         f"is {scfg.cond_channels}")
+    if num_samples is None:
+        num_samples = F * hop_length
+    from ..ops.mel import upsample_frames
+
+    rows = upsample_frames(jnp.asarray(mel, jnp.float32), hop_length,
+                           num_samples)
+    return student_generate(params, scfg, key, num_samples,
+                            num_streams=S, cond=rows,
+                            global_cond=global_cond)

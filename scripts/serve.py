@@ -89,10 +89,12 @@ def parse_args():
     p.add_argument("--student-snapshot", default=None,
                    help="serve a distilled IAF student (scripts/distill.py "
                         "checkpoint): whole clips synthesize in ONE dense "
-                        "parallel pass instead of an autoregressive loop. "
-                        "temperature and prime are not supported on this "
-                        "backend (the student samples from its own "
-                        "logistic noise; per-request seed still applies)")
+                        "parallel pass instead of an autoregressive loop; "
+                        "a conditioned student also serves /vocode "
+                        "(Parallel-WaveNet vocoding). temperature and "
+                        "prime are not supported on this backend (the "
+                        "student samples from its own logistic noise; "
+                        "per-request seed still applies)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8765)
     p.add_argument("--backend", choices=("auto", "xla", "vmem"),
@@ -277,6 +279,14 @@ class Synthesizer:
             wav_in, num_mels=self.cfg.cond_channels, n_fft=n_fft,
             hop_length=hop_length, sampling_rate=sr,
         )
+        if self.backend == "iaf-student":
+            # Parallel-WaveNet vocoding: the whole clip in one dense pass
+            from pytorch_wavenet_tpu.models.iaf import student_synthesize
+
+            with self.lock:
+                return np.asarray(student_synthesize(
+                    self.params, self.cfg, jax.random.PRNGKey(seed),
+                    jnp.asarray(mel)[None], hop_length)[0])
         if self.batcher is not None:
             # per-lane conditioning: the request rides the shared rollout
             from pytorch_wavenet_tpu.models.wavenet import upsample_cond
@@ -562,10 +572,6 @@ def make_handler(synth: Synthesizer, max_samples: int,
                                     "seconds": seconds})
 
         def _vocode(self):
-            if synth.backend == "iaf-student":
-                return self._json(
-                    400, {"error": "/vocode runs the AR conditioned "
-                                   "model; serve a WaveNet snapshot"})
             if synth.cfg.cond_channels == 0:
                 return self._json(
                     400, {"error": "this model is unconditional "

@@ -451,3 +451,62 @@ def test_profile_endpoint(server):
     for root, _, names in os.walk(out["trace_dir"]):
         files += [os.path.join(root, n) for n in names]
     assert any("xplane" in f or "trace.json" in f for f in files), files
+
+
+def test_student_vocoder_server(tmp_path_factory, tmp_path):
+    """A conditioned student serves /vocode: wav -> log-mel -> the whole
+    clip re-synthesized in one dense parallel pass."""
+    import dataclasses
+
+    import jax
+
+    from pytorch_wavenet_tpu.data.audio_io import write_wav
+    from pytorch_wavenet_tpu.models.iaf import IAFConfig, init_student
+    from pytorch_wavenet_tpu.utils.checkpoints import save_checkpoint
+
+    scfg = IAFConfig(flows=2, layers=2, blocks=1, residual_channels=8,
+                     dilation_channels=8, skip_channels=8, end_channels=8,
+                     cond_channels=6)
+    params = init_student(jax.random.PRNGKey(0), scfg)
+    d = str(tmp_path_factory.mktemp("serve_student_voc"))
+    snap = save_checkpoint(d, "student", 1, params,
+                           extra={"iaf_config": dataclasses.asdict(
+                               dataclasses.replace(scfg,
+                                                   compute_dtype=None))})
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    proc = subprocess.Popen(
+        [sys.executable, "scripts/serve.py", "--student-snapshot", snap,
+         "--port", str(port)],
+        cwd=REPO, env=ENV,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    base = f"http://127.0.0.1:{port}"
+    try:
+        deadline = time.time() + 120
+        while True:
+            try:
+                with urllib.request.urlopen(base + "/health", timeout=5):
+                    break
+            except OSError:
+                if proc.poll() is not None or time.time() > deadline:
+                    out = proc.stdout.read() if proc.stdout else ""
+                    raise RuntimeError(f"server died:\n{out[-2000:]}")
+                time.sleep(0.5)
+        t = np.arange(1600) / 16000.0
+        path = tmp_path / "in.wav"
+        write_wav(str(path), 0.3 * np.sin(2 * np.pi * 220 * t), 16000)
+        req = urllib.request.Request(
+            f"{base}/vocode?hop_length=64&n_fft=256",
+            data=path.read_bytes(),
+            headers={"Content-Type": "audio/wav"}, method="POST")
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = r.read()
+        assert out[:4] == b"RIFF"
+        n = struct.unpack("<I", out[40:44])[0] // 2
+        assert n > 1000 and len(out) == 44 + n * 2
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
