@@ -119,9 +119,15 @@ def distill_loss(
     # logits[:, i] predicts position rf + i (data/dataset.py window
     # convention) — the last one falls beyond the clip and is dropped
     xq = quantize_data_jnp(jax.lax.stop_gradient(x), tcfg.classes)
+    # the teacher scores under the SAME conditioning timeline the student
+    # drew with (vocoder distillation: both see the mel rows; each applies
+    # its own alignment convention internally)
     t_logits = wavenet_logits(
         jax.lax.stop_gradient(teacher_params), tcfg, xq,
         out_len=length - rf + 1,
+        cond=None if cond is None or tcfg.cond_channels == 0 else cond,
+        global_cond=None if global_cond is None or tcfg.gcond_channels == 0
+        else global_cond,
     )[:, :-1]
     logp = jax.nn.log_softmax(t_logits, axis=-1)  # (B, length-rf, C)
 

@@ -57,6 +57,9 @@ def parse_args():
     p.add_argument("--power-weight", type=float, default=0.0,
                    help="power-loss weight (needs --data-dir for reference "
                         "audio)")
+    p.add_argument("--hop-length", type=int, default=256,
+                   help="mel hop for conditioned (vocoder) teachers")
+    p.add_argument("--n-fft", type=int, default=1024)
     p.add_argument("--data-dir", default=None,
                    help="audio dir for power-loss reference batches")
     p.add_argument("--dataset-file", default=None)
@@ -130,15 +133,16 @@ def main():
     from pytorch_wavenet_tpu.utils.checkpoints import save_checkpoint
 
     teacher, tcfg = load_teacher(args.teacher_snapshot, args.teacher_ema)
-    if tcfg.cond_channels:
+    if tcfg.cond_channels and args.data_dir is None:
         raise SystemExit(
-            "conditioned (vocoder) teachers are not supported by this CLI "
-            "yet — distill an unconditional teacher"
+            "a conditioned (vocoder) teacher distills on real mel "
+            "timelines — pass --data-dir"
         )
     scfg = IAFConfig(
         flows=args.flows, layers=args.layers, blocks=args.blocks,
         residual_channels=args.width, dilation_channels=args.width,
         skip_channels=args.width, end_channels=args.width,
+        cond_channels=tcfg.cond_channels,
     )
     step0 = 0
     if args.student_snapshot:
@@ -156,9 +160,11 @@ def main():
         )
 
     ref_iter = None
-    if args.power_weight > 0.0:
-        if args.data_dir is None:
-            raise SystemExit("--power-weight needs --data-dir")
+    cond_iter = None
+    if args.power_weight > 0.0 and args.data_dir is None:
+        raise SystemExit("--power-weight needs --data-dir")
+    if args.data_dir is not None and (
+            args.power_weight > 0.0 or tcfg.cond_channels):
         from pytorch_wavenet_tpu.data.dataset import (
             BatchIterator,
             WaveNetDataset,
@@ -180,6 +186,30 @@ def main():
                     )
 
         ref_iter = ref_batches()
+        if tcfg.cond_channels:
+            # vocoder distillation: both models see the mel timeline of a
+            # REAL audio window; the power reference is the same window
+            from pytorch_wavenet_tpu.ops.mel import (
+                log_mel_spectrogram,
+                upsample_frames_np,
+            )
+
+            def cond_batches():
+                import numpy as np
+
+                while True:
+                    ref = np.asarray(next(ref_iter))
+                    mels = np.stack([
+                        log_mel_spectrogram(
+                            w, num_mels=tcfg.cond_channels,
+                            n_fft=args.n_fft, hop_length=args.hop_length,
+                        ) for w in ref
+                    ])
+                    rows = upsample_frames_np(
+                        mels, args.hop_length, args.length)
+                    yield jnp.asarray(ref), jnp.asarray(rows, jnp.float32)
+
+            cond_iter = cond_batches()
 
     import optax
 
@@ -189,11 +219,17 @@ def main():
 
     t0 = time.time()
     for i in range(step0, step0 + args.steps):
-        ref = next(ref_iter) if ref_iter is not None else None
+        cond = None
+        if cond_iter is not None:
+            ref, cond = next(cond_iter)
+        else:
+            ref = next(ref_iter) if ref_iter is not None else None
         params, opt, loss, aux = distill_step(
             params, opt, teacher, scfg, tcfg, tx,
             jax.random.fold_in(key, i), args.batch_size, args.length,
-            audio_ref=ref, power_weight=args.power_weight,
+            cond=cond,
+            audio_ref=ref if args.power_weight > 0.0 else None,
+            power_weight=args.power_weight,
         )
         if (i + 1) % args.log_interval == 0 or i == step0:
             loss = float(loss)
@@ -219,8 +255,18 @@ def main():
 
     if args.generate:
         t0 = time.time()
+        gen_cond = None
+        if scfg.cond_channels and cond_iter is not None:
+            # conditioned student: demo clip is copy-synthesis of a real
+            # window's mel timeline (free-running mels don't exist)
+            _, rows = next(cond_iter)
+            n = min(args.generate, rows.shape[1])
+            gen_cond = jnp.broadcast_to(
+                rows[:1, :n], (args.streams, n, rows.shape[2]))
+            args.generate = n
         wav = student_generate(params, scfg, jax.random.PRNGKey(args.seed),
-                               args.generate, num_streams=args.streams)
+                               args.generate, num_streams=args.streams,
+                               cond=gen_cond)
         wav = np.asarray(wav)
         dt = time.time() - t0
         print(f"generated {wav.size} samples in {dt:.3f}s "

@@ -167,3 +167,33 @@ def test_power_spectrum_and_power_loss():
     assert float(loss) == pytest.approx(
         float(aux["kl"]) + 0.5 * float(aux["power"]), rel=1e-5
     )
+
+
+def test_distill_loss_conditions_the_teacher():
+    """Vocoder distillation scores the teacher under the mel timeline:
+    changing cond (student draw held fixed via the same key) changes the
+    teacher's log-probs, hence the KL."""
+    from pytorch_wavenet_tpu.models.iaf import IAFConfig, init_student
+    from pytorch_wavenet_tpu.training.distill import distill_loss
+
+    tcfg = wt.get_config("tiny_vocoder")
+    teacher = wt.init_wavenet(jax.random.PRNGKey(0), tcfg)
+    scfg = IAFConfig(flows=1, layers=2, blocks=1, residual_channels=8,
+                     dilation_channels=8, skip_channels=8, end_channels=8,
+                     cond_channels=tcfg.cond_channels)
+    student = init_student(jax.random.PRNGKey(1), scfg)
+    # zero the STUDENT's conditioning weights: the draw is then identical
+    # for any cond, so a KL difference can only come from the teacher
+    # being scored under the changed timeline
+    for f in student["flows"]:
+        f["layers"]["w_cond"] = jnp.zeros_like(f["layers"]["w_cond"])
+    key = jax.random.PRNGKey(2)
+    L = tcfg.receptive_field + 20
+    cond = jax.random.normal(jax.random.PRNGKey(3),
+                             (2, L, tcfg.cond_channels))
+    _, aux_a = distill_loss(student, teacher, scfg, tcfg, key, 2, L,
+                            cond=cond)
+    _, aux_b = distill_loss(student, teacher, scfg, tcfg, key, 2, L,
+                            cond=cond * 3.0)
+    assert float(aux_a["rms"]) == float(aux_b["rms"])  # same draw
+    assert float(aux_a["kl"]) != float(aux_b["kl"])    # teacher saw cond

@@ -275,3 +275,41 @@ def test_train_ema_and_generate(audio_dir, tmp_path):
              "--num-samples", "8", "--out", str(tmp_path / "x.wav")])
     assert r.returncode != 0
     assert "no EMA weights" in r.stderr + r.stdout
+
+
+def test_conditioned_distill_cli(audio_dir, tmp_path):
+    """Vocoder distillation: a conditioned teacher distills into a
+    conditioned student on real mel timelines; the teacher is scored
+    under the same conditioning it was trained with."""
+    sys.path.insert(0, REPO)
+    import jax
+
+    import pytorch_wavenet_tpu as wt
+    from pytorch_wavenet_tpu.utils.checkpoints import save_checkpoint
+
+    tcfg = wt.get_config("tiny_vocoder")
+    teacher = wt.init_wavenet(jax.random.PRNGKey(0), tcfg)
+    snaps = str(tmp_path / "voc_teacher")
+    save_checkpoint(snaps, "tinyv", 1, teacher, cfg=tcfg)
+
+    students = str(tmp_path / "students")
+    wav = str(tmp_path / "voc_student.wav")
+    r = run([
+        "scripts/distill.py", "--teacher-snapshot", snaps,
+        "--data-dir", str(audio_dir),
+        "--flows", "1", "--layers", "2", "--width", "8",
+        "--steps", "2", "--batch-size", "2", "--length", "200",
+        "--hop-length", "64", "--n-fft", "256",
+        "--save-interval", "2", "--log-interval", "1",
+        "--out-dir", students, "--generate", "100", "--wav-out", wav,
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "step 2: loss" in r.stdout
+    assert os.path.exists(wav)
+
+    # a conditioned teacher without data refuses up front
+    r = run(["scripts/distill.py", "--teacher-snapshot", snaps,
+             "--flows", "1", "--layers", "2", "--width", "8",
+             "--steps", "1"])
+    assert r.returncode != 0
+    assert "mel timelines" in r.stderr + r.stdout
