@@ -220,6 +220,10 @@ def student_sample(
 
     Differentiable in ``params`` via the reparameterized base noise — the
     pathwise estimator probability density distillation needs."""
+    if cond is not None and scfg.cond_channels == 0:
+        raise ValueError("cond given but scfg.cond_channels == 0")
+    if global_cond is not None and scfg.gcond_channels == 0:
+        raise ValueError("global_cond given but scfg.gcond_channels == 0")
     B, T = shape
     u = jax.random.uniform(key, (B, T), jnp.float32, 1e-5, 1.0 - 1e-5)
     z0 = jnp.log(u) - jnp.log1p(-u)  # Logistic(0, 1)

@@ -307,7 +307,8 @@ class ContinuousBatcher:
                 raise ValueError(
                     f"leaf mismatch: {b.shape}/{b.dtype} vs expected "
                     f"{a.shape}/{a.dtype} (same config required)")
-        self._staged_params = new  # picked up by the worker loop
+        with self._count_lock:  # vs the worker's take (lost-update race)
+            self._staged_params = new
         self._wake.set()
 
     def stats(self) -> dict:
@@ -652,8 +653,11 @@ class ContinuousBatcher:
         while not self._closing:
             try:
                 if self._staged_params is not None:
-                    self.params = self._staged_params
-                    self._staged_params = None
+                    with self._count_lock:  # atomic take: a reload racing
+                        staged = self._staged_params  # this window must
+                        self._staged_params = None  # never be dropped
+                    if staged is not None:
+                        self.params = staged
                 self._reap_cancelled()
                 self._admit()
                 nxt = self._dispatch_chunk() if self._active else None

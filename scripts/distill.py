@@ -148,6 +148,11 @@ def main():
     if args.student_snapshot:
         params, scfg, step0 = load_student(args.student_snapshot, scfg)
         print(f"student resumed at step {step0}")
+        if scfg.cond_channels != tcfg.cond_channels:
+            raise SystemExit(
+                f"resumed student has cond_channels="
+                f"{scfg.cond_channels} but the teacher expects "
+                f"{tcfg.cond_channels} — distill a matching student")
     else:
         params = init_student(jax.random.PRNGKey(args.seed), scfg)
     print(f"student: {scfg.flows} flows x {scfg.num_layers} layers, "

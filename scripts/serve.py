@@ -160,12 +160,18 @@ def wav_header(num_samples: int, sr: int) -> bytes:
     )
 
 
+# student clip lengths round up to this (jit shapes are static; arbitrary
+# client lengths would each compile a fresh whole-clip program)
+_STUDENT_BUCKET = 8192
+
+
 def _param_count(synth) -> int:
     cfg = synth.cfg
     if hasattr(cfg, "parameter_count"):
         return cfg.parameter_count()
-    return sum(int(x.size)  # IAFConfig carries no count; count the tree
-               for x in jax.tree_util.tree_leaves(synth.params))
+    from pytorch_wavenet_tpu.models.iaf import student_parameter_count
+
+    return student_parameter_count(synth.params)
 
 
 class Synthesizer:
@@ -281,12 +287,16 @@ class Synthesizer:
         )
         if self.backend == "iaf-student":
             # Parallel-WaveNet vocoding: the whole clip in one dense pass
+            # (length bucketed — see stream(); cond rows clamp-extend)
             from pytorch_wavenet_tpu.models.iaf import student_synthesize
 
+            n = mel.shape[0] * hop_length
+            nb = -(-n // _STUDENT_BUCKET) * _STUDENT_BUCKET
             with self.lock:
                 return np.asarray(student_synthesize(
                     self.params, self.cfg, jax.random.PRNGKey(seed),
-                    jnp.asarray(mel)[None], hop_length)[0])
+                    jnp.asarray(mel)[None], hop_length,
+                    num_samples=nb)[0][:n])
         if self.batcher is not None:
             # per-lane conditioning: the request rides the shared rollout
             from pytorch_wavenet_tpu.models.wavenet import upsample_cond
@@ -319,6 +329,9 @@ class Synthesizer:
 
         if self.backend == "iaf-student":
             raise ValueError("reload serves WaveNet snapshots")
+        if snapshot is not None and not isinstance(snapshot, str):
+            # e.g. a JSON integer would reach open() as an OS fd
+            raise ValueError("snapshot must be a path string")
         blob = (wt.load_checkpoint(snapshot) if snapshot
                 else wt.load_latest_model_from(snapshot_path))
         params = blob["params"]
@@ -350,10 +363,14 @@ class Synthesizer:
         if self.backend == "iaf-student":
             from pytorch_wavenet_tpu.models.iaf import student_generate
 
+            # round the clip length up to a bucket: num_samples is a
+            # static shape of the jitted dense pass, so arbitrary client
+            # lengths would each compile (and cache) a fresh program
+            nb = -(-num_samples // _STUDENT_BUCKET) * _STUDENT_BUCKET
             with self.lock:  # one dense pass for the whole clip
                 wav = np.asarray(student_generate(
                     self.params, self.cfg, jax.random.PRNGKey(seed),
-                    num_samples)[0])
+                    nb)[0][:num_samples])
             for i in range(0, num_samples, chunk):
                 yield wav[i : i + chunk]
             return
@@ -540,7 +557,7 @@ def make_handler(synth: Synthesizer, max_samples: int,
             try:
                 step = synth.reload(body.get("snapshot"), snapshot_path,
                                     ema=bool(body.get("ema")))
-            except (FileNotFoundError, ValueError, KeyError) as e:
+            except (OSError, ValueError, KeyError) as e:
                 return self._json(400, {"error": str(e)})
             return self._json(200, {"reloaded": True, "step": step})
 
@@ -563,10 +580,17 @@ def make_handler(synth: Synthesizer, max_samples: int,
             try:
                 import time as _t
 
-                jax.profiler.start_trace(profile_dir)
-                _t.sleep(seconds)
+                try:
+                    jax.profiler.start_trace(profile_dir)
+                    _t.sleep(seconds)
+                finally:
+                    # stop_trace raising (no trace started, disk full)
+                    # must never hold the lock — that would 409 every
+                    # future capture
+                    jax.profiler.stop_trace()
+            except Exception as e:
+                return self._json(500, {"error": str(e)})
             finally:
-                jax.profiler.stop_trace()
                 profile_lock.release()
             return self._json(200, {"trace_dir": profile_dir,
                                     "seconds": seconds})
@@ -670,6 +694,9 @@ def main():
     if args.batcher and args.student_snapshot:
         raise SystemExit("--batcher is the AR lane pool; the student "
                          "already synthesizes whole clips in one pass")
+    if args.reload_interval > 0 and args.student_snapshot:
+        raise SystemExit("--reload-interval follows WaveNet snapshot "
+                         "directories; the student backend cannot reload")
     if args.batcher:
         batcher_opts = dict(lanes=args.lanes, chunk=args.batch_chunk,
                             interpret=args.batcher_interpret,
@@ -706,9 +733,11 @@ def main():
         from pytorch_wavenet_tpu.utils.checkpoints import latest_checkpoint
 
         def follow():
+            import time as _t
+
             seen = latest_checkpoint(args.snapshot_path)
             while True:
-                threading.Event().wait(args.reload_interval)
+                _t.sleep(args.reload_interval)
                 newest = latest_checkpoint(args.snapshot_path)
                 if newest and newest != seen:
                     try:
