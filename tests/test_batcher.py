@@ -548,3 +548,32 @@ def test_max_pending_sheds_load(tiny):
         b.submit(prime, 5, temperature=0.0).result(timeout=300)
     finally:
         b.close()
+
+
+def test_kernel_size_3_pool(tiny):
+    """The any-k tap walk holds through the pool: k=3 requests admitted
+    mid-flight reproduce their solo rollouts bitwise."""
+    cfg = wt.get_config("tiny", kernel_size=3)
+    params = wt.init_wavenet(jax.random.PRNGKey(5), cfg)
+    rf = cfg.receptive_field
+    prime = np.asarray(jax.random.randint(
+        jax.random.PRNGKey(6), (rf,), 0, cfg.classes))
+    b = ContinuousBatcher(params, cfg, lanes=2, chunk=6, interpret=True)
+    try:
+        h0 = b.submit(prime, 20, temperature=0.0)
+        _wait_for(h0, 5)
+        h1 = b.submit(prime, 12, temperature=0.8, seed=4)  # hot, mid-flight
+        _, c0 = h0.result(timeout=300)
+        np.testing.assert_array_equal(c0, _solo(params, cfg, prime, 20))
+        from pytorch_wavenet_tpu.ops.pallas.gen_kernel_hbm import (
+            generate_fast_batched,
+        )
+
+        _, solo_hot = generate_fast_batched(
+            params, cfg, jax.random.PRNGKey(0), 12,
+            jnp.asarray(prime)[None], temperature=jnp.asarray([0.8]),
+            lane_seed=jnp.asarray([4]), interpret=True)
+        _, c1 = h1.result(timeout=300)
+        np.testing.assert_array_equal(c1, np.asarray(solo_hot)[0])
+    finally:
+        b.close()
