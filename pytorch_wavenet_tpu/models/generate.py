@@ -470,19 +470,29 @@ def generate_fast(
         if progress_callback is not None:
             progress_callback(num_samples, num_samples)
         return out
-    if cond is not None:
-        raise NotImplementedError(
-            "progress_callback with cond: slice cond per chunk via "
-            "generate_long-style driving instead"
-        )
     wavs, clss = [], []
     done = 0
+    cond_pos = 0  # consumed rows of the (S, total, M) conditioning timeline
     while done < num_samples:
         n = min(progress_interval, num_samples - done)
         key, sub = jax.random.split(key)
+        if cond is None:
+            cw = None
+        else:
+            # chunk's timeline length = num_given - 1 + n; only the first
+            # chunk can carry a multi-sample prime, resumed chunks always
+            # re-enter with num_given == 1 (state.cls)
+            if done == 0 and state is None:
+                ng = (1 if first_samples is None
+                      else jnp.atleast_2d(first_samples).shape[1])
+            else:
+                ng = 1
+            clen = ng - 1 + n
+            cw = cond[:, cond_pos : cond_pos + clen]
+            cond_pos += clen
         wav, cls, state = _generate_fast_jit(
             params, cfg, sub, n, first_samples if done == 0 else None,
-            temperature=temperature, regularize=regularize,
+            temperature=temperature, regularize=regularize, cond=cw,
             global_cond=global_cond, state=state, return_state=True,
             lane_temp=lane_temp,
         )

@@ -79,6 +79,10 @@ def parse_args():
                         "temperature 0, single stream)")
     p.add_argument("--speculate-k", type=int, default=8,
                    help="speculation depth per verify pass")
+    p.add_argument("--force-speculate", action="store_true",
+                   help="run --draft-snapshot even when the model fits the "
+                        "fused VMEM kernel (which measured ~8x faster than "
+                        "speculation at achievable draft quality — PERF.md)")
     p.add_argument("--ema", action="store_true",
                    help="generate from the snapshot's EMA weights "
                         "(train.py --ema-decay)")
@@ -177,6 +181,29 @@ def main():
         from pytorch_wavenet_tpu.models.speculative import (
             speculative_generate,
         )
+
+        # Measured tradeoff (PERF.md "Speculative decoding"): whenever the
+        # teacher fits the fused VMEM kernel, that serial path is ~8x faster
+        # than speculation at achievable draft quality — speculation only
+        # pays for models too large for VMEM weight residency. Refuse the
+        # silently-slower path unless the user insists.
+        if not args.force_speculate and jax.devices()[0].platform == "tpu":
+            from pytorch_wavenet_tpu.ops.pallas.gen_kernel import (
+                _VMEM_BUDGET_BYTES,
+                fused_vmem_bytes,
+            )
+
+            need = fused_vmem_bytes(
+                cfg, args.num_streams, args.num_samples + cfg.receptive_field
+            )
+            if need <= _VMEM_BUDGET_BYTES:
+                raise SystemExit(
+                    "--draft-snapshot: this model fits the fused VMEM kernel, "
+                    "which measured ~8x faster than speculative decoding at "
+                    "achievable draft quality (docs/PERF.md). Drop "
+                    "--draft-snapshot to take the fast path, or pass "
+                    "--force-speculate to run speculation anyway."
+                )
 
         dblob = wt.load_checkpoint(args.draft_snapshot) \
             if os.path.isfile(args.draft_snapshot) \

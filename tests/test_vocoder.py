@@ -140,6 +140,32 @@ def test_conditioned_fast_equals_naive(cond_setup):
     assert not np.array_equal(np.asarray(cf), np.asarray(cu))
 
 
+def test_conditioned_progress_callback_bitwise(cond_setup):
+    """Conditioned generate_fast with a progress_callback slices the cond
+    timeline per chunk and stays bitwise equal to the single-shot
+    conditioned rollout at temperature 0 (closes the reference's
+    progress-hook surface for the vocoder path; reference:
+    wavenet_model.py:308-311). Covers a multi-sample prime in chunk 0
+    plus resumed chunks, including a final partial chunk."""
+    cfg, params = cond_setup
+    rf = cfg.receptive_field
+    n = 50
+    prime = jax.random.randint(jax.random.PRNGKey(6), (2, rf), 0, cfg.classes)
+    total = rf - 1 + n
+    cond = 0.5 * jax.random.normal(jax.random.PRNGKey(7), (2, total, 6))
+    k = jax.random.PRNGKey(8)
+    _, ref = wt.generate_fast(params, cfg, k, n, prime, temperature=0.0,
+                              cond=cond)
+    calls = []
+    _, out = wt.generate_fast(
+        params, cfg, k, n, prime, temperature=0.0, cond=cond,
+        progress_callback=lambda done, tot: calls.append((done, tot)),
+        progress_interval=20,
+    )
+    assert calls == [(20, 50), (40, 50), (50, 50)]
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_mel_dataset_and_vocoder_training(tmp_path):
     from pytorch_wavenet_tpu.data.mel_dataset import MelWaveNetDataset
     from pytorch_wavenet_tpu.training.trainer import cross_entropy_loss
