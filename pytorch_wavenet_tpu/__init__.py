@@ -65,7 +65,9 @@ from .training.optimizers import (
 from .utils.logging import Logger, TensorboardLogger
 from .utils.checkpoints import (
     save_checkpoint,
+    save_checkpoint_sharded,
     load_checkpoint,
+    load_checkpoint_sharded,
     load_latest_model_from,
     latest_checkpoint,
 )
