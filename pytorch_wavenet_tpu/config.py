@@ -62,6 +62,12 @@ class WaveNetConfig:
     # MXU. None = auto (fuse when out_len >= 128, where the win is real and
     # the tiny-out bitwise-pinned paths stay untouched).
     fuse_skip: bool | None = None
+    # Fused Pallas training trunk (ops/pallas/trunk_kernel.py): keep the
+    # residual stream VMEM-resident across the whole layer walk instead of
+    # round-tripping HBM between L small matmuls; backward is a second
+    # kernel recomputing from bf16 stream saves. Unconditioned models only
+    # (conditioned training falls back to the XLA trunk).
+    trunk_kernel: bool = False
 
     @property
     def num_layers(self) -> int:
@@ -133,6 +139,10 @@ class WaveNetConfig:
         # json has no tuples; the config must stay hashable for static jit args
         if "cond_upsample" in d:
             d["cond_upsample"] = tuple(d["cond_upsample"])
+        # older snapshots predate the trunk_kernel knob (and unknown future
+        # keys should not crash a load)
+        known = {f.name for f in dataclasses.fields(cls)}
+        d = {k: v for k, v in d.items() if k in known}
         return cls(**d)
 
 

@@ -229,6 +229,28 @@ def wavenet_logits(
                 f"({x.shape[0]}, {x.shape[1]}, {cfg.cond_channels})"
             )
 
+    # Fused Pallas trunk (cfg.trunk_kernel): the whole layer walk runs in
+    # one kernel with the residual stream VMEM-resident; it emits exactly
+    # the fused-skip path's (N, out, L*D) gated-unit concat, so the skip
+    # matmul + head below are shared verbatim. Conditioned models fall
+    # back to the XLA trunk (the kernel is unconditioned-only for now).
+    if (cfg.trunk_kernel and cond is None and global_cond is None
+            and cfg.kernel_size >= 2):
+        from ..ops.pallas.trunk_kernel import fused_trunk
+
+        h0 = embed_inputs(params, cfg, x)  # (N, T, R) f32
+        lp = params["layers"]
+        L, D = cfg.num_layers, cfg.dilation_channels
+        ucat = fused_trunk(params, cfg, h0, out_len)  # (N, out, L*D)
+        skip = _mm(ucat, lp["w_skip"].reshape(L * D, -1), cdt)
+        if "b_skip" in lp:
+            skip = skip + jnp.sum(lp["b_skip"], axis=0)
+        y = jax.nn.relu(skip)
+        y = jax.nn.relu(
+            _mm(y, params["end1"]["w"], cdt) + params["end1"]["b"]
+        )
+        return _mm(y, params["end2"]["w"], cdt) + params["end2"]["b"]
+
     # The residual stream is stored in cfg.stream_dtype between layers
     # (bfloat16 halves the serial chain's HBM traffic — the trunk is
     # bandwidth-bound at chaconne widths); every matmul still accumulates

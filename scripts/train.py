@@ -51,6 +51,12 @@ def parse_args():
                         "in the training trunk (cfg.compute_dtype / "
                         "cfg.stream_dtype); ~3%% faster at chaconne widths, "
                         "accumulation stays f32")
+    p.add_argument("--trunk-kernel", action="store_true",
+                   help="fused Pallas training trunk (cfg.trunk_kernel): "
+                        "the whole layer walk runs VMEM-resident in one "
+                        "kernel — ~1.4x faster train steps at chaconne_wide "
+                        "widths; unconditioned configs only (conditioned "
+                        "models fall back to the XLA trunk)")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--lr", type=float, default=1e-4)
@@ -115,6 +121,8 @@ def main():
     if args.bf16:
         overrides["compute_dtype"] = jnp.bfloat16
         overrides["stream_dtype"] = jnp.bfloat16
+    if args.trunk_kernel:
+        overrides["trunk_kernel"] = True
     cfg = wt.get_config(args.config, **overrides)
     params = wt.init_wavenet(jax.random.PRNGKey(args.seed), cfg)
     print(f"config: {args.config} {cfg}")
