@@ -65,7 +65,8 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                  stage_layers: int | None = None,
                  head_tiles: int | None = None,
                  lane_temp: bool = False,
-                 lane_seed: bool = False):
+                 lane_seed: bool = False,
+                 skip_slab: bool = False):
     L = cfg.num_layers
     D = cfg.dilation_channels
     S = cfg.skip_channels
@@ -116,13 +117,24 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
             w_old_ref,    # (L, nt, 2D, R) lookback taps filter|gate, transp.
             b_in_ref,     # (L, 2D, 1)
             w_out_ref,    # (L, S+R, D) skip|residual, transposed
-            b_out_ref,    # (L, S+R, 1)
+                          # (skip_slab: (L, R, D) residual-only)
+            b_out_ref,    # (L, S+R, 1)  (skip_slab: (L, R, 1))
             w_end1_ref,   # (E, S)
             b_end1_ref,   # (E, 1)
             w_end2_ref,   # (C, E)
             b_end2_ref,   # (C, 1)
         ) = refs[:13]
         refs = refs[13:]
+        if skip_slab:
+            # deferred skip projection: the walk stages every layer's gated
+            # unit into a (L*D, NS) slab and the head computes the skip row
+            # per stream group as ONE K=L*D matmul — the MXU runs 128-deep
+            # K tiles, so 30 K=D dots against a (S+R)-row weight waste ~4x
+            # of every pass; the dense slab dot does the same MACs in ~3x
+            # fewer passes AND removes the full-width (S, NS) accumulator
+            # (the VMEM ceiling on wide-skip stream counts)
+            w_skipcat_ref, b_skipsum_ref = refs[:2]  # (S, L*D); (S, 1)
+            refs = refs[2:]
         if lane_temp:
             # per-stream sampling temperature, (1, NS) f32; lanes with
             # temp <= 0 take the argmax (greedy) branch
@@ -169,7 +181,23 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
         ) = refs[:9]
         refs = refs[9:]
         if Mp:
-            cond_vmem, cond_sems = refs  # (2*Mp, NS) f32; (2,) DMA
+            cond_vmem, cond_sems = refs[:2]  # (2*Mp, NS) f32; (2,) DMA
+            refs = refs[2:]
+        if skip_slab:
+            # (G, L*D, NSg) ring_dtype — this step's gated units, stored
+            # per head group so every ref access is full-lane-width
+            # (Mosaic rejects some lane-offset ref reads of this buffer;
+            # register-value slices at store time are free)
+            u_vmem = refs[0]
+            refs = refs[1:]
+        if G > 1:
+            # (1, NS) i32 — the step's input classes, staged through VMEM
+            # so each head group reads its lanes as a REF load: Mosaic
+            # cannot broadcast a register-sliced (1, NSg) row whose lane
+            # offset is not a vreg-row multiple ("Invalid input layout"
+            # on the one-hot compare), but ref loads at any 128-multiple
+            # offset are fine
+            clsrow_vmem = refs[0]
         toff = t0_ref[0, 0] if resume else 0
 
         if temperature > 0:
@@ -254,17 +282,22 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                         issue_taps(l, ta)
 
             # embed: one-hot (C, NSg) per head tile, h = w_startT @ onehot
+            if G > 1:
+                clsrow_vmem[...] = cls
+
             def embed_group(g):
+                cls_g = (
+                    clsrow_vmem[:, g * NSg : (g + 1) * NSg] if G > 1 else cls
+                )
                 onehot = (
-                    lax.broadcasted_iota(jnp.int32, (C, NSg), 0)
-                    == cls[:, g * NSg : (g + 1) * NSg]
+                    lax.broadcasted_iota(jnp.int32, (C, NSg), 0) == cls_g
                 ).astype(jnp.float32)
                 return mm(w_start_ref[...], onehot) + b_start_ref[...]
 
             h = jnp.concatenate(
                 [embed_group(g) for g in range(G)], axis=1
             ) if G > 1 else embed_group(0)
-            skip = jnp.zeros((S, NS), jnp.float32)
+            skip = None if skip_slab else jnp.zeros((S, NS), jnp.float32)
 
             if Mp:
                 cond_dma(t, t % 2).wait()
@@ -304,6 +337,24 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                 h_vmem[pl.ds(tap_slot(l) * R, R), :] = h.astype(ring_dtype)
                 write_dma(l, ta).start()
 
+            def consume_unit(l, u, h, skip):
+                """Layer l's gated unit feeds the skip path and the
+                residual stream. Exact mode: one (S+R, D) dot, sequential
+                skip accumulation. Slab mode: stage u and apply only the
+                residual rows — the skip projection runs after the walk
+                as one deep dot per head group (reassociated reduction,
+                same caveat as fuse_res)."""
+                if skip_slab:
+                    us = u.astype(ring_dtype)
+                    for g in range(G):
+                        u_vmem[g, pl.ds(l * D, D), :] = (
+                            us[:, g * NSg : (g + 1) * NSg] if G > 1 else us
+                        )
+                    r = mm(w_out_ref[l], u) + b_out_ref[l]  # (R, NS)
+                    return h + r, skip
+                sr = mm(w_out_ref[l], u) + b_out_ref[l]  # (S+R, NS)
+                return h + sr[S:, :], skip + sr[:S, :]
+
             if not fuse_res:
                 for l in range(L):
                     stage_write(l)
@@ -311,9 +362,7 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                     if W and l + A < L:
                         issue_taps(l + A, ta)
                     u = jnp.tanh(z[:D, :]) * jax.nn.sigmoid(z[D:, :])
-                    sr = mm(w_out_ref[l], u) + b_out_ref[l]  # (S+R, NS)
-                    skip = skip + sr[:S, :]
-                    h = h + sr[S:, :]
+                    h, skip = consume_unit(l, u, h, skip)
             else:
                 # fuse_res: the serial layer chain is one dot per layer —
                 #   z[l+1] = (w_cur[l+1] @ h[l] + bf[l] + extras[l+1])
@@ -334,12 +383,20 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                     u = jnp.tanh(z[:D, :]) * jax.nn.sigmoid(z[D:, :])
                     if l + 1 < L:
                         z = pre + mm(wf_ref[l], u)
-                    sr = mm(w_out_ref[l], u) + b_out_ref[l]  # (S+R, NS)
-                    skip = skip + sr[:S, :]
-                    h = h + sr[S:, :]
+                    h, skip = consume_unit(l, u, h, skip)
 
             def head_group(g):
-                y = jnp.maximum(skip[:, g * NSg : (g + 1) * NSg], 0.0)
+                if skip_slab:
+                    # f32-cast operands like the tap dots: the TPU matmul
+                    # runs bf16 passes either way, and XLA:CPU (interpret
+                    # mode) has no bf16 x bf16 dot
+                    row = mm(
+                        w_skipcat_ref[...].astype(jnp.float32),
+                        u_vmem[g].astype(jnp.float32),
+                    ) + b_skipsum_ref[...]
+                else:
+                    row = skip[:, g * NSg : (g + 1) * NSg]
+                y = jnp.maximum(row, 0.0)
                 y = jnp.maximum(
                     mm(w_end1_ref[...], y) + b_end1_ref[...], 0.0
                 )
@@ -486,6 +543,7 @@ def generate_fast_batched(
     pad_streams: int | None = None,
     stage_layers: int | None = None,
     head_tiles: int | None = None,
+    skip_slab: bool = False,
     lane_seed: jnp.ndarray | None = None,
     lane_clock: jnp.ndarray | None = None,
 ):
@@ -523,7 +581,7 @@ def generate_fast_batched(
             global_cond=global_cond, state=state, return_state=return_state,
             interpret=interpret, ring_dtype=ring_dtype, fuse_res=fuse_res,
             pad_streams=pad_streams, stage_layers=stage_layers,
-            head_tiles=head_tiles,
+            head_tiles=head_tiles, skip_slab=skip_slab,
         )
     return _generate_fast_batched_jit(
         params, cfg, key, num_samples, first_samples,
@@ -534,7 +592,7 @@ def generate_fast_batched(
         global_cond=global_cond, state=state, return_state=return_state,
         interpret=interpret, ring_dtype=ring_dtype, fuse_res=fuse_res,
         pad_streams=pad_streams, stage_layers=stage_layers,
-        head_tiles=head_tiles,
+        head_tiles=head_tiles, skip_slab=skip_slab,
         lane_temp=jnp.asarray(temperature, jnp.float32),
         lane_seed=None if lane_seed is None
         else jnp.asarray(lane_seed, jnp.int32),
@@ -548,7 +606,8 @@ def generate_fast_batched(
     jax.jit,
     static_argnames=("cfg", "num_samples", "temperature", "regularize",
                      "return_state", "interpret", "ring_dtype", "fuse_res",
-                     "pad_streams", "stage_layers", "head_tiles"),
+                     "pad_streams", "stage_layers", "head_tiles",
+                     "skip_slab"),
 )
 def _generate_fast_batched_jit(
     params: Params,
@@ -568,6 +627,7 @@ def _generate_fast_batched_jit(
     pad_streams: int | None = None,
     stage_layers: int | None = None,
     head_tiles: int | None = None,
+    skip_slab: bool = False,
     lane_temp: jnp.ndarray | None = None,
     lane_seed: jnp.ndarray | None = None,
     lane_clock: jnp.ndarray | None = None,
@@ -637,7 +697,22 @@ def _generate_fast_batched_jit(
     stream count on wide-head (chaconne-class) configs once the ring
     staging is windowed. Temperature-0 rollouts are bitwise identical to
     the untiled kernel; sampled rollouts draw the same distribution from
-    a differently-laned PRNG stream. Needs streams % (128*G) == 0."""
+    a differently-laned PRNG stream. Needs streams % (128*G) == 0.
+
+    ``skip_slab=True`` defers the skip projection out of the layer walk:
+    each layer's gated unit is staged into a ``(L*D, streams)`` slab
+    (ring_dtype) and the skip row is computed per head group as ONE
+    ``(S, L*D) @ (L*D, NSg)`` matmul — the same fused-skip rewrite the
+    training trunk uses (models/wavenet.py fuse_skip). Two effects: the
+    MXU stops wasting ~4x of every pass on K=D=32 tiles against the
+    (S+R)-row output weight (~3x fewer MXU passes on the dominant matmul
+    for chaconne-class heads), and the full-width (S, streams) f32 skip
+    accumulator — the VMEM ceiling on wide-skip stream counts — is
+    replaced by the slab (bf16 under bf16 rings). The skip reduction is
+    reassociated (one K=L*D dot instead of L sequential adds), so like
+    ``fuse_res`` the rollout is no longer bitwise vs the exact path;
+    logits agree to f32/bf16 rounding. Composes with staging, head tiles,
+    fuse_res, conditioning, and streaming state."""
     fuse_res = fuse_res and cfg.num_layers > 1
     resume = state is not None
     fill = cfg.classes // 2
@@ -694,18 +769,35 @@ def _generate_fast_batched_jit(
     w_in = lp["w_in"].astype(f32)  # (L, k, R, 2D)
     w_old = jnp.swapaxes(w_in[:, : k_sz - 1], 2, 3)  # (L, k-1, 2D, R)
     w_cur = jnp.swapaxes(w_in[:, k_sz - 1], 1, 2)  # (L, 2D, R)
-    w_out = jnp.concatenate(
-        [lp["w_skip"].astype(f32), lp["w_res"].astype(f32)], axis=2
-    )  # (L, D, S+R)
-    w_out_t = jnp.swapaxes(w_out, 1, 2)  # (L, S+R, D)
     b_in = lp.get("b_in", jnp.zeros((L, 2 * D))).astype(f32)[:, :, None]
-    b_out = jnp.concatenate(
-        [
-            lp.get("b_skip", jnp.zeros((L, S))).astype(f32),
-            lp.get("b_res", jnp.zeros((L, R))).astype(f32),
-        ],
-        axis=1,
-    )[:, :, None]
+    if skip_slab:
+        # residual-only per-layer dot; the skip weights concatenate into
+        # one (S, L*D) matrix (col l*D+d matches slab row l*D+d) applied
+        # after the walk, with the per-layer skip biases pre-summed
+        w_out_t = jnp.swapaxes(lp["w_res"].astype(f32), 1, 2)  # (L, R, D)
+        b_out = lp.get("b_res", jnp.zeros((L, R))).astype(f32)[:, :, None]
+        # the slab weight stores in ring_dtype: under bf16 rings that
+        # halves a (S, L*D) VMEM resident (~4 MB for chaconne) at zero
+        # extra rounding — the platform's matmul multiplies operands in
+        # bf16 passes regardless, and the slab operand is already rdt
+        w_skipcat = (
+            lp["w_skip"].astype(f32).reshape(L * D, S).T.astype(rdt)
+        )  # (S, L*D)
+        b_skipsum = jnp.sum(
+            lp.get("b_skip", jnp.zeros((L, S))).astype(f32), axis=0
+        )[:, None]  # (S, 1)
+    else:
+        w_out = jnp.concatenate(
+            [lp["w_skip"].astype(f32), lp["w_res"].astype(f32)], axis=2
+        )  # (L, D, S+R)
+        w_out_t = jnp.swapaxes(w_out, 1, 2)  # (L, S+R, D)
+        b_out = jnp.concatenate(
+            [
+                lp.get("b_skip", jnp.zeros((L, S))).astype(f32),
+                lp.get("b_res", jnp.zeros((L, R))).astype(f32),
+            ],
+            axis=1,
+        )[:, :, None]
 
     # prime rows: step i lives in row i
     n_prime_chunks = -(-num_given // _CHUNK)
@@ -730,6 +822,10 @@ def _generate_fast_batched_jit(
     ]
     in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args)
     in_specs[1] = pl.BlockSpec(memory_space=pl.ANY)  # prime stays in HBM
+
+    if skip_slab:
+        args.extend([w_skipcat, b_skipsum])
+        in_specs.extend([pl.BlockSpec(memory_space=pltpu.VMEM)] * 2)
 
     if lane_temp is not None:
         if lane_temp.shape != (true_streams,):
@@ -838,7 +934,7 @@ def _generate_fast_batched_jit(
         cond_rows=Mp, has_gcond=global_cond is not None, resume=resume,
         ring_dtype=rdt, fuse_res=fuse_res, stage_layers=stage_layers,
         head_tiles=head_tiles, lane_temp=lane_temp is not None,
-        lane_seed=lane_seed is not None,
+        lane_seed=lane_seed is not None, skip_slab=skip_slab,
     )
     n_chunks = -(-total // _CHUNK)
 
@@ -856,6 +952,16 @@ def _generate_fast_batched_jit(
     if Mp:
         scratch_shapes.append(pltpu.VMEM((2 * Mp, streams), f32))
         scratch_shapes.append(pltpu.SemaphoreType.DMA((2,)))
+    if skip_slab:
+        scratch_shapes.append(
+            pltpu.VMEM(
+                (head_tiles or 1, L * D, streams // (head_tiles or 1)), rdt
+            )
+        )
+    if (head_tiles or 1) > 1:
+        # the per-step input-class row, staged so head groups can ref-load
+        # their lane slice (see clsrow_vmem in the kernel)
+        scratch_shapes.append(pltpu.VMEM((1, streams), jnp.int32))
 
     out, ring = pl.pallas_call(
         kernel,

@@ -145,6 +145,7 @@ class ContinuousBatcher:
                  ring_dtype=jnp.float32, fuse_res: bool = False,
                  stage_layers: int | None = None,
                  head_tiles: int | None = None,
+                 skip_slab: bool = False,
                  regularize: float = 0.0,
                  max_pending: int | None = None,
                  mesh=None):
@@ -181,7 +182,8 @@ class ContinuousBatcher:
         self.max_pending = max_pending
         self._kw = dict(interpret=interpret, ring_dtype=ring_dtype,
                         fuse_res=fuse_res, stage_layers=stage_layers,
-                        head_tiles=head_tiles, regularize=float(regularize),
+                        head_tiles=head_tiles, skip_slab=skip_slab,
+                        regularize=float(regularize),
                         pad_streams=None if interpret else 128)
         self._key = jax.random.PRNGKey(seed)
         self._calls = 0

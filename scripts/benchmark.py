@@ -139,32 +139,41 @@ def main():
             generate_fast_batched,
         )
 
+        # (streams, ring_dtype, fuse_res, stage_layers, head_tiles, skip_slab)
         sweep = [
-            (128, jnp.float32, False, None, None),
-            (256, jnp.float32, False, None, None),
-            (256, jnp.float32, True, None, None),
-            (512, jnp.float32, False, 8, None),
-            (1024, jnp.float32, False, None, None),
+            (128, jnp.float32, False, None, None, False),
+            (256, jnp.float32, False, None, None, False),
+            (256, jnp.float32, True, None, None, False),
+            (512, jnp.float32, False, 8, None, False),
+            (512, jnp.float32, False, 8, None, True),
+            (1024, jnp.float32, False, None, None, False),
         ]
         if cfg.skip_channels * cfg.end_channels >= 1 << 18:
             # wide-head configs: the head's (S/E/C, NS) intermediates are
-            # what overflow VMEM at high stream counts — tile them
+            # what overflow VMEM at high stream counts — tile them, and
+            # defer the skip projection into one deep slab matmul
+            # (skip_slab: ~2x at every stream count, see PERF.md)
             sweep += [
-                (1024, jnp.float32, False, 8, 2),
-                (2048, jnp.float32, False, 8, 4),
+                (1024, jnp.float32, False, 8, 2, True),
+                (2048, jnp.float32, False, 8, 4, True),
             ]
         if cfg.residual_channels % 16 == 0:
             # bf16 rings halve DMA traffic and the VMEM staging that caps S;
             # a rotating stage window shrinks the staging further for the
             # stream counts the all-L slabs can't reach
             sweep += [
-                (1024, jnp.bfloat16, False, None, None),
-                (2048, jnp.bfloat16, False, None, None),
-                (2048, jnp.bfloat16, False, 8, None),
-                (4096, jnp.bfloat16, False, 8, None),
-                (8192, jnp.bfloat16, False, 8, 4),
+                (1024, jnp.bfloat16, False, None, None, False),
+                (1024, jnp.bfloat16, False, 8, None, True),
+                (2048, jnp.bfloat16, False, None, None, False),
+                (2048, jnp.bfloat16, False, 8, None, False),
+                (2048, jnp.bfloat16, False, 8, 2, True),
+                (2048, jnp.bfloat16, False, 8, 4, True),
+                (4096, jnp.bfloat16, False, 8, None, False),
+                (4096, jnp.bfloat16, False, 8, 4, True),
+                (8192, jnp.bfloat16, False, 8, 4, False),
+                (8192, jnp.bfloat16, False, 8, 8, True),
             ]
-        for S, rdt, fuse, stage, htile in sweep:
+        for S, rdt, fuse, stage, htile, slab in sweep:
             primeS = jnp.tile(prime, (S, 1))
             nS = max(2048, n // 4)
             tag = "" if rdt == jnp.float32 else " bf16-ring"
@@ -174,12 +183,14 @@ def main():
                 tag += f" stage{stage}"
             if htile:
                 tag += f" head/{htile}"
+            if slab:
+                tag += " slab"
 
             def gen_hbm():
                 wav, _ = generate_fast_batched(
                     params, cfg, jax.random.PRNGKey(6), nS, primeS,
                     temperature=1.0, ring_dtype=rdt, fuse_res=fuse,
-                    stage_layers=stage, head_tiles=htile,
+                    stage_layers=stage, head_tiles=htile, skip_slab=slab,
                 )
                 np.asarray(wav)
 

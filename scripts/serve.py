@@ -706,6 +706,12 @@ def main():
             batcher_opts["ring_dtype"] = jnp.bfloat16
         if not args.batcher_interpret:
             batcher_opts["fuse_res"] = True
+            # wide-skip configs: defer the skip projection into one
+            # K=L*D slab dot per head group — 1.6-1.9x at chaconne
+            # widths (PERF.md); for narrow skips the per-layer dot is
+            # already a single MXU pass and the slab only adds staging
+            if blob["config"].skip_channels >= 256:
+                batcher_opts["skip_slab"] = True
             # all-L tap/activation staging crowds VMEM at high per-chip
             # lane counts; the 8-layer rotating window measured 1.61x at
             # 2048 bf16 streams / 1.36x at 512 f32 (PERF.md), neutral below

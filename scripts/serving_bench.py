@@ -71,6 +71,9 @@ def parse_args():
                    help="disable fuse_res (the reassociated serial chain)")
     p.add_argument("--stage-layers", type=int, default=8)
     p.add_argument("--head-tiles", type=int, default=None)
+    p.add_argument("--skip-slab", action="store_true",
+                   help="deferred one-dot skip projection (1.6-1.9x on "
+                        "wide-skip configs, see PERF.md)")
     p.add_argument("--mesh-data", type=int, default=0,
                    help="shard the lane pool over this many chips "
                         "(--lanes is the pool total)")
@@ -114,6 +117,7 @@ def main():
         else jnp.float32,
         fuse_res=not args.exact_chain,
         stage_layers=args.stage_layers, head_tiles=args.head_tiles,
+        skip_slab=args.skip_slab,
         mesh=mesh,
     )
 

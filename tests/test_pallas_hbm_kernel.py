@@ -624,3 +624,91 @@ def test_lane_seed_validation(tiny):
             params, cfg, jax.random.PRNGKey(0), 4, prime,
             temperature=jnp.asarray([1.0, 1.0]),
             lane_clock=jnp.asarray([1, 2]), interpret=True)
+
+
+def test_skip_slab_matches_exact(tiny):
+    """Deferred (slab) skip projection vs per-layer accumulation: the
+    reduction is reassociated, so equality is not guaranteed bitwise —
+    but at tiny scale the interpret-mode argmax margins dwarf the
+    reassociation rounding, and the seeded rollout is deterministic."""
+    cfg, params = tiny
+    prime = jax.random.randint(
+        jax.random.PRNGKey(2), (3, cfg.receptive_field), 0, cfg.classes
+    )
+    k = jax.random.PRNGKey(3)
+    _, c0 = generate_fast_batched(params, cfg, k, 24, prime,
+                                  temperature=0.0, interpret=True)
+    _, cs = generate_fast_batched(params, cfg, k, 24, prime,
+                                  temperature=0.0, interpret=True,
+                                  skip_slab=True)
+    np.testing.assert_array_equal(np.asarray(cs), np.asarray(c0))
+
+
+def test_skip_slab_composes_bitwise(tiny):
+    """Within slab mode, staging / head tiles / fuse_res are bitwise
+    no-ops (same guarantee those flags give in exact mode)."""
+    cfg, params = tiny
+    prime = jax.random.randint(
+        jax.random.PRNGKey(4), (4, cfg.receptive_field), 0, cfg.classes
+    )
+    k = jax.random.PRNGKey(5)
+    base = generate_fast_batched(params, cfg, k, 24, prime, temperature=0.0,
+                                 interpret=True, skip_slab=True)[1]
+    for kw in (
+        dict(stage_layers=4),
+        dict(head_tiles=2),
+        dict(fuse_res=True),
+        dict(stage_layers=4, head_tiles=2, fuse_res=True),
+    ):
+        if "fuse_res" in kw:
+            ref = generate_fast_batched(
+                params, cfg, k, 24, prime, temperature=0.0, interpret=True,
+                skip_slab=True, fuse_res=True)[1]
+        else:
+            ref = base
+        got = generate_fast_batched(params, cfg, k, 24, prime,
+                                    temperature=0.0, interpret=True,
+                                    skip_slab=True, **kw)[1]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_skip_slab_streaming_state(tiny):
+    """Chunked slab rollout equals a single shot bitwise (ring aliasing
+    is orthogonal to the skip path)."""
+    cfg, params = tiny
+    prime = jax.random.randint(
+        jax.random.PRNGKey(6), (2, cfg.receptive_field), 0, cfg.classes
+    )
+    k = jax.random.PRNGKey(7)
+    _, single = generate_fast_batched(params, cfg, k, 24, prime,
+                                      temperature=0.0, interpret=True,
+                                      skip_slab=True)
+    _, a, st = generate_fast_batched(params, cfg, k, 12, prime,
+                                     temperature=0.0, interpret=True,
+                                     skip_slab=True, return_state=True)
+    _, b = generate_fast_batched(params, cfg, k, 12, temperature=0.0,
+                                 interpret=True, skip_slab=True, state=st)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(a), np.asarray(b)], axis=1),
+        np.asarray(single),
+    )
+
+
+def test_skip_slab_conditioned(tiny):
+    """Slab path with local conditioning matches the exact kernel."""
+    cfg = wt.get_config("tiny", cond_channels=6)
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    rf = cfg.receptive_field
+    total = rf - 1 + 16
+    prime = jax.random.randint(jax.random.PRNGKey(8), (2, rf), 0,
+                               cfg.classes)
+    cond = jax.random.normal(jax.random.PRNGKey(9),
+                             (2, total, cfg.cond_channels)) * 0.1
+    k = jax.random.PRNGKey(10)
+    _, c0 = generate_fast_batched(params, cfg, k, 16, prime,
+                                  temperature=0.0, cond=cond,
+                                  interpret=True)
+    _, cs = generate_fast_batched(params, cfg, k, 16, prime,
+                                  temperature=0.0, cond=cond,
+                                  interpret=True, skip_slab=True)
+    np.testing.assert_array_equal(np.asarray(cs), np.asarray(c0))
