@@ -176,14 +176,47 @@ def _mm(a, w, dtype):
                       preferred_element_type=jnp.float32)
 
 
+@jax.custom_vjp
+def _embed_rows(w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Row gather ``w[x]`` with a matmul backward.
+
+    The forward stays an exact row copy (bitwise what the generation paths
+    compute). The default vjp of a gather is a scatter-add — ~0.5 ms/step
+    at chaconne_wide training shapes (73k rows into (256, 32)) on a v5e —
+    so the backward computes ``dW = one_hot(x)^T @ dh`` as one MXU
+    contraction instead (measured: the whole scatter cost disappears)."""
+    return jnp.take(w, x, axis=0)
+
+
+def _embed_rows_fwd(w, x):
+    return jnp.take(w, x, axis=0), (x, w.shape[0])
+
+
+def _embed_rows_bwd(res, dh):
+    x, classes = res
+    onehot = jax.nn.one_hot(x, classes, dtype=dh.dtype)  # (..., C)
+    nbatch = x.ndim
+    dw = lax.dot_general(
+        onehot, dh,
+        ((tuple(range(nbatch)), tuple(range(nbatch))), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (C, R)
+    return dw.astype(jnp.result_type(dh)), None
+
+
+_embed_rows.defvjp(_embed_rows_fwd, _embed_rows_bwd)
+
+
 def embed_inputs(params: Params, cfg: WaveNetConfig, x: jnp.ndarray) -> jnp.ndarray:
     """Start conv. Integer inputs ``(N, T)`` become an embedding-row gather
     (mathematically the reference's one-hot @ start_conv,
-    wavenet_model.py:127 + audio_data.py:120-121); float one-hot ``(N, T, C)``
-    inputs are also accepted for reference API compatibility."""
+    wavenet_model.py:127 + audio_data.py:120-121) whose backward is an MXU
+    contraction rather than a scatter (see :func:`_embed_rows`); float
+    one-hot ``(N, T, C)`` inputs are also accepted for reference API
+    compatibility."""
     w = params["start"]["w"]
     if jnp.issubdtype(x.dtype, jnp.integer):
-        h = jnp.take(w, x, axis=0)
+        h = _embed_rows(w, x)
     else:
         h = _mm(x, w, cfg.compute_dtype)
     if "b" in params["start"]:
@@ -241,8 +274,22 @@ def wavenet_logits(
         h0 = embed_inputs(params, cfg, x)  # (N, T, R) f32
         lp = params["layers"]
         L, D = cfg.num_layers, cfg.dilation_channels
-        ucat = fused_trunk(params, cfg, h0, out_len)  # (N, out, L*D)
-        skip = _mm(ucat, lp["w_skip"].reshape(L * D, -1), cdt)
+        N = x.shape[0]
+        # kernel-native (N/G, L, G, D, out) layout: contract (L, D) against
+        # the skip weights directly — a dot_general with two contracting
+        # dims instead of materializing the (N, out, L*D) transpose (a
+        # 60 MB round-trip at chaconne_wide sizes, forward and backward).
+        # Gated units store in compute_dtype: the platform's matmuls round
+        # f32 inputs to bf16 passes anyway, so bf16 storage costs no extra
+        # rounding relative to bf16 compute.
+        u5 = fused_trunk(params, cfg, h0, out_len, raw=True,
+                         out_dtype=cdt)  # (N/G, L, G, D, out)
+        skip = lax.dot_general(
+            u5.astype(cdt), lp["w_skip"].astype(cdt),
+            (((1, 3), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (N/G, G, out, S)
+        skip = skip.reshape(N, out_len, cfg.skip_channels)
         if "b_skip" in lp:
             skip = skip + jnp.sum(lp["b_skip"], axis=0)
         y = jax.nn.relu(skip)

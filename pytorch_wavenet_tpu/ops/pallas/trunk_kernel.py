@@ -79,11 +79,18 @@ def _geometry(cfg: WaveNetConfig, out_len: int):
     """(T, P, Tp, OFF): input window length, front pad, padded lanes, and
     the lane offset of the output window. P >= the deepest lookback so
     every tap reads in-buffer zeros for pre-history, and P is chosen so
-    OFF = P + T - out_len is a lane multiple (aligned (D, out) slices)."""
+    OFF = P + T - out_len is a lane multiple (aligned (D, out) slices).
+    Tp additionally rounds up to a lane multiple (trailing zero pad):
+    the hsave DMA slices [sp, Tp) need 128-multiple widths, and trailing
+    lanes are harmless — they model time past the clip, are causally
+    unreadable by any output lane, and receive zero gradient (tap grads
+    only shift earlier in time)."""
     T = cfg.receptive_field + out_len - 1
     maxshift = (cfg.kernel_size - 1) * cfg.max_dilation
     P = maxshift + (-(maxshift + T - out_len) % _LANE)
-    return T, P, P + T, P + T - out_len
+    OFF = P + T - out_len
+    Tp = P + T + (-(P + T) % _LANE)
+    return T, P, Tp, OFF
 
 
 def _windows(cfg: WaveNetConfig, out_len: int):
@@ -612,6 +619,7 @@ def fused_trunk(
     *,
     save_dtype=jnp.bfloat16,
     out_dtype=None,
+    raw: bool = False,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Run the residual trunk through the fused Pallas kernel.
@@ -620,7 +628,11 @@ def fused_trunk(
     :func:`models.wavenet.embed_inputs`), ``T = receptive_field + out_len - 1``.
     Returns every layer's gated units over the output window as
     ``(N, out_len, L*D)`` — exactly the concatenation the fused-skip path
-    feeds to the (L*D, S) skip matmul (models/wavenet.py:310-315).
+    feeds to the (L*D, S) skip matmul (models/wavenet.py:310-315) — or,
+    with ``raw=True``, the kernel's native ``(N/G, L, G, D, out_len)``
+    layout so the caller can contract it with ``dot_general`` directly
+    (the (N, out, L*D) relayout materializes a (N*out*L*D) buffer both
+    forward and backward; the skip projection doesn't need it).
 
     Differentiable w.r.t. ``params`` and ``h0`` via a custom VJP whose
     backward is a second Pallas kernel (reverse layer walk per item pair,
@@ -649,16 +661,20 @@ def fused_trunk(
     G = 2 if N % 2 == 0 else 1
     sdt = jnp.dtype(cfg.stream_dtype)
     out_dtype = jnp.dtype(out_dtype or jnp.float32)
-    # channels-first + front zero pad (the kernel's static-shift history);
-    # pairs stack in sublanes: program n holds items (G*n .. G*n+G-1)
+    # channels-first + front zero pad (the kernel's static-shift history)
+    # + trailing pad to a lane multiple (see _geometry); pairs stack in
+    # sublanes: program n holds items (G*n .. G*n+G-1)
     h0p = jnp.pad(
-        jnp.swapaxes(h0.astype(jnp.float32), 1, 2), ((0, 0), (0, 0), (P, 0))
+        jnp.swapaxes(h0.astype(jnp.float32), 1, 2),
+        ((0, 0), (0, 0), (P, Tp - P - T)),
     ).reshape(N // G, G * R, Tp)
     wpack = _stacked_weights(params, cfg, G)
     u = _trunk(wpack, h0p, cfg, out_len, G, sdt, jnp.dtype(save_dtype),
                out_dtype, interpret)
     L, D = cfg.num_layers, cfg.dilation_channels
-    # (N/G, L, G*D, out) -> (N, out, L*D): un-stack the pair, then put
-    # layers*channels last (XLA folds the relayout into the skip matmul)
     u = u.reshape(N // G, L, G, D, out_len)
+    if raw:
+        return u
+    # (N/G, L, G*D, out) -> (N, out, L*D): un-stack the pair, then put
+    # layers*channels last
     return jnp.transpose(u, (0, 2, 4, 1, 3)).reshape(N, out_len, L * D)

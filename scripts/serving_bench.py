@@ -66,6 +66,10 @@ def parse_args():
                    help="request prime length (1 = unprimed; the "
                         "receptive field exercises solo-prime admission)")
     p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--cond", action="store_true",
+                   help="mel-conditioned load: every request carries its "
+                        "own random conditioning timeline (requires a "
+                        "config with cond_channels, e.g. --config vocoder)")
     p.add_argument("--ring-dtype", choices=("f32", "bf16"), default="bf16")
     p.add_argument("--exact-chain", action="store_true",
                    help="disable fuse_res (the reassociated serial chain)")
@@ -122,6 +126,18 @@ def main():
     )
 
     rng = np.random.default_rng(args.seed)
+    if args.cond and cfg.cond_channels == 0:
+        raise SystemExit("--cond needs a conditioned config "
+                         "(cfg.cond_channels > 0), e.g. --config vocoder")
+
+    def make_cond():
+        if not args.cond:
+            return None
+        return rng.normal(
+            0.0, 0.3, (args.prime_len - 1 + args.num_samples,
+                       cfg.cond_channels)
+        ).astype(np.float32)
+
     if args.prime_len == 1:
         primes = [np.asarray([cfg.classes // 2], np.int32)] * args.requests
     else:
@@ -131,8 +147,17 @@ def main():
     # one warm-up request compiles the admission + pool-step programs so
     # the measured window is steady-state serving, not XLA compilation
     t0 = time.perf_counter()
-    batcher.submit(primes[0], min(args.num_samples, 2 * args.chunk),
-                   temperature=args.temperature).result(timeout=3600)
+    warm_cond = None
+    if args.cond:
+        warm_n = min(args.num_samples, 2 * args.chunk)
+        warm_cond = rng.normal(
+            0.0, 0.3, (args.prime_len - 1 + warm_n, cfg.cond_channels)
+        ).astype(np.float32)
+        batcher.submit(primes[0], warm_n, temperature=args.temperature,
+                       cond=warm_cond).result(timeout=3600)
+    else:
+        batcher.submit(primes[0], min(args.num_samples, 2 * args.chunk),
+                       temperature=args.temperature).result(timeout=3600)
     print(f"warm-up (compile): {time.perf_counter() - t0:.1f} s",
           flush=True)
 
@@ -155,7 +180,7 @@ def main():
             try:
                 h = batcher.submit(
                     primes[i], args.num_samples,
-                    temperature=args.temperature, seed=i,
+                    temperature=args.temperature, seed=i, cond=make_cond(),
                     on_chunk=lambda c, f=first, t=t_sub: f.append(
                         time.perf_counter() - t) if not f else None,
                 )
@@ -189,7 +214,8 @@ def main():
     agg = total / wall
     q = lambda xs, p: float(np.percentile(np.asarray(xs), p))  # noqa: E731
     summary = {
-        "config": args.config, "lanes": args.lanes, "chunk": args.chunk,
+        "config": args.config, "cond": bool(args.cond),
+        "lanes": args.lanes, "chunk": args.chunk,
         "concurrency": args.concurrency, "requests": args.requests,
         "completed": len(latency), "failed": failures,
         "num_samples": args.num_samples, "wall_s": round(wall, 3),

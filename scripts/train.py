@@ -54,7 +54,7 @@ def parse_args():
     p.add_argument("--trunk-kernel", action="store_true",
                    help="fused Pallas training trunk (cfg.trunk_kernel): "
                         "the whole layer walk runs VMEM-resident in one "
-                        "kernel — ~1.4x faster train steps at chaconne_wide "
+                        "kernel — 1.5-1.7x faster train steps at chaconne "
                         "widths; unconditioned configs only (conditioned "
                         "models fall back to the XLA trunk)")
     p.add_argument("--batch-size", type=int, default=16)
