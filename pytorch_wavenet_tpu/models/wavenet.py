@@ -265,10 +265,10 @@ def wavenet_logits(
     # Fused Pallas trunk (cfg.trunk_kernel): the whole layer walk runs in
     # one kernel with the residual stream VMEM-resident; it emits exactly
     # the fused-skip path's (N, out, L*D) gated-unit concat, so the skip
-    # matmul + head below are shared verbatim. Conditioned models fall
-    # back to the XLA trunk (the kernel is unconditioned-only for now).
-    if (cfg.trunk_kernel and cond is None and global_cond is None
-            and cfg.kernel_size >= 2):
+    # matmul + head below are shared verbatim. Local conditioning rides
+    # in-kernel (vocoder training); global conditioning falls back to the
+    # XLA trunk.
+    if (cfg.trunk_kernel and global_cond is None and cfg.kernel_size >= 2):
         from ..ops.pallas.trunk_kernel import fused_trunk
 
         h0 = embed_inputs(params, cfg, x)  # (N, T, R) f32
@@ -282,7 +282,7 @@ def wavenet_logits(
         # Gated units store in compute_dtype: the platform's matmuls round
         # f32 inputs to bf16 passes anyway, so bf16 storage costs no extra
         # rounding relative to bf16 compute.
-        u5 = fused_trunk(params, cfg, h0, out_len, raw=True,
+        u5 = fused_trunk(params, cfg, h0, out_len, cond=cond, raw=True,
                          out_dtype=cdt)  # (N/G, L, G, D, out)
         skip = lax.dot_general(
             u5.astype(cdt), lp["w_skip"].astype(cdt),

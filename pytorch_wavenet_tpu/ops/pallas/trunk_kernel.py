@@ -148,7 +148,7 @@ def _use_dma_out(out_len: int) -> bool:
 
 
 def _make_fwd_kernel(cfg: WaveNetConfig, out_len: int, G: int, sdt,
-                     save_dtype, out_dtype, save: bool):
+                     save_dtype, out_dtype, save: bool, Mp: int = 0):
     L, k, R, D = (cfg.num_layers, cfg.kernel_size, cfg.residual_channels,
                   cfg.dilation_channels)
     dil = cfg.dilations
@@ -159,9 +159,15 @@ def _make_fwd_kernel(cfg: WaveNetConfig, out_len: int, G: int, sdt,
 
     def kernel(*refs):
         it = iter(refs)
-        h0_ref, wz_ref, wr_ref, bi_ref, br_ref, uout_ref = (
-            next(it) for _ in range(6)
+        h0_ref, wz_ref, wr_ref, bi_ref, br_ref = (
+            next(it) for _ in range(5)
         )
+        if Mp:
+            # local conditioning: the (G*Mp, Tp) channels-first timeline
+            # block plus the per-layer (2GD, G*Mp) projection — one extra
+            # dense pass per layer, off the serial chain's critical ops
+            cond_ref, wc_ref = next(it), next(it)
+        uout_ref = next(it)
         hsave_ref = next(it) if save else None
         hbuf, v = next(it), next(it)
         if dma_out:
@@ -214,6 +220,8 @@ def _make_fwd_kernel(cfg: WaveNetConfig, out_len: int, G: int, sdt,
                     :, lo - m : Tp - m
                 ]
             z = _mm(wz_ref[l], v[:, s:]) + bi_ref[:, l : l + 1]  # (2GD, W)
+            if Mp:
+                z = z + _mm(wc_ref[l], cond_ref[0, :, s:])
             # row order [f_0..f_{G-1}, g_0..g_{G-1}]: the split is clean
             u = jnp.tanh(z[:GD]) * jax.nn.sigmoid(z[GD:])
             if s < P:
@@ -248,7 +256,7 @@ def _make_fwd_kernel(cfg: WaveNetConfig, out_len: int, G: int, sdt,
 
 
 def _make_bwd_kernel(cfg: WaveNetConfig, out_len: int, G: int, sdt,
-                     save_dtype, out_dtype):
+                     save_dtype, out_dtype, Mp: int = 0):
     L, k, R, D = (cfg.num_layers, cfg.kernel_size, cfg.residual_channels,
                   cfg.dilation_channels)
     dil = cfg.dilations
@@ -258,11 +266,22 @@ def _make_bwd_kernel(cfg: WaveNetConfig, out_len: int, G: int, sdt,
     dma_out = _use_dma_out(out_len)
 
     def kernel(*refs):
-        (duo_ref, hsave_ref, wz_ref, wr_ref, bi_ref, wzt_ref, wrt_ref,
-         dh0_ref, dwz_ref, dwr_ref, dbi_ref, dbr_ref,
-         dhbuf, v, stage, sems) = refs[: 12 + 4]
+        it = iter(refs)
+        duo_ref, hsave_ref, wz_ref, wr_ref, bi_ref, wzt_ref, wrt_ref = (
+            next(it) for _ in range(7)
+        )
+        if Mp:
+            cond_ref, wc_ref, wct_ref = (next(it) for _ in range(3))
+        dh0_ref, dwz_ref, dwr_ref, dbi_ref, dbr_ref = (
+            next(it) for _ in range(5)
+        )
+        if Mp:
+            dwc_ref, dcond_ref = next(it), next(it)
+        dhbuf, v, stage, sems = (next(it) for _ in range(4))
         if dma_out:
-            dustage, dusems = refs[16], refs[17]
+            dustage, dusems = next(it), next(it)
+        if Mp:
+            dcbuf = next(it)  # (G*Mp, Tp) f32 — dcond accumulator
         n = pl.program_id(0)
 
         @pl.when(n == 0)
@@ -271,6 +290,8 @@ def _make_bwd_kernel(cfg: WaveNetConfig, out_len: int, G: int, sdt,
             dwr_ref[:] = jnp.zeros((L, R, D), jnp.float32)
             dbi_ref[:] = jnp.zeros((2 * D, L), jnp.float32)
             dbr_ref[:] = jnp.zeros((R, L), jnp.float32)
+            if Mp:
+                dwc_ref[:] = jnp.zeros((L, 2 * D, Mp), jnp.float32)
 
         def load_dma(l):
             sp = sp_l[l]
@@ -290,6 +311,8 @@ def _make_bwd_kernel(cfg: WaveNetConfig, out_len: int, G: int, sdt,
             if L >= 2:
                 duo_dma(L - 2).start()
         dhbuf[:] = jnp.zeros((GR, Tp), jnp.float32)
+        if Mp:
+            dcbuf[:] = jnp.zeros((G * Mp, Tp), jnp.float32)
 
         for l in range(L - 1, -1, -1):
             d = dil[l]
@@ -314,6 +337,8 @@ def _make_bwd_kernel(cfg: WaveNetConfig, out_len: int, G: int, sdt,
                     l % 2, :, lo - m : Tp - m
                 ].astype(sdt)
             z = _mm(wz_ref[l], v[:, s:]) + bi_ref[:, l : l + 1]
+            if Mp:
+                z = z + _mm(wc_ref[l], cond_ref[0, :, s:])
             a = jnp.tanh(z[:GD])
             sg = jax.nn.sigmoid(z[GD:])
             if s < P:
@@ -380,6 +405,19 @@ def _make_bwd_kernel(cfg: WaveNetConfig, out_len: int, G: int, sdt,
             dwr_ref[l] += dwr_acc
             dbi_ref[:, l : l + 1] += dbi_acc
             dbr_ref[:, l : l + 1] += dbr_acc
+            if Mp:
+                # conditioning grads: the projection weight (per-item
+                # blocks summed, like dWz) and the timeline itself (the
+                # learnable upsampler differentiates through cond)
+                dWc = _mm_t(dz, cond_ref[0, :, s:])  # (2GD, G*Mp)
+                dwc_acc = jnp.zeros((2 * D, Mp), jnp.float32)
+                for i in range(G):
+                    fr, gr = D * i, GD + D * i
+                    dwc_acc += jnp.concatenate(
+                        [dWc[fr : fr + D, Mp * i : Mp * i + Mp],
+                         dWc[gr : gr + D, Mp * i : Mp * i + Mp]], axis=0)
+                dwc_ref[l] += dwc_acc
+                dcbuf[:, s:] = dcbuf[:, s:] + _mm(wct_ref[l], dz)
 
             # input grad on the widened frame [sp, Tp): identity (residual)
             # + the gate paths, taps shifting grad back in time
@@ -401,6 +439,8 @@ def _make_bwd_kernel(cfg: WaveNetConfig, out_len: int, G: int, sdt,
             dhbuf[:, sp:] = dh
 
         dh0_ref[0] = dhbuf[:]
+        if Mp:
+            dcond_ref[0] = dcbuf[:]
 
     return kernel, (T, P, Tp, OFF)
 
@@ -408,7 +448,7 @@ def _make_bwd_kernel(cfg: WaveNetConfig, out_len: int, G: int, sdt,
 # ------------------------------------------------------------ host glue
 
 
-def _stacked_weights(params, cfg: WaveNetConfig, G: int):
+def _stacked_weights(params, cfg: WaveNetConfig, G: int, has_cond: bool):
     """Per-item weight views in the kernel's fused layout (differentiable;
     a tuple so custom_vjp cotangents mirror it 1:1).
 
@@ -416,6 +456,8 @@ def _stacked_weights(params, cfg: WaveNetConfig, G: int):
       ``[current | tap_0 | tap_1 ...]`` (tap j looks back (k-1-j)*d).
     * ``wr1 (L, R, D)``: residual 1x1, channels-first.
     * ``bi1 (L, 2D)``, ``br1 (L, R)``.
+    * with conditioning: ``wc1 (L, 2D, M)`` — the local-conditioning 1x1,
+      channels-first.
     """
     L, k, R, D = (cfg.num_layers, cfg.kernel_size, cfg.residual_channels,
                   cfg.dilation_channels)
@@ -430,21 +472,25 @@ def _stacked_weights(params, cfg: WaveNetConfig, G: int):
     wr1 = jnp.swapaxes(lp["w_res"].astype(f32), 1, 2)  # (L, R, D)
     bi1 = lp.get("b_in", jnp.zeros((L, 2 * D))).astype(f32)
     br1 = lp.get("b_res", jnp.zeros((L, R))).astype(f32)
+    if has_cond:
+        wc1 = jnp.swapaxes(lp["w_cond"].astype(f32), 1, 2)  # (L, 2D, M)
+        return (wcat, wr1, bi1, br1, wc1)
     return (wcat, wr1, bi1, br1)
 
 
-def _expand_stacked(wpack, cfg: WaveNetConfig, G: int, sdt):
+def _expand_stacked(wpack, cfg: WaveNetConfig, G: int, Mp: int, sdt):
     """Expand per-item weights to the kernel's block-diagonal stacked form
     via pure broadcasting (no scatters — this runs every train step).
     Row order of wz: [f_0..f_{G-1}, g_0..g_{G-1}]; col order: tap group
     outer, item middle, channel inner. Biases are laid out lanes-over-
     layers — ``bi (2GD, L)`` / ``br (GR, L)`` — so their VMEM tiles are
-    dense (an (L, C, 1) layout pads every 1-lane column to 128). Runs
-    under jit; its transpose (the pair gradient summation) is hand-written
-    in the custom VJP."""
+    dense (an (L, C, 1) layout pads every 1-lane column to 128). The
+    conditioning weight pads its M cols to the sublane-aligned ``Mp``.
+    Runs under jit; its transpose (the pair gradient summation) is
+    hand-written in the custom VJP."""
     L, k, R, D = (cfg.num_layers, cfg.kernel_size, cfg.residual_channels,
                   cfg.dilation_channels)
-    wcat, wr1, bi1, br1 = wpack
+    wcat, wr1, bi1, br1 = wpack[:4]
     f32 = jnp.float32
     eye = jnp.eye(G, dtype=f32)
     # (L, 2, D, k, R): split f/g rows and tap-group cols
@@ -461,28 +507,51 @@ def _expand_stacked(wpack, cfg: WaveNetConfig, G: int, sdt):
         [jnp.tile(bi1[:, :D], (1, G)), jnp.tile(bi1[:, D:], (1, G))], axis=1
     ).T  # (2GD, L)
     br = jnp.tile(br1, (1, G)).T  # (GR, L)
-    return wz.astype(sdt), wr.astype(sdt), bi.astype(f32), br.astype(f32)
+    out = [wz.astype(sdt), wr.astype(sdt), bi.astype(f32), br.astype(f32)]
+    if Mp:
+        wc1 = wpack[4]  # (L, 2D, M)
+        M = wc1.shape[2]
+        wc1 = jnp.pad(wc1, ((0, 0), (0, 0), (0, Mp - M)))
+        wcexp = (
+            eye[None, None, :, None, None, :, None]
+            * wc1.reshape(L, 2, D, 1, Mp)[:, :, None, :, :, None, :]
+        ).reshape(L, G * 2 * D, G * Mp)
+        out.append(wcexp.astype(sdt))
+    return out
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
-def _trunk(wpack, h0p, cfg, out_len, G, sdt, save_dtype, out_dtype,
-           interpret):
-    u, _ = _trunk_fwd_call(wpack, h0p, cfg, out_len, G, sdt, save_dtype,
-                           out_dtype, interpret, save=False)
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+def _trunk(wpack, h0p, condp, cfg, out_len, G, Mp, sdt, save_dtype,
+           out_dtype, interpret):
+    u, _ = _trunk_fwd_call(wpack, h0p, condp, cfg, out_len, G, Mp, sdt,
+                           save_dtype, out_dtype, interpret, save=False)
     return u
 
 
-def _trunk_fwd_call(wpack, h0p, cfg, out_len, G, sdt, save_dtype, out_dtype,
-                    interpret, save):
+def _trunk_fwd_call(wpack, h0p, condp, cfg, out_len, G, Mp, sdt, save_dtype,
+                    out_dtype, interpret, save):
     kernel, (T, P, Tp, OFF) = _make_fwd_kernel(
-        cfg, out_len, G, sdt, save_dtype, out_dtype, save
+        cfg, out_len, G, sdt, save_dtype, out_dtype, save, Mp=Mp
     )
     NG = h0p.shape[0]  # number of pair programs
     L, k, R, D = (cfg.num_layers, cfg.kernel_size, cfg.residual_channels,
                   cfg.dilation_channels)
     GR, GD = G * R, G * D
     dma_out = _use_dma_out(out_len)
-    wz, wr, bi, br = _expand_stacked(wpack, cfg, G, sdt)
+    exp = _expand_stacked(wpack, cfg, G, Mp, sdt)
+    wz, wr, bi, br = exp[:4]
+    args = [h0p.astype(sdt), wz, wr, bi, br]
+    in_specs = [
+        pl.BlockSpec((1, GR, Tp), lambda n: (n, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+    if Mp:
+        args += [condp.astype(sdt), exp[4]]
+        in_specs += [
+            pl.BlockSpec((1, G * Mp, Tp), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
     out_shape = [jax.ShapeDtypeStruct((NG, L, GD, out_len), out_dtype)]
     out_specs = [
         pl.BlockSpec(memory_space=pl.ANY) if dma_out else
@@ -510,10 +579,7 @@ def _trunk_fwd_call(wpack, h0p, cfg, out_len, G, sdt, save_dtype, out_dtype,
     res = pl.pallas_call(
         kernel,
         grid=(NG,),
-        in_specs=[
-            pl.BlockSpec((1, GR, Tp), lambda n: (n, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         scratch_shapes=scratch,
@@ -522,29 +588,30 @@ def _trunk_fwd_call(wpack, h0p, cfg, out_len, G, sdt, save_dtype, out_dtype,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(h0p.astype(sdt), wz, wr, bi, br)
+    )(*args)
     return (res[0], res[1] if save else None)
 
 
-def _trunk_fwd(wpack, h0p, cfg, out_len, G, sdt, save_dtype, out_dtype,
-               interpret):
-    u, hsave = _trunk_fwd_call(wpack, h0p, cfg, out_len, G, sdt, save_dtype,
-                               out_dtype, interpret, save=True)
-    return u, (wpack, hsave)
+def _trunk_fwd(wpack, h0p, condp, cfg, out_len, G, Mp, sdt, save_dtype,
+               out_dtype, interpret):
+    u, hsave = _trunk_fwd_call(wpack, h0p, condp, cfg, out_len, G, Mp, sdt,
+                               save_dtype, out_dtype, interpret, save=True)
+    return u, (wpack, condp, hsave)
 
 
-def _trunk_bwd(cfg, out_len, G, sdt, save_dtype, out_dtype, interpret, res,
-               du):
-    wpack, hsave = res
+def _trunk_bwd(cfg, out_len, G, Mp, sdt, save_dtype, out_dtype, interpret,
+               res, du):
+    wpack, condp, hsave = res
     kernel, (T, P, Tp, OFF) = _make_bwd_kernel(cfg, out_len, G, sdt,
-                                               save_dtype, out_dtype)
+                                               save_dtype, out_dtype, Mp=Mp)
     NG = hsave.shape[0]
     L, k, R, D = (cfg.num_layers, cfg.kernel_size, cfg.residual_channels,
                   cfg.dilation_channels)
     GR, GD = G * R, G * D
     f32 = jnp.float32
     dma_out = _use_dma_out(out_len)
-    wz, wr, bi, br = _expand_stacked(wpack, cfg, G, sdt)
+    exp = _expand_stacked(wpack, cfg, G, Mp, sdt)
+    wz, wr, bi, br = exp[:4]
     wzt = jnp.swapaxes(wz, 1, 2)  # (L, G*k*R, G*2D)
     wrt = jnp.swapaxes(wr, 1, 2)  # (L, G*D, G*R)
 
@@ -554,6 +621,49 @@ def _trunk_bwd(cfg, out_len, G, sdt, save_dtype, out_dtype, interpret, res,
     def cidx3(n):
         return (0, 0, 0)
 
+    args = [du, hsave, wz, wr, bi, wzt, wrt]
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY) if dma_out else
+        pl.BlockSpec((1, L, GD, out_len), lambda n: (n, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),  # hsave
+    ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+    if Mp:
+        wcexp = exp[4]
+        args += [condp.astype(sdt), wcexp, jnp.swapaxes(wcexp, 1, 2)]
+        in_specs += [
+            pl.BlockSpec((1, G * Mp, Tp), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+    out_specs = [
+        pl.BlockSpec((1, GR, Tp), lambda n: (n, 0, 0),
+                     memory_space=pltpu.VMEM),
+        # weight grads: constant-index blocks accumulated across the
+        # whole grid, flushed to HBM once at the last program
+        pl.BlockSpec((L, 2 * D, k * R), cidx3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, R, D), cidx3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * D, L), cidx2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, L), cidx2, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((NG, GR, Tp), f32),
+        jax.ShapeDtypeStruct((L, 2 * D, k * R), f32),
+        jax.ShapeDtypeStruct((L, R, D), f32),
+        jax.ShapeDtypeStruct((2 * D, L), f32),
+        jax.ShapeDtypeStruct((R, L), f32),
+    ]
+    if Mp:
+        out_specs += [
+            pl.BlockSpec((L, 2 * D, Mp), cidx3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G * Mp, Tp), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((L, 2 * D, Mp), f32),
+            jax.ShapeDtypeStruct((NG, G * Mp, Tp), f32),
+        ]
     scratch = [
         pltpu.VMEM((GR, Tp), f32),
         pltpu.VMEM((G * k * R, Tp), sdt),
@@ -565,47 +675,30 @@ def _trunk_bwd(cfg, out_len, G, sdt, save_dtype, out_dtype, interpret, res,
             pltpu.VMEM((2, GD, out_len), du.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ]
-    dh0p, dwcat, dwr1, dbi, dbr = pl.pallas_call(
+    if Mp:
+        scratch.append(pltpu.VMEM((G * Mp, Tp), f32))
+    res_out = pl.pallas_call(
         kernel,
         grid=(NG,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY) if dma_out else
-            pl.BlockSpec((1, L, GD, out_len), lambda n: (n, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # hsave
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # wz
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # wr
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bi
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # wzt
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # wrt
-        ],
-        out_specs=(
-            pl.BlockSpec((1, GR, Tp), lambda n: (n, 0, 0),
-                         memory_space=pltpu.VMEM),
-            # weight grads: constant-index blocks accumulated across the
-            # whole grid, flushed to HBM once at the last program
-            pl.BlockSpec((L, 2 * D, k * R), cidx3,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, R, D), cidx3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * D, L), cidx2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, L), cidx2, memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((NG, GR, Tp), f32),
-            jax.ShapeDtypeStruct((L, 2 * D, k * R), f32),
-            jax.ShapeDtypeStruct((L, R, D), f32),
-            jax.ShapeDtypeStruct((2 * D, L), f32),
-            jax.ShapeDtypeStruct((R, L), f32),
-        ),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(du, hsave, wz, wr, bi, wzt, wrt)
-    # cotangents in wpack's per-item layout: (wcat, wr1, bi1, br1), h0p
-    return (dwcat, dwr1, dbi.T, dbr.T), dh0p.astype(jnp.float32)
+    )(*args)
+    dh0p, dwcat, dwr1, dbi, dbr = res_out[:5]
+    # cotangents in wpack's per-item layout, and for (h0p, condp)
+    dwpack = [dwcat, dwr1, dbi.T, dbr.T]
+    dcondp = None
+    if Mp:
+        dwc, dcondp = res_out[5], res_out[6]
+        M = wpack[4].shape[2]
+        dwpack.append(dwc[:, :, :M])
+    return tuple(dwpack), dh0p.astype(jnp.float32), dcondp
 
 
 _trunk.defvjp(_trunk_fwd, _trunk_bwd)
@@ -617,6 +710,7 @@ def fused_trunk(
     h0: jnp.ndarray,
     out_len: int,
     *,
+    cond: jnp.ndarray | None = None,
     save_dtype=jnp.bfloat16,
     out_dtype=None,
     raw: bool = False,
@@ -634,9 +728,15 @@ def fused_trunk(
     (the (N, out, L*D) relayout materializes a (N*out*L*D) buffer both
     forward and backward; the skip projection doesn't need it).
 
-    Differentiable w.r.t. ``params`` and ``h0`` via a custom VJP whose
-    backward is a second Pallas kernel (reverse layer walk per item pair,
-    recompute from the bf16-saved stream, in-VMEM weight-grad accumulation).
+    ``cond``: optional local conditioning ``(N, T, cond_channels)`` —
+    the vocoder training path. It rides as a channels-first per-pair VMEM
+    block; each layer adds one (2GD, G*M) pass, and the backward also
+    emits d(cond) (the learnable upsampler differentiates through it).
+
+    Differentiable w.r.t. ``params``, ``h0`` and ``cond`` via a custom VJP
+    whose backward is a second Pallas kernel (reverse layer walk per item
+    pair, recompute from the bf16-saved stream, in-VMEM weight-grad
+    accumulation).
 
     ``cfg.stream_dtype`` governs the in-VMEM stream/tap buffers (bfloat16
     halves the kernel's dominant VMEM traffic; matmuls still accumulate
@@ -658,7 +758,13 @@ def fused_trunk(
         raise ValueError(
             f"h0 length {T} != receptive_field + out_len - 1 = {Texp}"
         )
-    G = 2 if N % 2 == 0 else 1
+    D, k = cfg.dilation_channels, cfg.kernel_size
+    # pair stacking only while the stacked gated matmul still fits one MXU
+    # tile (beyond that G=2 doubles VMEM for zero MXU saving), and not
+    # with conditioning (the cond block + grads already crowd VMEM at
+    # vocoder widths)
+    G = 2 if (N % 2 == 0 and 2 * D * 2 <= _LANE and k * R * 2 <= _LANE
+              and cond is None) else 1
     sdt = jnp.dtype(cfg.stream_dtype)
     out_dtype = jnp.dtype(out_dtype or jnp.float32)
     # channels-first + front zero pad (the kernel's static-shift history)
@@ -668,10 +774,23 @@ def fused_trunk(
         jnp.swapaxes(h0.astype(jnp.float32), 1, 2),
         ((0, 0), (0, 0), (P, Tp - P - T)),
     ).reshape(N // G, G * R, Tp)
-    wpack = _stacked_weights(params, cfg, G)
-    u = _trunk(wpack, h0p, cfg, out_len, G, sdt, jnp.dtype(save_dtype),
-               out_dtype, interpret)
-    L, D = cfg.num_layers, cfg.dilation_channels
+    condp = None
+    Mp = 0
+    if cond is not None:
+        if cond.shape[:2] != (N, T):
+            raise ValueError(
+                f"cond shape {cond.shape} must be (N, T, M) = ({N}, {T}, M)"
+            )
+        M = cond.shape[2]
+        Mp = -(-M // 16) * 16  # sublane-align for 2-byte stream dtypes too
+        condp = jnp.pad(
+            jnp.swapaxes(cond.astype(jnp.float32), 1, 2),
+            ((0, 0), (0, Mp - M), (P, Tp - P - T)),
+        ).reshape(N // G, G * Mp, Tp)
+    wpack = _stacked_weights(params, cfg, G, has_cond=cond is not None)
+    u = _trunk(wpack, h0p, condp, cfg, out_len, G, Mp, sdt,
+               jnp.dtype(save_dtype), out_dtype, interpret)
+    L = cfg.num_layers
     u = u.reshape(N // G, L, G, D, out_len)
     if raw:
         return u

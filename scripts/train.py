@@ -55,8 +55,9 @@ def parse_args():
                    help="fused Pallas training trunk (cfg.trunk_kernel): "
                         "the whole layer walk runs VMEM-resident in one "
                         "kernel — 1.5-1.7x faster train steps at chaconne "
-                        "widths; unconditioned configs only (conditioned "
-                        "models fall back to the XLA trunk)")
+                        "widths; local conditioning (vocoder) rides "
+                        "in-kernel, global-cond models fall back to the "
+                        "XLA trunk")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--lr", type=float, default=1e-4)

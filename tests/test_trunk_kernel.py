@@ -185,3 +185,60 @@ def test_rejects_wrong_window():
     h0 = embed_inputs(params, cfg, x)
     with pytest.raises(ValueError, match="receptive_field"):
         tk.fused_trunk(params, cfg, h0[:, :-1], 20)
+
+
+@pytest.mark.parametrize(
+    "kw,N,out_len",
+    [
+        ({"cond_channels": 6}, 2, 20),       # M padded 6 -> 16
+        ({"cond_channels": 16}, 3, 20),      # aligned M, G=1 (odd batch)
+        ({"cond_channels": 6, "kernel_size": 3}, 2, 128),  # DMA-out path
+    ],
+)
+def test_conditioned_forward_and_grads(kw, N, out_len):
+    """Local conditioning rides in-kernel (the vocoder training path):
+    forward matches the XLA conditioned trunk, and grads — including
+    d(cond), which the learnable upsampler needs — are exact under f32
+    saves."""
+    import functools
+
+    cfg, params, x = _setup(out_len, N=N, **kw)
+    cond = jax.random.normal(
+        jax.random.PRNGKey(5), (N, x.shape[1], cfg.cond_channels)
+    ) * 0.3
+    cfg_k = dataclasses.replace(cfg, trunk_kernel=True)
+    ref = wavenet_logits(params, cfg, x, out_len, cond=cond)
+    got = wavenet_logits(params, cfg_k, x, out_len, cond=cond)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-6, rtol=1e-5)
+
+    tgt = jax.random.randint(jax.random.PRNGKey(9), (N, out_len), 0,
+                             cfg.classes)
+
+    def loss(p, c, cnd):
+        ls = jax.nn.log_softmax(wavenet_logits(p, c, x, out_len, cond=cnd))
+        return -jnp.mean(jnp.take_along_axis(ls, tgt[..., None], axis=-1))
+
+    g_ref = jax.grad(loss, argnums=(0, 2))(params, cfg, cond)
+    orig = tk.fused_trunk
+    try:
+        tk.fused_trunk = functools.partial(orig, save_dtype=jnp.float32)
+        g_got = jax.grad(loss, argnums=(0, 2))(params, cfg_k, cond)
+    finally:
+        tk.fused_trunk = orig
+    _assert_grads_close(g_ref, g_got, 1e-5)
+
+
+def test_global_cond_falls_back():
+    """global_cond still takes the XLA trunk (no kernel support): results
+    agree because it IS the same path."""
+    cfg = wt.get_config("tiny", gcond_channels=4)
+    cfg_k = dataclasses.replace(cfg, trunk_kernel=True)
+    params = init_wavenet(jax.random.PRNGKey(0), cfg)
+    out_len = 12
+    T = cfg.receptive_field + out_len - 1
+    x = jax.random.randint(jax.random.PRNGKey(1), (2, T), 0, cfg.classes)
+    g = jax.random.normal(jax.random.PRNGKey(2), (2, 4))
+    ref = wavenet_logits(params, cfg, x, out_len, global_cond=g)
+    got = wavenet_logits(params, cfg_k, x, out_len, global_cond=g)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
