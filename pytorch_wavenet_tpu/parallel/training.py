@@ -123,7 +123,7 @@ def sharded_pool_step(
     temperature, lane_seed, lane_clock, cond=None,
     interpret: bool = False, ring_dtype=None, fuse_res: bool = False,
     stage_layers: int | None = None, head_tiles: int | None = None,
-    regularize: float = 0.0,
+    skip_slab: bool = False, regularize: float = 0.0,
 ):
     """One continuous-batching pool step with the lane axis sharded over
     the data mesh axis: every chip advances its shard of the shared
@@ -157,7 +157,8 @@ def sharded_pool_step(
             lane_seed=seeds, lane_clock=toffs, interpret=interpret,
             ring_dtype=state.ring.dtype if ring_dtype is None else ring_dtype,
             fuse_res=fuse_res, stage_layers=stage_layers,
-            head_tiles=head_tiles, regularize=regularize,
+            head_tiles=head_tiles, skip_slab=skip_slab,
+            regularize=regularize,
         )
         return out, st.ring, st.t, st.cls
 

@@ -220,6 +220,7 @@ class ContinuousBatcher:
         self._closing = False
         self._draining = False
         self._staged_params = None  # pending update_params swap
+        self._splice = None  # jitted on-device admission splice (lazy)
         # serializes the _closing check against close()'s final drain, so a
         # submit can never enqueue into a queue nobody will ever read again
         self._lifecycle = threading.Lock()
@@ -408,39 +409,70 @@ class ContinuousBatcher:
             lane_seed=jnp.asarray([p.seed for p in pends], jnp.int32),
             **{**self._kw, "head_tiles": None},
         )
-        n = len(pends)
-        cols = np.asarray(st.ring[:, :n]).copy()
         total = int(st.t)
-        # zero-fill ring slots the solo run never wrote: slot s of a
-        # period-P ring was written iff some t in [0, total) has t % P == s
-        R = self.cfg.residual_channels
-        for l, P in enumerate(self._periods):
-            if total >= P:
-                continue
-            base = self._ring_off[l] * R
-            cols[base + total * R : base + P * R] = 0
-        return cols, total, np.asarray(cls[:, 0])
+        # st.ring stays ON DEVICE (lane-padded width) — the splice re-bases
+        # and scatters it there; only the scalar clock and the (n,) first
+        # samples cross to host
+        return st.ring, total, np.asarray(cls[:, 0])
 
-    def _align_and_insert(self, cols: np.ndarray, t_local: int,
-                          lanes: list[int], firsts: np.ndarray):
-        """Re-base primed columns from their local clock to the batcher's:
-        ring slot = t mod period, so shifting the clock by delta rolls each
-        layer's slot axis by delta mod period. One scatter for the whole
-        group."""
-        T0 = self._global_t()
+    def _build_splice(self):
+        """The jitted on-device admission splice. Re-bases each layer's
+        ring slots from the request-local clock to the batcher's (ring
+        slot = t mod period, so shifting the clock by delta is a
+        ``(slot - delta) mod P`` gather of the slot axis), zero-fills the
+        slots a short solo prime never wrote (slot s of a period-P ring was
+        written iff s < t_local when t_local < P), and scatters the columns
+        into the pool ring at the target lanes. One device call per
+        admission group: the previous host-side path materialized the FULL
+        primed ring to host, np.roll'ed it, and re-uploaded — at chaconne
+        x1024 lanes that is ~400 MB each way per admission burst, which
+        measured as ~25x serving overhead on capacity loads."""
+        from functools import partial as _partial
+
+        periods, ring_off = self._periods, self._ring_off
         R = self.cfg.residual_channels
-        for l, P in enumerate(self._periods):
-            delta = (T0 - t_local) % P
-            if delta:
-                base = self._ring_off[l] * R
-                block = cols[base : base + P * R].reshape(P, R, -1)
-                cols[base : base + P * R] = np.roll(
-                    block, delta, axis=0
-                ).reshape(P * R, -1)
-        idx = jnp.asarray(lanes)
-        ring = self._state.ring.at[:, idx].set(
-            jnp.asarray(cols, self._state.ring.dtype))
-        cls = self._state.cls.at[idx].set(jnp.asarray(firsts, jnp.int32))
+
+        @_partial(jax.jit, donate_argnums=(0, 1))
+        def splice(ring, cls, primed, firsts, lane_idx, src, t0, t_local):
+            cols = []
+            for l, P in enumerate(periods):
+                base = int(ring_off[l]) * R
+                blk = primed[base : base + P * R].reshape(P, R, -1)
+                slot = jnp.arange(P)
+                blk = jnp.where(
+                    slot[:, None, None] < jnp.minimum(t_local, P), blk, 0)
+                idx = jnp.mod(slot - jnp.mod(t0 - t_local, P), P)
+                cols.append(blk[idx].reshape(P * R, -1))
+            colcat = jnp.concatenate(cols, axis=0)
+            # src deduplicates the lane-padding: dummy entries are copies
+            # of entry 0, so duplicate scatter indices write identical
+            # values and the dummy writes are no-ops
+            colcat = jnp.take(colcat, src, axis=1).astype(ring.dtype)
+            ring = ring.at[:, lane_idx].set(colcat)
+            cls = cls.at[lane_idx].set(firsts)
+            return ring, cls
+
+        return splice
+
+    def _align_and_insert(self, primed, t_local: int,
+                          lanes: list[int], firsts: np.ndarray):
+        """Splice a primed group into the pool on device (see
+        :meth:`_build_splice`); the ring state never visits the host."""
+        if self._splice is None:
+            self._splice = self._build_splice()
+        n = len(lanes)
+        W = primed.shape[1]  # the prime call's lane-padded width
+        src = np.concatenate(
+            [np.arange(n), np.zeros(W - n, np.int64)])
+        lane_idx = np.asarray(lanes, np.int32)[src]
+        firsts_p = np.asarray(firsts, np.int32)[src]
+        ring, cls = self._splice(
+            self._state.ring, self._state.cls, primed,
+            jnp.asarray(firsts_p), jnp.asarray(lane_idx),
+            jnp.asarray(src, jnp.int32),
+            jnp.asarray(self._global_t(), jnp.int32),
+            jnp.asarray(t_local, jnp.int32),
+        )
         self._state = HbmGenState(ring=ring, t=self._state.t, cls=cls)
 
     def _ensure_state(self):
@@ -605,6 +637,10 @@ class ContinuousBatcher:
             )
         self._clock += self.chunk  # admissions after this dispatch rebase
         # against the advanced clock (state.t moves with the dispatch)
+        if self.cfg.classes <= 32768:
+            # halve the device->host chunk transfer (one extra async device
+            # op that overlaps the pipeline; the host re-widens to int32)
+            cls = cls.astype(jnp.int16)
         return cls, list(self._active)
 
     def _deliver_chunk(self, cls, riders):
@@ -612,7 +648,7 @@ class ContinuousBatcher:
         completes) and distribute it to its riders. A rider that finished
         or was cancelled after the dispatch is skipped — its trailing
         samples are discarded, like a free lane's greedy output."""
-        cls = np.asarray(cls)
+        cls = np.asarray(cls).astype(np.int32, copy=False)
         still = []
         rider_ids = {id(a) for a in riders}
         for act in self._active:
