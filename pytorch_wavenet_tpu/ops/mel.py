@@ -130,6 +130,60 @@ def upsample_frames_conv(
     return x[..., :length, :]
 
 
+def frames_window_len(count: int, hop_length: int,
+                      factors: tuple[int, ...] = ()) -> int:
+    """Frame-slab length that :func:`expand_frames_window` needs to expand
+    ``count`` rows starting at any in-frame phase: the forward footprint of
+    a row is its two bracketing frames (linear) or one frame per conv stage,
+    plus one guard frame so the conv stack's in-slab end clamp can never
+    touch a gathered row before the true timeline end."""
+    return count // hop_length + 3 + len(factors)
+
+
+def expand_frames_window(params, frames, hop_length: int, phase,
+                         count: int, factors: tuple[int, ...] = ()):
+    """Expand a per-lane conditioning frame slab to ``count`` sample-rate
+    rows, bitwise CHUNK-INVARIANT: expanding rows ``[off, off + count)`` of
+    a timeline in any chunk decomposition yields identical floats, because
+    the interpolation weight of global row ``t`` is computed from integer
+    ``t mod hop`` (one f32 division of identical operands) rather than from
+    a magnitude-dependent float ``t / hop``. This is what lets the serving
+    pool ship mel FRAMES over the wire (hop x less host->device traffic
+    than sample-rate rows) while keeping the batcher's bitwise
+    solo-equality guarantee.
+
+    ``frames``: ``(lanes, Fs, M)`` slab, where lane ``l``'s slab starts at
+    its timeline frame ``off_l // hop`` and the host replicates the final
+    frame past the timeline end. End-of-timeline semantics are defined at
+    the FRAME level: rows past ``F * hop`` follow from replicated frames
+    (the guard frames in :func:`frames_window_len` keep the conv stack's
+    in-slab stage clamps from ever touching a returned row, so a
+    full-timeline reference expansion must extend its frames by
+    ``len(factors) + 1`` replicated rows the same way). ``phase``:
+    ``(lanes,)`` int32 ``off_l mod hop``. ``factors``: the learnable
+    upsampler stages (must match ``params['cond_up']``), or ``()`` for
+    linear interpolation. Returns ``(lanes, count, M)`` f32.
+    """
+    j = phase[:, None] + jnp.arange(count, dtype=jnp.int32)[None]
+    if factors:
+        x = frames
+        for i, r in enumerate(factors):
+            w = params["cond_up"][f"s{i}"]  # (2, r, M, M)
+            nxt = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+            a = jnp.einsum("lfm,jmn->lfjn", x, w[0])
+            b = jnp.einsum("lfm,jmn->lfjn", nxt, w[1])
+            y = a + b
+            x = y.reshape(x.shape[0], x.shape[1] * r, x.shape[2])
+        return jnp.take_along_axis(x, j[..., None], axis=1)
+    Fs = frames.shape[1]
+    i0 = jnp.minimum(j // hop_length, Fs - 1)
+    w = (j % hop_length).astype(jnp.float32)[..., None] / hop_length
+    a = jnp.take_along_axis(frames, i0[..., None], axis=1)
+    b = jnp.take_along_axis(frames, jnp.minimum(i0 + 1, Fs - 1)[..., None],
+                            axis=1)
+    return a * (1.0 - w) + b * w
+
+
 def linear_init_upsampler(
     factors: tuple[int, ...], channels: int, dtype=np.float32
 ) -> dict:

@@ -115,7 +115,11 @@ class _Active:
     handle: GenerationHandle
     lane: int
     remaining: int
-    cond: np.ndarray | None = None  # remaining per-sample cond rows (k, M)
+    # rows mode: remaining per-sample cond rows (k, M).
+    # frames mode (pool cond_hop set): the request's FULL frame timeline
+    # (F, M); cond_off tracks the next sample-rate row to consume.
+    cond: np.ndarray | None = None
+    cond_off: int = 0
 
 
 @dataclass
@@ -148,6 +152,7 @@ class ContinuousBatcher:
                  skip_slab: bool = False,
                  regularize: float = 0.0,
                  max_pending: int | None = None,
+                 cond_hop: int | None = None,
                  mesh=None):
         """``mesh``: a ``jax.sharding.Mesh`` with a data axis — the lane
         pool is sharded over it and every chunk advances on all chips in
@@ -155,6 +160,31 @@ class ContinuousBatcher:
         (pod-scale serving: n_chips x lanes-per-chip streams, one pool).
         Per-request seeds make this transparent: a lane's rollout is
         bitwise identical however many chips the pool spans."""
+        self.cond_hop = cond_hop
+        self._factors: tuple[int, ...] = ()
+        if cond_hop is not None:
+            # frames-on-the-wire conditioning: requests submit mel FRAMES
+            # (cond_frames=) and the pool expands them to sample rate ON
+            # DEVICE per chunk — hop x less host->device traffic than
+            # sample-rate rows (a (lanes, chunk, 80) f32 slab is ~160 MB
+            # per chunk at 1024 lanes; frames are ~hop x smaller), with
+            # bitwise chunk-invariant expansion (ops/mel.py
+            # expand_frames_window) so the pooled rollout still equals the
+            # solo one
+            if cfg.cond_channels == 0:
+                raise ValueError("cond_hop needs cfg.cond_channels > 0")
+            if cond_hop < 1:
+                raise ValueError(f"cond_hop must be >= 1, got {cond_hop}")
+            if cfg.cond_upsample and "cond_up" in params:
+                total = 1
+                for r in cfg.cond_upsample:
+                    total *= r
+                if total != cond_hop:
+                    raise ValueError(
+                        f"cond_upsample factors {cfg.cond_upsample} "
+                        f"multiply to {total} != cond_hop {cond_hop}")
+                self._factors = tuple(cfg.cond_upsample)
+        self._expand_cache: dict[int, object] = {}
         per_chip = lanes
         if mesh is not None:
             from ..parallel.mesh import DATA_AXIS
@@ -206,6 +236,11 @@ class ContinuousBatcher:
         # snapshot for monitoring)
         self._n = dict(admitted=0, completed=0, cancelled=0, failed=0,
                        samples_out=0, pool_steps=0, prime_calls=0)
+        # cumulative worker-loop phase seconds (where serving wall time
+        # goes: device dispatch, chunk materialize+distribute, admission,
+        # idle wait) — `stats()` exposes them for capacity debugging
+        self._t = dict(t_dispatch=0.0, t_deliver=0.0, t_admit=0.0,
+                       t_idle=0.0)
         # accepted-but-unfinished requests (covers the submit-queue, the
         # in-admission window _admit holds them in, and active lanes) —
         # the drain condition; guarded by its own lock because handles
@@ -221,6 +256,12 @@ class ContinuousBatcher:
         self._draining = False
         self._staged_params = None  # pending update_params swap
         self._splice = None  # jitted on-device admission splice (lazy)
+        # device-resident copies of the per-lane step args — they change
+        # only at admission/completion/cancel events, so steady-state
+        # chunks skip three host->device uploads each (dispatch compares
+        # against the host snapshot, ~us for the whole pool)
+        self._dev_args = None
+        self._host_args = None
         # serializes the _closing check against close()'s final drain, so a
         # submit can never enqueue into a queue nobody will ever read again
         self._lifecycle = threading.Lock()
@@ -231,7 +272,7 @@ class ContinuousBatcher:
     # ------------------------------------------------------------- client
 
     def submit(self, prime, num_samples: int, temperature: float = 1.0,
-               on_chunk=None, cond=None,
+               on_chunk=None, cond=None, cond_frames=None,
                seed: int | None = None) -> GenerationHandle:
         """Queue a request. ``prime`` is an int class sequence
         ``(num_given,)`` (at least 1 sample; use ``classes // 2`` for an
@@ -243,7 +284,16 @@ class ContinuousBatcher:
         contract (row t conditions the step that consumes input sample t).
         Each lane carries its own conditioning timeline, so many mel/TTS
         streams share one rollout; unconditioned requests on a conditioned
-        model get zero rows.
+        model get zero rows. Only on pools without ``cond_hop``.
+
+        ``cond_frames``: frame-rate conditioning ``(F, M)`` with
+        ``F >= ceil(total_rows / cond_hop)`` — only on pools constructed
+        with ``cond_hop``. The pool expands frames to sample rate ON
+        DEVICE (``ops.mel.expand_frames_window``: linear interpolation, or
+        the model's learnable upsampler when ``cfg.cond_upsample`` is
+        set), so the wire carries ``hop`` x less data than per-sample
+        rows. Expansion is bitwise chunk-invariant, so the reproducibility
+        guarantee below holds with the same-frames solo rollout.
 
         ``seed``: per-request sampling seed. Sampling noise is counted off
         (class, request-local step, seed), so the rollout is bitwise
@@ -258,7 +308,13 @@ class ContinuousBatcher:
             raise ValueError("prime must be a 1-D class sequence")
         if num_samples < 1:
             raise ValueError("num_samples must be >= 1")
+        if cond is not None and cond_frames is not None:
+            raise ValueError("pass cond OR cond_frames, not both")
         if cond is not None:
+            if self.cond_hop is not None:
+                raise ValueError(
+                    "this pool ships conditioning as frames "
+                    f"(cond_hop={self.cond_hop}); pass cond_frames=")
             M = self.cfg.cond_channels
             if M == 0:
                 raise ValueError("cond given but cfg.cond_channels == 0")
@@ -266,6 +322,19 @@ class ContinuousBatcher:
             want = (prime.size - 1 + num_samples, M)
             if cond.shape != want:
                 raise ValueError(f"cond shape {cond.shape} != {want}")
+        if cond_frames is not None:
+            if self.cond_hop is None:
+                raise ValueError(
+                    "cond_frames needs a pool constructed with cond_hop=")
+            M = self.cfg.cond_channels
+            cond_frames = np.asarray(cond_frames, np.float32)
+            need = -(-(prime.size - 1 + num_samples) // self.cond_hop)
+            if (cond_frames.ndim != 2 or cond_frames.shape[1] != M
+                    or cond_frames.shape[0] < need):
+                raise ValueError(
+                    f"cond_frames shape {cond_frames.shape} must be "
+                    f"(F >= {need}, {M})")
+            cond = cond_frames  # rides _Pending.cond; mode is pool-level
         h = GenerationHandle(num_samples, on_chunk)
         h._classes = self.cfg.classes
         with self._lifecycle:
@@ -330,6 +399,7 @@ class ContinuousBatcher:
             "free": self.lanes - active, "queued": self._submit_q.qsize(),
             "outstanding": outstanding,
             "pool_clock": self._global_t(), **self._n,
+            **{k: round(v, 3) for k, v in self._t.items()},
         }
 
     def close(self, drain: bool = False, timeout: float = 60.0):
@@ -389,31 +459,76 @@ class ContinuousBatcher:
         request's output sample 0)."""
         prime = jnp.asarray(np.stack([p.prime for p in pends]))
         temps = jnp.asarray([p.temperature for p in pends], jnp.float32)
+        ng = pends[0].prime.size
         cond = None
         if any(p.cond is not None for p in pends):
             # the prime consumes cond rows [0, num_given) of each request
-            ng = pends[0].prime.size
-            cond = np.zeros((len(pends), ng, self.cfg.cond_channels),
-                            np.float32)
-            for i, p in enumerate(pends):
-                if p.cond is not None:
-                    cond[i] = p.cond[:ng]
-            cond = jnp.asarray(cond)
+            if self.cond_hop is not None:
+                # frames mode: slab the frame timelines and expand the
+                # prime's rows on device (off = 0, so phase = 0)
+                from ..ops.mel import frames_window_len
+
+                Fs = frames_window_len(ng, self.cond_hop, self._factors)
+                slab = np.zeros((len(pends), Fs, self.cfg.cond_channels),
+                                np.float32)
+                for i, p in enumerate(pends):
+                    if p.cond is not None:
+                        idx = np.minimum(np.arange(Fs), p.cond.shape[0] - 1)
+                        slab[i] = p.cond[idx]
+                cond = self._expand_frames(
+                    jnp.asarray(slab),
+                    jnp.zeros(len(pends), jnp.int32), ng)
+            else:
+                cond = np.zeros((len(pends), ng, self.cfg.cond_channels),
+                                np.float32)
+                for i, p in enumerate(pends):
+                    if p.cond is not None:
+                        cond[i] = p.cond[:ng]
+                cond = jnp.asarray(cond)
         # prime calls pad to 128 streams, which can't satisfy head_tiles'
         # streams % (128*G) requirement — and a <=128-wide call doesn't need
-        # head tiling anyway, so drop it here (chunk steps keep it)
+        # head tiling anyway, so drop it here (chunk steps keep it).
+        # Widths bucket to powers-of-two x 128: every distinct width is a
+        # fresh XLA compile of the prime + splice programs (~seconds each
+        # through the device tunnel), and burst sizes are arbitrary — the
+        # bucket bounds the variants at log2(lanes/128) + 1.
+        kw = {**self._kw, "head_tiles": None}
+        if kw.get("pad_streams"):
+            b = kw["pad_streams"]
+            while b < len(pends):
+                b *= 2
+            kw["pad_streams"] = b
         self._n["prime_calls"] += 1
         _, cls, st = generate_fast_batched(
             self.params, self.cfg, self._next_key(), 1, prime,
             temperature=temps, cond=cond, return_state=True,
             lane_seed=jnp.asarray([p.seed for p in pends], jnp.int32),
-            **{**self._kw, "head_tiles": None},
+            **kw,
         )
-        total = int(st.t)
         # st.ring stays ON DEVICE (lane-padded width) — the splice re-bases
-        # and scatters it there; only the scalar clock and the (n,) first
-        # samples cross to host
-        return st.ring, total, np.asarray(cls[:, 0])
+        # and scatters it there; only the (n,) first samples cross to host.
+        # The local clock is deterministic (ng - 1 ingested + 1 generated),
+        # so no device sync on st.t.
+        return st.ring, ng, np.asarray(cls[:, 0])
+
+    def _expand_frames(self, slab, phase, count: int):
+        """Device-expand a per-lane frame slab to ``count`` sample-rate
+        cond rows (frames mode). Jitted per row count (two counts in
+        steady state: the chunk size and each distinct prime length)."""
+        fn = self._expand_cache.get(count)
+        if fn is None:
+            hop, factors = self.cond_hop, self._factors
+            from ..ops.mel import expand_frames_window
+
+            @jax.jit
+            def fn(cond_up, slab, phase):
+                p = {"cond_up": cond_up} if factors else None
+                return expand_frames_window(p, slab, hop, phase, count,
+                                            factors)
+
+            self._expand_cache[count] = fn
+        cond_up = self.params.get("cond_up") if self._factors else None
+        return fn(cond_up, slab, phase)
 
     def _build_splice(self):
         """The jitted on-device admission splice. Re-bases each layer's
@@ -559,11 +674,15 @@ class ContinuousBatcher:
                     self._n["failed"] += 1
                     pend.handle._finish(e)
                     continue
-                rest = None
-                if pend.cond is not None:  # rows the prime didn't consume
-                    rest = pend.cond[pend.prime.size :]
+                rest, coff = None, 0
+                if pend.cond is not None:
+                    if self.cond_hop is not None:  # frames mode: keep the
+                        rest = pend.cond  # timeline, track the row offset
+                        coff = pend.prime.size
+                    else:  # rows the prime didn't consume
+                        rest = pend.cond[pend.prime.size :]
                 act = _Active(pend.handle, lane,
-                              pend.handle.num_samples - 1, rest)
+                              pend.handle.num_samples - 1, rest, coff)
                 if act.remaining <= 0:
                     self._temps[lane] = 0.0
                     self._free.append(lane)
@@ -606,16 +725,40 @@ class ContinuousBatcher:
         _run). ``riders`` snapshots the active list as of this dispatch."""
         cond = None
         if any(act.cond is not None for act in self._active):
-            # assemble this chunk's per-lane cond rows; finished/free/
-            # unconditioned lanes ride zero rows
-            cond = np.zeros((self.lanes, self.chunk, self.cfg.cond_channels),
-                            np.float32)
-            for act in self._active:
-                if act.cond is not None:
-                    k = min(self.chunk, act.cond.shape[0])
-                    cond[act.lane, :k] = act.cond[:k]
-                    act.cond = act.cond[k:]
-            cond = jnp.asarray(cond)
+            if self.cond_hop is not None:
+                # frames mode: ship only each lane's frame WINDOW for this
+                # chunk and expand to sample rate on device — hop x less
+                # host->device traffic than the dense rows slab
+                from ..ops.mel import frames_window_len
+
+                hop = self.cond_hop
+                Fs = frames_window_len(self.chunk, hop, self._factors)
+                slab = np.zeros(
+                    (self.lanes, Fs, self.cfg.cond_channels), np.float32)
+                phase = np.zeros(self.lanes, np.int32)
+                for act in self._active:
+                    if act.cond is None:
+                        continue
+                    fs = act.cond_off // hop
+                    idx = np.minimum(fs + np.arange(Fs),
+                                     act.cond.shape[0] - 1)
+                    slab[act.lane] = act.cond[idx]
+                    phase[act.lane] = act.cond_off - fs * hop
+                    act.cond_off += self.chunk
+                cond = self._expand_frames(
+                    jnp.asarray(slab), jnp.asarray(phase), self.chunk)
+            else:
+                # assemble this chunk's per-lane cond rows; finished/free/
+                # unconditioned lanes ride zero rows
+                cond = np.zeros(
+                    (self.lanes, self.chunk, self.cfg.cond_channels),
+                    np.float32)
+                for act in self._active:
+                    if act.cond is not None:
+                        k = min(self.chunk, act.cond.shape[0])
+                        cond[act.lane, :k] = act.cond[:k]
+                        act.cond = act.cond[k:]
+                cond = jnp.asarray(cond)
         self._n["pool_steps"] += 1
         if self.mesh is not None:
             from ..parallel.training import sharded_pool_step
@@ -628,12 +771,20 @@ class ContinuousBatcher:
                 **kw,
             )
         else:
+            if self._host_args is None or not (
+                    np.array_equal(self._temps, self._host_args[0])
+                    and np.array_equal(self._seeds, self._host_args[1])
+                    and np.array_equal(self._toffs, self._host_args[2])):
+                self._host_args = (self._temps.copy(), self._seeds.copy(),
+                                   self._toffs.copy())
+                self._dev_args = tuple(jnp.asarray(a)
+                                       for a in self._host_args)
             _, cls, self._state = generate_fast_batched(
                 self.params, self.cfg, self._next_key(), self.chunk, None,
-                temperature=jnp.asarray(self._temps), state=self._state,
+                temperature=self._dev_args[0], state=self._state,
                 cond=cond, return_state=True,
-                lane_seed=jnp.asarray(self._seeds),
-                lane_clock=jnp.asarray(self._toffs), **self._kw,
+                lane_seed=self._dev_args[1],
+                lane_clock=self._dev_args[2], **self._kw,
             )
         self._clock += self.chunk  # admissions after this dispatch rebase
         # against the advanced clock (state.t moves with the dispatch)
@@ -697,14 +848,22 @@ class ContinuousBatcher:
                     if staged is not None:
                         self.params = staged
                 self._reap_cancelled()
+                t0 = time.perf_counter()
                 self._admit()
+                t1 = time.perf_counter()
+                self._t["t_admit"] += t1 - t0
                 nxt = self._dispatch_chunk() if self._active else None
+                t2 = time.perf_counter()
+                self._t["t_dispatch"] += t2 - t1
                 if pending is not None:
                     self._deliver_chunk(*pending)
+                    self._t["t_deliver"] += time.perf_counter() - t2
                 pending = nxt
                 if pending is None and not self._active:
+                    t3 = time.perf_counter()
                     self._wake.wait(timeout=0.1)
                     self._wake.clear()
+                    self._t["t_idle"] += time.perf_counter() - t3
             except BaseException as e:
                 pending = None
                 self._fail_all(e)

@@ -125,6 +125,10 @@ def parse_args():
                    help="batcher: run the kernel's embed/head/sampling "
                         "block in G stream groups (VMEM lever for "
                         "wide-head configs at high lane counts)")
+    p.add_argument("--cond-hop", type=int, default=256,
+                   help="batcher pools on conditioned models: the mel hop "
+                        "the pool expands frames at (requests' hop_length "
+                        "must match; frames-on-the-wire conditioning)")
     p.add_argument("--batcher-interpret", action="store_true",
                    help=argparse.SUPPRESS)  # CPU tests of the batcher path
     p.add_argument("--max-pending", type=int, default=None,
@@ -298,17 +302,18 @@ class Synthesizer:
                     jnp.asarray(mel)[None], hop_length,
                     num_samples=nb)[0][:n])
         if self.batcher is not None:
-            # per-lane conditioning: the request rides the shared rollout
-            from pytorch_wavenet_tpu.models.wavenet import upsample_cond
-
+            # per-lane conditioning: the request rides the shared rollout;
+            # the pool expands mel FRAMES to sample rate on device
             n = mel.shape[0] * hop_length  # num_given=1 -> F*hop samples
-            cond = np.asarray(upsample_cond(
-                self.params, self.cfg, jnp.asarray(mel)[None],
-                hop_length, n,
-            )[0])
+            if self.batcher.cond_hop != hop_length:
+                raise ValueError(
+                    f"this pool expands conditioning at hop "
+                    f"{self.batcher.cond_hop}; request used hop_length="
+                    f"{hop_length}")
             h = self.batcher.submit(
                 np.asarray([self.cfg.classes // 2], np.int32), n,
-                temperature=temperature, cond=cond, seed=seed,
+                temperature=temperature, cond_frames=np.asarray(mel),
+                seed=seed,
             )
             wav, _ = h.result(timeout=3600)
             return wav
@@ -702,6 +707,11 @@ def main():
                             interpret=args.batcher_interpret,
                             head_tiles=args.head_tiles,
                             max_pending=args.max_pending)
+        if blob["config"].cond_channels:
+            # conditioned pools ship mel FRAMES over the wire and expand
+            # on device (hop x less per-chunk upload; the pool's hop is a
+            # server property — /vocode requests must use it)
+            batcher_opts["cond_hop"] = args.cond_hop
         if args.bf16_rings:
             batcher_opts["ring_dtype"] = jnp.bfloat16
         if not args.batcher_interpret:

@@ -70,6 +70,11 @@ def parse_args():
                    help="mel-conditioned load: every request carries its "
                         "own random conditioning timeline (requires a "
                         "config with cond_channels, e.g. --config vocoder)")
+    p.add_argument("--cond-hop", type=int, default=256,
+                   help="conditioned load ships mel FRAMES at this hop "
+                        "and the pool expands on device (the production "
+                        "frames-on-the-wire path); 0 = legacy per-sample "
+                        "rows")
     p.add_argument("--ring-dtype", choices=("f32", "bf16"), default="bf16")
     p.add_argument("--exact-chain", action="store_true",
                    help="disable fuse_res (the reassociated serial chain)")
@@ -122,6 +127,7 @@ def main():
         fuse_res=not args.exact_chain,
         stage_layers=args.stage_layers, head_tiles=args.head_tiles,
         skip_slab=args.skip_slab,
+        cond_hop=args.cond_hop if (args.cond and args.cond_hop) else None,
         mesh=mesh,
     )
 
@@ -130,13 +136,16 @@ def main():
         raise SystemExit("--cond needs a conditioned config "
                          "(cfg.cond_channels > 0), e.g. --config vocoder")
 
-    def make_cond():
+    def make_cond(n=None):
         if not args.cond:
             return None
+        rows = args.prime_len - 1 + (n or args.num_samples)
+        if args.cond_hop:  # frames on the wire (hop x less upload)
+            rows = -(-rows // args.cond_hop)
         return rng.normal(
-            0.0, 0.3, (args.prime_len - 1 + args.num_samples,
-                       cfg.cond_channels)
-        ).astype(np.float32)
+            0.0, 0.3, (rows, cfg.cond_channels)).astype(np.float32)
+
+    cond_kw = "cond_frames" if (args.cond and args.cond_hop) else "cond"
 
     if args.prime_len == 1:
         primes = [np.asarray([cfg.classes // 2], np.int32)] * args.requests
@@ -147,14 +156,10 @@ def main():
     # one warm-up request compiles the admission + pool-step programs so
     # the measured window is steady-state serving, not XLA compilation
     t0 = time.perf_counter()
-    warm_cond = None
     if args.cond:
         warm_n = min(args.num_samples, 2 * args.chunk)
-        warm_cond = rng.normal(
-            0.0, 0.3, (args.prime_len - 1 + warm_n, cfg.cond_channels)
-        ).astype(np.float32)
         batcher.submit(primes[0], warm_n, temperature=args.temperature,
-                       cond=warm_cond).result(timeout=3600)
+                       **{cond_kw: make_cond(warm_n)}).result(timeout=3600)
     else:
         batcher.submit(primes[0], min(args.num_samples, 2 * args.chunk),
                        temperature=args.temperature).result(timeout=3600)
@@ -180,9 +185,10 @@ def main():
             try:
                 h = batcher.submit(
                     primes[i], args.num_samples,
-                    temperature=args.temperature, seed=i, cond=make_cond(),
+                    temperature=args.temperature, seed=i,
                     on_chunk=lambda c, f=first, t=t_sub: f.append(
                         time.perf_counter() - t) if not f else None,
+                    **{cond_kw: make_cond()},
                 )
                 _, cls = h.result(timeout=3600)
                 t_done = time.perf_counter() - t_sub
@@ -205,6 +211,7 @@ def main():
     for t in threads:
         t.join()
     wall = time.perf_counter() - t_start
+    stats = batcher.stats()
     batcher.close()
 
     if not latency:
@@ -225,6 +232,10 @@ def main():
         "ttfa_p95_ms": round(q(ttfa, 95) * 1e3, 1),
         "latency_p50_s": round(q(latency, 50), 3),
         "latency_p95_s": round(q(latency, 95), 3),
+        # worker-loop phase breakdown (where the pool's wall time went)
+        **{k: stats[k] for k in
+           ("pool_steps", "prime_calls",
+            "t_dispatch", "t_deliver", "t_admit", "t_idle")},
     }
     print(
         f"{len(latency)}/{args.requests} x {args.num_samples} samples, "

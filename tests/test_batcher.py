@@ -182,6 +182,90 @@ def test_cond_shape_rejected(tiny):
         b.close()
 
 
+def test_frames_mode_matches_solo():
+    """Frames-on-the-wire conditioning (pool cond_hop): a temp-0 request
+    submitting mel FRAMES equals the solo rollout whose cond is the same
+    frames expanded over the full timeline — the pool's per-chunk device
+    expansion is bitwise chunk-invariant (ops/mel.py), so admission time
+    and chunking never change a response."""
+    from pytorch_wavenet_tpu.ops.mel import expand_frames_window
+
+    cfg = wt.get_config("tiny_vocoder")
+    params = wt.init_wavenet(jax.random.PRNGKey(30), cfg)
+    rf, M, hop = cfg.receptive_field, cfg.cond_channels, 4
+    prime = np.asarray(jax.random.randint(
+        jax.random.PRNGKey(31), (rf,), 0, cfg.classes))
+    n1, n2 = 17, 9
+
+    def mk_frames(seed, n):
+        F = -(-(rf - 1 + n) // hop) + 2
+        return np.asarray(0.5 * jax.random.normal(
+            jax.random.PRNGKey(seed), (F, M)), np.float32)
+
+    f1, f2 = mk_frames(32, n1), mk_frames(33, n2)
+
+    def solo(frames, n):
+        from pytorch_wavenet_tpu.ops.mel import frames_window_len
+
+        total = rf - 1 + n
+        Fs = frames.shape[0]
+        need = frames_window_len(total, hop)
+        idx = np.minimum(np.arange(max(Fs, need)), Fs - 1)
+        rows = expand_frames_window(
+            None, jnp.asarray(frames[idx])[None], hop,
+            jnp.zeros(1, jnp.int32), total)
+        _, cls = wt.generate_fast(
+            params, cfg, jax.random.PRNGKey(9), n,
+            jnp.asarray(prime)[None, :], temperature=0.0, cond=rows)
+        return np.asarray(cls)[0]
+
+    b = ContinuousBatcher(params, cfg, lanes=3, chunk=6, interpret=True,
+                          cond_hop=hop)
+    try:
+        plain = b.submit(prime, 20, temperature=0.0)  # unconditioned lane
+        h1 = b.submit(prime, n1, temperature=0.0, cond_frames=f1)
+        _wait_for(h1, 8)
+        h2 = b.submit(prime, n2, temperature=0.0, cond_frames=f2)
+        _, c1 = h1.result(timeout=300)
+        _, c2 = h2.result(timeout=300)
+        _, cp = plain.result(timeout=300)
+        np.testing.assert_array_equal(c1, solo(f1, n1))
+        np.testing.assert_array_equal(c2, solo(f2, n2))
+        np.testing.assert_array_equal(cp, _solo(params, cfg, prime, 20))
+    finally:
+        b.close()
+
+
+def test_frames_mode_rejections():
+    cfgv = wt.get_config("tiny_vocoder")
+    pv = wt.init_wavenet(jax.random.PRNGKey(0), cfgv)
+    b = ContinuousBatcher(pv, cfgv, lanes=2, chunk=4, interpret=True,
+                          cond_hop=4)
+    try:
+        with pytest.raises(ValueError, match="cond_frames"):
+            b.submit(np.asarray([1]), 4,
+                     cond=np.zeros((4, cfgv.cond_channels), np.float32))
+        with pytest.raises(ValueError, match="cond_frames shape"):
+            b.submit(np.asarray([1]), 9,  # needs ceil(9/4)=3 frames
+                     cond_frames=np.zeros((2, cfgv.cond_channels),
+                                          np.float32))
+    finally:
+        b.close()
+    b = ContinuousBatcher(pv, cfgv, lanes=2, chunk=4, interpret=True)
+    try:
+        with pytest.raises(ValueError, match="cond_hop"):
+            b.submit(np.asarray([1]), 4,
+                     cond_frames=np.zeros((4, cfgv.cond_channels),
+                                          np.float32))
+    finally:
+        b.close()
+    cfg_plain = wt.get_config("tiny")
+    with pytest.raises(ValueError, match="cond_channels"):
+        ContinuousBatcher(wt.init_wavenet(jax.random.PRNGKey(0), cfg_plain),
+                          cfg_plain, lanes=2, chunk=4, interpret=True,
+                          cond_hop=4)
+
+
 def test_bad_requests_rejected(tiny):
     cfg, params = tiny
     b = ContinuousBatcher(params, cfg, lanes=2, chunk=4, interpret=True)

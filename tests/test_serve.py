@@ -135,7 +135,7 @@ def vocoder_server(request, tmp_path_factory):
     extra = []
     if request.param == "batcher":
         extra = ["--batcher", "--batcher-interpret", "--lanes", "2",
-                 "--batch-chunk", "256"]
+                 "--batch-chunk", "256", "--cond-hop", "64"]
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]

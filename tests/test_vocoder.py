@@ -369,3 +369,60 @@ def test_global_conditioning():
     np.testing.assert_array_equal(np.asarray(cf), np.asarray(cn))
     _, cu = wt.generate_fast(params, cfg, k, 20, prime, temperature=0.0)
     assert not np.array_equal(np.asarray(cf), np.asarray(cu))
+
+
+def test_expand_frames_window_chunk_invariant():
+    """The serving pool's frames expansion (ops/mel.py
+    expand_frames_window) is bitwise CHUNK-INVARIANT: expanding rows
+    [off, off+count) from a per-lane slab equals the same rows of the
+    full-timeline expansion, for any offset/chunk decomposition. Linear
+    interpolation is bitwise (integer phase arithmetic); the learnable
+    conv stack's per-row values are shape-independent math but XLA may
+    reassociate its einsums differently per slab length, so that path is
+    pinned at ulp tolerance. This is what lets requests ship mel frames
+    over the wire without breaking the batcher's solo-equality
+    guarantee."""
+    from pytorch_wavenet_tpu.ops.mel import (
+        expand_frames_window, frames_window_len, linear_init_upsampler)
+
+    rng = np.random.default_rng(7)
+    hop, M, F = 8, 5, 40
+    frames = rng.normal(0, 1, (F, M)).astype(np.float32)
+    total = F * hop
+
+    for tag, params, factors in [
+        ("linear", None, ()),
+        ("conv-lin-init",
+         {"cond_up": {k: jnp.asarray(v) for k, v in
+                      linear_init_upsampler((2, 4), M).items()}}, (2, 4)),
+        ("conv-random",
+         {"cond_up": {
+             "s0": jnp.asarray(rng.normal(0, 0.5, (2, 2, M, M)),
+                               jnp.float32),
+             "s1": jnp.asarray(rng.normal(0, 0.5, (2, 4, M, M)),
+                               jnp.float32)}}, (2, 4)),
+    ]:
+        # reference: frame-replication end semantics (the extension keeps
+        # the conv stack's stage clamps out of the compared rows)
+        ext = np.concatenate(
+            [frames, np.repeat(frames[-1:], len(factors) + 1, axis=0)])
+        full = np.asarray(expand_frames_window(
+            params, jnp.asarray(ext)[None], hop,
+            jnp.zeros(1, jnp.int32), total, factors))[0]
+        for off, count in [(0, 16), (3, 16), (13, 7), (off0 := hop - 1, 1),
+                           (250, 24), (total - 24, 24)]:
+            Fs = frames_window_len(count, hop, factors)
+            fs = off // hop
+            idx = np.minimum(fs + np.arange(Fs), F - 1)
+            got = np.asarray(expand_frames_window(
+                params, jnp.asarray(frames[idx])[None], hop,
+                jnp.asarray([off - fs * hop], jnp.int32), count,
+                factors))[0]
+            if factors:
+                np.testing.assert_allclose(
+                    got, full[off:off + count], atol=2e-6, rtol=1e-6,
+                    err_msg=f"{tag} off={off} count={count}")
+            else:
+                np.testing.assert_array_equal(
+                    got, full[off:off + count],
+                    err_msg=f"{tag} off={off} count={count}")
