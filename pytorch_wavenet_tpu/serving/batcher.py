@@ -792,13 +792,23 @@ class ContinuousBatcher:
             # halve the device->host chunk transfer (one extra async device
             # op that overlaps the pipeline; the host re-widens to int32)
             cls = cls.astype(jnp.int16)
-        return cls, list(self._active)
+        riders = list(self._active)
+        rows = None
+        if len(riders) * 2 <= self.lanes:
+            # lightly loaded pool: download only the active lanes' rows
+            # (free lanes' greedy output is discarded anyway)
+            sel = np.asarray([a.lane for a in riders], np.int32)
+            cls = jnp.take(cls, jnp.asarray(sel), axis=0)
+            rows = {id(a): i for i, a in enumerate(riders)}
+        return cls, riders, rows
 
-    def _deliver_chunk(self, cls, riders):
+    def _deliver_chunk(self, cls, riders, rows=None):
         """Materialize a dispatched chunk (blocks until the device step
         completes) and distribute it to its riders. A rider that finished
         or was cancelled after the dispatch is skipped — its trailing
-        samples are discarded, like a free lane's greedy output."""
+        samples are discarded, like a free lane's greedy output. ``rows``
+        maps rider identity to its row when the dispatch downloaded only
+        the active lanes (lightly loaded pools); None = rows are lanes."""
         cls = np.asarray(cls).astype(np.int32, copy=False)
         still = []
         rider_ids = {id(a) for a in riders}
@@ -807,8 +817,9 @@ class ContinuousBatcher:
                 still.append(act)
                 continue
             take = min(act.remaining, self.chunk)
+            row = act.lane if rows is None else rows[id(act)]
             try:
-                act.handle._deliver(cls[act.lane, :take])
+                act.handle._deliver(cls[row, :take])
                 self._n["samples_out"] += take
             except BaseException as e:  # caller's on_chunk raised
                 self._temps[act.lane] = 0.0
