@@ -37,6 +37,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import WaveNetConfig  # noqa: F401  (doc cross-reference)
 from .wavenet import _conv_init, _mm
@@ -96,11 +97,20 @@ class StudentSample(NamedTuple):
     log_q: jnp.ndarray
 
 
-def init_student(key: jax.Array, scfg: IAFConfig) -> StudentParams:
+def init_student(key: jax.Array, scfg: IAFConfig,
+                 init_scale: float = 1.0) -> StudentParams:
     """Per-flow params mirror the teacher's stacked layout
     (models/wavenet.py init_wavenet); the final head is zero-initialized so
     every flow starts as the identity (mu=0, log_s=0) — the student begins
-    as pure logistic noise and distillation moves it toward the teacher."""
+    as pure logistic noise and distillation moves it toward the teacher.
+
+    ``init_scale`` < 1 starts the LAST flow contractive (its log_s bias
+    set so the composed transform is ``x ~ init_scale * z0``): pure
+    Logistic(0,1) noise has std ~1.81, far outside typical audio range,
+    and a mu-law teacher's log-prob is FLAT at saturated amplitudes — a
+    student initialized there gets no KL gradient and distillation stalls
+    at a constant KL (measured on the chaconne-scale demo). Match the
+    data: ``init_scale ~ data_rms / 1.81``."""
     L = scfg.num_layers
     k = scfg.kernel_size
     R, D, S, E = (scfg.residual_channels, scfg.dilation_channels,
@@ -139,6 +149,15 @@ def init_student(key: jax.Array, scfg: IAFConfig) -> StudentParams:
                 scfg.gcond_channels,
             )
         flows.append(fp)
+    if init_scale != 1.0:
+        # invert flow_transform's soft bound log_s = 7*tanh(b/7) so the
+        # composed scale starts at exactly init_scale
+        tgt = float(np.log(init_scale))
+        if abs(tgt) >= 7.0:
+            raise ValueError(f"init_scale {init_scale} outside the "
+                             "log-scale soft bound (+/-7 nats)")
+        b = 7.0 * float(np.arctanh(tgt / 7.0))
+        flows[-1]["end2"]["b"] = jnp.asarray([0.0, b], jnp.float32)
     return {"flows": tuple(flows)}
 
 

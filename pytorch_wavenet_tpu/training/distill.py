@@ -101,13 +101,25 @@ def distill_loss(
     global_cond: jnp.ndarray | None = None,
     audio_ref: jnp.ndarray | None = None,
     power_weight: float = 0.0,
+    rms_weight: float = 0.0,
+    teacher_smooth: float = 0.0,
 ) -> tuple[jnp.ndarray, dict]:
     """One-draw estimate of the distillation objective.
 
     ``length`` must exceed the teacher's receptive field; the first ``rf``
     positions only prime the teacher. ``audio_ref`` ``(B', T')`` enables
     the power loss. Returns ``(loss, aux)`` with aux carrying the KL and
-    power terms."""
+    power terms.
+
+    ``teacher_smooth``: label-smooth the teacher's conditional,
+    ``p' = (1-eps) p + eps/C``. A SHARP categorical teacher (per-position
+    CE well under 1 nat) makes distillation collapse at scale: where the
+    student's loc is off, every nearby bin has -log p in the tens of
+    nats, so the KL's cheapest descent direction is widening log_s toward
+    uniform — measured as a runaway to the +/-7 log-scale bound and a
+    student-independent KL plateau (KL(uniform || teacher), dead
+    gradients). Smoothing floors -log p' at ~log(C/eps), restoring a
+    usable loc gradient; 1e-3 worked at chaconne scale."""
     rf = tcfg.receptive_field
     if length <= rf:
         raise ValueError(f"length {length} must exceed teacher rf {rf}")
@@ -130,6 +142,12 @@ def distill_loss(
         else global_cond,
     )[:, :-1]
     logp = jax.nn.log_softmax(t_logits, axis=-1)  # (B, length-rf, C)
+    if teacher_smooth:
+        C = tcfg.classes
+        logp = jnp.logaddexp(
+            logp + jnp.log1p(-teacher_smooth),
+            jnp.log(teacher_smooth / C),
+        )
 
     q = student_bin_logprobs(
         draw.m[:, rf:], draw.log_s[:, rf:], tcfg.classes
@@ -140,22 +158,37 @@ def distill_loss(
 
     # audio energy of the draws — pure-KL distillation famously collapses
     # to near-silence ("whisper mode"); watching rms against the data's
-    # tells you whether the power loss is weighted strongly enough
-    aux = {"kl": kl, "rms": jnp.sqrt(jnp.mean(x * x))}
+    # tells you whether the power loss is weighted strongly enough.
+    # BOTH are computed on the UNCLIPPED draw: clip() has zero gradient
+    # where |draw| > 1, so a power loss on the clipped signal cannot pull
+    # an amplitude explosion back once draws saturate (a one-way ratchet
+    # we measured on the chaconne-scale demo — rms pinned at exactly 1.0).
+    aux = {"kl": kl, "rms": jnp.sqrt(jnp.mean(draw.x * draw.x))}
     loss = kl
     if power_weight and audio_ref is not None:
         p_loss = jnp.mean(
-            (power_spectrum(x) - power_spectrum(audio_ref)) ** 2
+            (power_spectrum(draw.x) - power_spectrum(audio_ref)) ** 2
         )
         aux["power"] = p_loss
         loss = loss + power_weight * p_loss
+    if rms_weight and audio_ref is not None:
+        # dedicated amplitude regulator, convex in log-level: the log-
+        # power-spectrum L2 alone is an UNSTABLE level control (measured:
+        # weight 0.03 lets the student whisper into the teacher's quiet
+        # attractor, 0.1 overshoots amplitude 3x), because level trades
+        # against unmatched spectral SHAPE inside one term. Pinning level
+        # here lets power_weight stay small and govern shape only.
+        r_loss = (jnp.log(aux["rms"] + 1e-6)
+                  - jnp.log(jnp.sqrt(jnp.mean(audio_ref**2)) + 1e-6)) ** 2
+        aux["rms_loss"] = r_loss
+        loss = loss + rms_weight * r_loss
     return loss, aux
 
 
 @partial(
     jax.jit,
     static_argnames=("scfg", "tcfg", "tx", "batch_size", "length",
-                     "power_weight"),
+                     "power_weight", "rms_weight", "teacher_smooth"),
     donate_argnums=(0, 1),
 )
 def distill_step(
@@ -172,13 +205,16 @@ def distill_step(
     global_cond: jnp.ndarray | None = None,
     audio_ref: jnp.ndarray | None = None,
     power_weight: float = 0.0,
+    rms_weight: float = 0.0,
+    teacher_smooth: float = 0.0,
 ):
     """One distillation update on the student (teacher frozen). Returns
     ``(student_params, opt_state, loss, aux)``."""
     (loss, aux), grads = jax.value_and_grad(distill_loss, has_aux=True)(
         student_params, teacher_params, scfg, tcfg, key, batch_size, length,
         cond=cond, global_cond=global_cond, audio_ref=audio_ref,
-        power_weight=power_weight,
+        power_weight=power_weight, rms_weight=rms_weight,
+        teacher_smooth=teacher_smooth,
     )
     updates, opt_state = tx.update(grads, opt_state, student_params)
     student_params = optax.apply_updates(student_params, updates)

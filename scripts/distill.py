@@ -63,6 +63,22 @@ def parse_args():
     p.add_argument("--data-dir", default=None,
                    help="audio dir for power-loss reference batches")
     p.add_argument("--dataset-file", default=None)
+    p.add_argument("--rms-weight", type=float, default=1.0,
+                   help="log-RMS matching weight, the dedicated amplitude "
+                        "regulator (needs --data-dir; the log-power-"
+                        "spectrum loss alone is an unstable level "
+                        "control — see training/distill.py)")
+    p.add_argument("--teacher-smooth", type=float, default=1e-3,
+                   help="teacher label smoothing — required against sharp "
+                        "teachers (unsmoothed, the KL's cheapest descent "
+                        "widens the student to uniform and gradients die; "
+                        "see training/distill.py distill_loss)")
+    p.add_argument("--init-scale", type=float, default=None,
+                   help="fresh-student draw amplitude at init (default: "
+                        "data_rms/1.81 when --data-dir is given, else "
+                        "0.1). Logistic(0,1) noise sits in the mu-law "
+                        "teacher's flat log-prob region where "
+                        "distillation stalls — start at data scale")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out-dir", default="students")
     p.add_argument("--name", default="student")
@@ -154,10 +170,7 @@ def main():
                 f"{scfg.cond_channels} but the teacher expects "
                 f"{tcfg.cond_channels} — distill a matching student")
     else:
-        params = init_student(jax.random.PRNGKey(args.seed), scfg)
-    print(f"student: {scfg.flows} flows x {scfg.num_layers} layers, "
-          f"{student_parameter_count(params):,} params "
-          f"(teacher {sum(int(x.size) for x in jax.tree_util.tree_leaves(teacher)):,})")
+        params = None  # fresh init below, once the data rms is known
     if args.length <= tcfg.receptive_field:
         raise SystemExit(
             f"--length {args.length} must exceed teacher rf "
@@ -166,10 +179,10 @@ def main():
 
     ref_iter = None
     cond_iter = None
-    if args.power_weight > 0.0 and args.data_dir is None:
-        raise SystemExit("--power-weight needs --data-dir")
-    if args.data_dir is not None and (
-            args.power_weight > 0.0 or tcfg.cond_channels):
+    needs_ref = args.power_weight > 0.0 or args.rms_weight > 0.0
+    if needs_ref and args.data_dir is None:
+        raise SystemExit("--power-weight / --rms-weight need --data-dir")
+    if args.data_dir is not None and (needs_ref or tcfg.cond_channels):
         from pytorch_wavenet_tpu.data.dataset import (
             BatchIterator,
             WaveNetDataset,
@@ -216,9 +229,24 @@ def main():
 
             cond_iter = cond_batches()
 
+    if params is None:
+        iscale = args.init_scale
+        if iscale is None:
+            if ref_iter is not None:  # amplitude-matched init (see --help)
+                iscale = float(jnp.sqrt(jnp.mean(next(ref_iter) ** 2)))
+                iscale /= 1.8138  # Logistic(0,1) std
+            else:
+                iscale = 0.1
+        params = init_student(jax.random.PRNGKey(args.seed), scfg,
+                              init_scale=iscale)
+        print(f"student init_scale {iscale:.4f}")
+    print(f"student: {scfg.flows} flows x {scfg.num_layers} layers, "
+          f"{student_parameter_count(params):,} params "
+          f"(teacher {sum(int(x.size) for x in jax.tree_util.tree_leaves(teacher)):,})")
+
     import optax
 
-    tx = optax.adam(args.lr)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(args.lr))
     opt = tx.init(params)
     key = jax.random.PRNGKey(args.seed + 1)
 
@@ -233,8 +261,10 @@ def main():
             params, opt, teacher, scfg, tcfg, tx,
             jax.random.fold_in(key, i), args.batch_size, args.length,
             cond=cond,
-            audio_ref=ref if args.power_weight > 0.0 else None,
+            audio_ref=ref if needs_ref else None,
             power_weight=args.power_weight,
+            rms_weight=args.rms_weight,
+            teacher_smooth=args.teacher_smooth,
         )
         if (i + 1) % args.log_interval == 0 or i == step0:
             loss = float(loss)

@@ -65,9 +65,23 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--distill-batch", type=int, default=4)
     p.add_argument("--distill-length", type=int, default=4000)
-    p.add_argument("--power-weight", type=float, default=0.1)
+    p.add_argument("--power-weight", type=float, default=0.03,
+                   help="power-loss weight. Measured: 0.1 drowns the KL "
+                        "gradient (amplitude ratchets up and the KL "
+                        "plateaus in the teacher's saturated flat "
+                        "region); 0.01-0.03 both drops KL ~2.5x from the "
+                        "matched init AND holds rms near the data's")
     p.add_argument("--lr", type=float, default=1e-3)
-    p.add_argument("--distill-lr", type=float, default=3e-4)
+    p.add_argument("--distill-lr", type=float, default=1e-3)
+    p.add_argument("--rms-weight", type=float, default=1.0,
+                   help="log-RMS matching weight — the dedicated "
+                        "amplitude regulator (see distill_loss)")
+    p.add_argument("--teacher-smooth", type=float, default=1e-3,
+                   help="teacher label smoothing during distillation — "
+                        "REQUIRED at scale against sharp teachers (see "
+                        "training/distill.py distill_loss: unsmoothed, "
+                        "the KL's cheapest descent is widening the "
+                        "student to uniform, a dead-gradient plateau)")
     p.add_argument("--eval-steps", type=int, default=50,
                    help="steps averaged for the start/end KL readings")
     p.add_argument("--eval-samples", type=int, default=32000,
@@ -189,8 +203,14 @@ def main():
     teacher_loss = float(loss)
 
     # ---------------- distillation
-    student = init_student(jax.random.PRNGKey(args.seed + 2), scfg)
-    stx = optax.adam(args.distill_lr)
+    # amplitude-matched init: Logistic(0,1) noise (std ~1.81) sits in the
+    # mu-law teacher's FLAT log-prob region, where distillation stalls
+    data_rms = float(np.sqrt(np.mean(train_wav**2)))
+    student = init_student(jax.random.PRNGKey(args.seed + 2), scfg,
+                           init_scale=data_rms / 1.8138)
+    student_init = jax.tree_util.tree_map(jnp.copy, student)
+    stx = optax.chain(optax.clip_by_global_norm(1.0),
+                      optax.adam(args.distill_lr))
     sopt = stx.init(student)
     dlen = max(args.distill_length, rf + 257)
     dB = args.distill_batch
@@ -199,6 +219,7 @@ def main():
         rng.integers(0, len(train_wav) - dlen - 1, dB)
     ])
     kls, rmss = [], []
+    audio_ref = jnp.asarray(audio_ref_np)
     for step in range(args.distill_steps):
         cond = None
         if cond_full is not None:
@@ -208,8 +229,9 @@ def main():
         student, sopt, dl, aux = distill_step(
             student, sopt, params, scfg, tcfg, stx,
             jax.random.fold_in(jax.random.PRNGKey(args.seed + 3), step),
-            dB, dlen, cond=cond, audio_ref=jnp.asarray(audio_ref_np),
-            power_weight=args.power_weight)
+            dB, dlen, cond=cond, audio_ref=audio_ref,
+            power_weight=args.power_weight, rms_weight=args.rms_weight,
+            teacher_smooth=args.teacher_smooth)
         kls.append(float(aux["kl"]))
         rmss.append(float(aux["rms"]))
         if step % 500 == 0 or step == args.distill_steps - 1:
@@ -236,6 +258,9 @@ def main():
         ref_avg = avg(held_wav)
         logmel_student = float(np.mean((avg(s_wav).mean(0) - ref_avg) ** 2))
         logmel_teacher = float(np.mean((avg(t_wav).mean(0) - ref_avg) ** 2))
+        i_wav = np.asarray(student_generate(student_init, scfg, ekey,
+                                            n_eval, num_streams=streams))
+        logmel_init = float(np.mean((avg(i_wav).mean(0) - ref_avg) ** 2))
     else:
         # vocode the held-out mel timeline; score against that target mel
         tgt = held_wav[: n_eval + rf]
@@ -254,6 +279,9 @@ def main():
         logmel_student = mel_l2(melspec(s_wav[0]), ref_mel)
         logmel_teacher = mel_l2(melspec(t_wav[0]),
                                 melspec(tgt[rf:]))
+        i_wav = np.asarray(student_generate(
+            student_init, scfg, ekey, len(tgt), num_streams=1, cond=c1))
+        logmel_init = mel_l2(melspec(i_wav[0]), ref_mel)
     student_rms = float(np.sqrt(np.mean(s_wav**2)))
 
     metrics = {
@@ -267,12 +295,14 @@ def main():
         "student_rms": round(student_rms, 4),
         "rms_ratio": round(student_rms / max(data_rms, 1e-9), 3),
         "logmel_l2_student": round(logmel_student, 4),
+        "logmel_l2_init": round(logmel_init, 4),
         "logmel_l2_teacher": round(logmel_teacher, 4),
         "wall_s": round(time.time() - t_wall, 1),
     }
     print(f"KL {kl_start:.3f} -> {kl_end:.3f} | rms ratio "
           f"{metrics['rms_ratio']} | log-mel L2 student "
-          f"{logmel_student:.4f} vs teacher {logmel_teacher:.4f}")
+          f"{logmel_student:.4f} (init {logmel_init:.4f}, "
+          f"teacher {logmel_teacher:.4f})")
     if args.json:
         print(json.dumps(metrics))
     if args.out_dir:

@@ -60,8 +60,12 @@ def distilled():
 
     scfg = IAFConfig(flows=2, layers=4, blocks=1, residual_channels=16,
                      dilation_channels=16, skip_channels=16, end_channels=16)
-    student0 = init_student(jax.random.PRNGKey(2), scfg)
-    stx = optax.adam(3e-3)
+    # amplitude-matched init (the production recipe): Logistic(0,1) noise
+    # sits in the mu-law teacher's flat log-prob region
+    data_rms = float(np.sqrt(np.mean(wav**2)))
+    student0 = init_student(jax.random.PRNGKey(2), scfg,
+                            init_scale=data_rms / 1.8138)
+    stx = optax.adam(1e-3)
     sopt = stx.init(student0)
     dlen = tcfg.receptive_field + 257
     ref = jnp.asarray(np.stack([
@@ -74,7 +78,7 @@ def distilled():
         student, sopt, _, aux = distill_step(
             student, sopt, params, scfg, tcfg, stx,
             jax.random.fold_in(jax.random.PRNGKey(3), step), 2, dlen,
-            audio_ref=ref, power_weight=0.1)
+            audio_ref=ref, power_weight=0.03)
         kls.append(float(aux["kl"]))
     return wav, tcfg, params, scfg, student0, student, kls
 
@@ -92,14 +96,15 @@ def _draw(scfg, student, n=4096, streams=2, seed=9):
         student, scfg, jax.random.PRNGKey(seed), n, num_streams=streams))
 
 
-def test_rms_closer_to_data(distilled):
-    """Power loss holds the draw energy near the data's (whisper check):
-    the distilled student's RMS ratio must beat the init's."""
-    wav, _, _, scfg, student0, student, _ = distilled
+def test_rms_stays_near_data(distilled):
+    """Power loss holds the draw energy near the data's: no whisper
+    collapse AND no amplitude explosion after distillation. (The
+    amplitude-matched init starts the ratio at ~1.0 by construction, so
+    the check is an absolute band, not beat-the-init.)"""
+    wav, _, _, scfg, _, student, _ = distilled
     data_rms = float(np.sqrt(np.mean(wav**2)))
-    r0 = float(np.sqrt(np.mean(_draw(scfg, student0) ** 2))) / data_rms
     r1 = float(np.sqrt(np.mean(_draw(scfg, student) ** 2))) / data_rms
-    assert abs(np.log(r1)) < abs(np.log(r0)), (r0, r1)
+    assert abs(np.log(r1)) < np.log(1.6), r1  # within [0.63x, 1.6x]
 
 
 def test_logmel_closer_to_data(distilled):
