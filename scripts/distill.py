@@ -63,11 +63,12 @@ def parse_args():
     p.add_argument("--data-dir", default=None,
                    help="audio dir for power-loss reference batches")
     p.add_argument("--dataset-file", default=None)
-    p.add_argument("--rms-weight", type=float, default=1.0,
+    p.add_argument("--rms-weight", type=float, default=None,
                    help="log-RMS matching weight, the dedicated amplitude "
-                        "regulator (needs --data-dir; the log-power-"
-                        "spectrum loss alone is an unstable level "
-                        "control — see training/distill.py)")
+                        "regulator (the log-power-spectrum loss alone is "
+                        "an unstable level control — see "
+                        "training/distill.py). Default: 1.0 when "
+                        "--data-dir is given, else 0")
     p.add_argument("--teacher-smooth", type=float, default=1e-3,
                    help="teacher label smoothing — required against sharp "
                         "teachers (unsmoothed, the KL's cheapest descent "
@@ -179,6 +180,8 @@ def main():
 
     ref_iter = None
     cond_iter = None
+    if args.rms_weight is None:
+        args.rms_weight = 1.0 if args.data_dir is not None else 0.0
     needs_ref = args.power_weight > 0.0 or args.rms_weight > 0.0
     if needs_ref and args.data_dir is None:
         raise SystemExit("--power-weight / --rms-weight need --data-dir")

@@ -72,8 +72,10 @@ def parse_args():
                         "region); 0.01-0.03 both drops KL ~2.5x from the "
                         "matched init AND holds rms near the data's")
     p.add_argument("--lr", type=float, default=1e-3)
-    p.add_argument("--distill-lr", type=float, default=1e-3)
-    p.add_argument("--rms-weight", type=float, default=1.0,
+    p.add_argument("--distill-lr", type=float, default=3e-4,
+                   help="1e-3 measured unstable at chaconne scale "
+                        "(KL rises); 3e-4 descends cleanly")
+    p.add_argument("--rms-weight", type=float, default=3.0,
                    help="log-RMS matching weight — the dedicated "
                         "amplitude regulator (see distill_loss)")
     p.add_argument("--teacher-smooth", type=float, default=1e-3,
@@ -274,7 +276,9 @@ def main():
             params, tcfg, ekey, len(tgt) - rf,
             jnp.asarray(quantize_data(tgt[:rf], classes))[None].astype(
                 jnp.int32),
-            temperature=1.0, cond=c1)[0])
+            # row t conditions the step consuming input sample t: an
+            # rf-primed rollout of len(tgt)-rf samples uses len(tgt)-1 rows
+            temperature=1.0, cond=c1[:, :-1])[0])
         ref_mel = melspec(tgt)
         logmel_student = mel_l2(melspec(s_wav[0]), ref_mel)
         logmel_teacher = mel_l2(melspec(t_wav[0]),
