@@ -499,17 +499,67 @@ class ContinuousBatcher:
                 b *= 2
             kw["pad_streams"] = b
         self._n["prime_calls"] += 1
+        t0 = time.perf_counter()
         _, cls, st = generate_fast_batched(
             self.params, self.cfg, self._next_key(), 1, prime,
             temperature=temps, cond=cond, return_state=True,
             lane_seed=jnp.asarray([p.seed for p in pends], jnp.int32),
             **kw,
         )
+        t1 = time.perf_counter()
+        self._t["t_prime_dispatch"] = self._t.get(
+            "t_prime_dispatch", 0.0) + (t1 - t0)
         # st.ring stays ON DEVICE (lane-padded width) — the splice re-bases
         # and scatters it there; only the (n,) first samples cross to host.
         # The local clock is deterministic (ng - 1 ingested + 1 generated),
         # so no device sync on st.t.
-        return st.ring, ng, np.asarray(cls[:, 0])
+        firsts = np.asarray(cls[:, 0])
+        self._t["t_prime_sync"] = self._t.get(
+            "t_prime_sync", 0.0) + (time.perf_counter() - t1)
+        return st.ring, ng, firsts
+
+    def prewarm(self, prime_lengths=(1,)):
+        """Compile the admission programs (prime kernel + on-device
+        splice) for every power-of-two bucket width up front. Each
+        distinct width is a fresh XLA/Mosaic compile — measured at
+        ~5 s per width through a device tunnel — which otherwise lands
+        on whichever requests arrive in the first burst of that size.
+        Call once right after construction, BEFORE submitting traffic
+        (it mutates free-lane ring state from the caller thread, which
+        is only safe while the pool is empty); a persistent compile
+        cache makes later process restarts near-free.
+
+        ``prime_lengths``: the request prime lengths to warm (buckets
+        are per exact length; 1 = unprimed requests, the common case).
+        """
+        if self._kw.get("pad_streams") is None:
+            return  # interpret mode: no width bucketing, nothing to warm
+        self._ensure_state()
+        b = self._kw["pad_streams"]
+        widths = []
+        while b <= self.lanes:
+            widths.append(b)
+            b *= 2
+        fill = self.cfg.classes // 2
+        for ng in prime_lengths:
+            for w in widths:
+                cond = None
+                if self.cond_hop is not None:
+                    cond = np.zeros(
+                        (-(-ng // self.cond_hop) + 1,
+                         self.cfg.cond_channels), np.float32)
+                pends = [
+                    _Pending(GenerationHandle(1, None),
+                             np.full(ng, fill, np.int32), 0.0, cond, 0)
+                    for _ in range(w)
+                ]
+                primed, t_local, _ = self._prime_states(pends)
+                self._align_and_insert(primed, t_local, list(range(w)),
+                                       np.full(w, fill, np.int32))
+        # warm-up work must not pollute the serving-phase attribution
+        self._n["prime_calls"] = 0
+        for k in self._t:
+            self._t[k] = 0.0
 
     def _expand_frames(self, slab, phase, count: int):
         """Device-expand a per-lane frame slab to ``count`` sample-rate
@@ -581,6 +631,7 @@ class ContinuousBatcher:
             [np.arange(n), np.zeros(W - n, np.int64)])
         lane_idx = np.asarray(lanes, np.int32)[src]
         firsts_p = np.asarray(firsts, np.int32)[src]
+        t0 = time.perf_counter()
         ring, cls = self._splice(
             self._state.ring, self._state.cls, primed,
             jnp.asarray(firsts_p), jnp.asarray(lane_idx),
@@ -588,6 +639,8 @@ class ContinuousBatcher:
             jnp.asarray(self._global_t(), jnp.int32),
             jnp.asarray(t_local, jnp.int32),
         )
+        self._t["t_splice"] = self._t.get(
+            "t_splice", 0.0) + (time.perf_counter() - t0)
         self._state = HbmGenState(ring=ring, t=self._state.t, cls=cls)
 
     def _ensure_state(self):

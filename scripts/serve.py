@@ -62,6 +62,7 @@ import json
 import struct
 import sys
 import threading
+import time
 from functools import partial
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -199,6 +200,10 @@ class Synthesizer:
 
             self.batcher = ContinuousBatcher(
                 self.params, cfg, **batcher_opts)
+            t0 = time.time()
+            self.batcher.prewarm()
+            print(f"batcher prewarm (admission programs for every "
+                  f"burst width): {time.time() - t0:.1f} s", flush=True)
             self.backend = "hbm-batcher"
         else:
             self.backend = self._pick_backend(backend)

@@ -153,9 +153,12 @@ def main():
         primes = [rng.integers(0, cfg.classes, args.prime_len,
                                dtype=np.int32) for _ in range(args.requests)]
 
-    # one warm-up request compiles the admission + pool-step programs so
-    # the measured window is steady-state serving, not XLA compilation
+    # compile warm-up so the measured window is steady-state serving, not
+    # XLA compilation: prewarm() builds the admission programs for EVERY
+    # burst-width bucket (a production server does the same at boot); the
+    # throwaway request compiles the pool-step program
     t0 = time.perf_counter()
+    batcher.prewarm(prime_lengths=(args.prime_len,))
     if args.cond:
         warm_n = min(args.num_samples, 2 * args.chunk)
         batcher.submit(primes[0], warm_n, temperature=args.temperature,
@@ -233,9 +236,8 @@ def main():
         "latency_p50_s": round(q(latency, 50), 3),
         "latency_p95_s": round(q(latency, 95), 3),
         # worker-loop phase breakdown (where the pool's wall time went)
-        **{k: stats[k] for k in
-           ("pool_steps", "prime_calls",
-            "t_dispatch", "t_deliver", "t_admit", "t_idle")},
+        **{k: v for k, v in stats.items()
+           if k in ("pool_steps", "prime_calls") or k.startswith("t_")},
     }
     print(
         f"{len(latency)}/{args.requests} x {args.num_samples} samples, "
