@@ -661,3 +661,18 @@ def test_kernel_size_3_pool(tiny):
         np.testing.assert_array_equal(c1, np.asarray(solo_hot)[0])
     finally:
         b.close()
+
+
+def test_prewarm_noop_then_serves(tiny):
+    """prewarm() is an interpret-mode no-op (no width bucketing on CPU)
+    and never disturbs a fresh pool: requests after it are still exact."""
+    cfg, params = tiny
+    b = ContinuousBatcher(params, cfg, lanes=2, chunk=8, interpret=True)
+    try:
+        b.prewarm()
+        prime = np.asarray([1, 3, 2], np.int32)
+        _, c = b.submit(prime, 12, temperature=0.0).result(timeout=300)
+        np.testing.assert_array_equal(c, _solo(params, cfg, prime, 12))
+        assert b.stats()["prime_calls"] == 1  # warm-up didn't count
+    finally:
+        b.close()
