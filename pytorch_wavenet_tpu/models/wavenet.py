@@ -272,6 +272,13 @@ def wavenet_logits(
         from ..ops.pallas.trunk_kernel import fused_trunk
 
         h0 = embed_inputs(params, cfg, x)  # (N, T, R) f32
+        # the contract allows T >= rf + out_len - 1 (the XLA trunk reads
+        # the trailing window); the kernel wants the window exactly
+        win = cfg.receptive_field + out_len - 1
+        if h0.shape[1] > win:
+            h0 = h0[:, h0.shape[1] - win:]
+            if cond is not None:
+                cond = cond[:, cond.shape[1] - win:]
         lp = params["layers"]
         L, D = cfg.num_layers, cfg.dilation_channels
         N = x.shape[0]

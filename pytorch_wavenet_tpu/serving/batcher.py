@@ -238,9 +238,13 @@ class ContinuousBatcher:
                        samples_out=0, pool_steps=0, prime_calls=0)
         # cumulative worker-loop phase seconds (where serving wall time
         # goes: device dispatch, chunk materialize+distribute, admission,
-        # idle wait) — `stats()` exposes them for capacity debugging
+        # idle wait; admission sub-phases prefixed t_prime/t_splice) —
+        # `stats()` exposes them for capacity debugging. ALL keys are
+        # pre-seeded: stats() iterates this dict from other threads, and
+        # a lazy first insert mid-iteration would raise.
         self._t = dict(t_dispatch=0.0, t_deliver=0.0, t_admit=0.0,
-                       t_idle=0.0)
+                       t_idle=0.0, t_prime_dispatch=0.0, t_prime_sync=0.0,
+                       t_splice=0.0)
         # accepted-but-unfinished requests (covers the submit-queue, the
         # in-admission window _admit holds them in, and active lanes) —
         # the drain condition; guarded by its own lock because handles
@@ -457,65 +461,73 @@ class ContinuousBatcher:
         are near-free to admit together). Returns (ring columns
         (rows, n), their shared local clock t, first samples (n,) — each
         request's output sample 0)."""
-        prime = jnp.asarray(np.stack([p.prime for p in pends]))
-        temps = jnp.asarray([p.temperature for p in pends], jnp.float32)
+        n = len(pends)
         ng = pends[0].prime.size
+        # Widths bucket to powers-of-two x 128 BY HOST-SIDE PADDING (dummy
+        # rows repeat request 0 at temperature 0): every distinct array
+        # width reaching jit is a fresh XLA compile of the prime program
+        # (~seconds each through the device tunnel), and burst sizes are
+        # arbitrary — padding HERE (not inside the jitted kernel, which
+        # would still key the cache on the raw burst size) bounds the
+        # variants at log2(lanes / 128) + 1, exactly what prewarm()
+        # compiles at boot.
+        b = n
+        if self._kw.get("pad_streams"):
+            b = self._kw["pad_streams"]
+            while b < n:
+                b *= 2
+        prime_np = np.stack([p.prime for p in pends])
+        temps_np = np.array([p.temperature for p in pends], np.float32)
+        seeds_np = np.array([p.seed for p in pends], np.int32)
+        if b > n:
+            prime_np = np.concatenate(
+                [prime_np, np.tile(prime_np[:1], (b - n, 1))])
+            temps_np = np.concatenate([temps_np, np.zeros(b - n, np.float32)])
+            seeds_np = np.concatenate([seeds_np, np.zeros(b - n, np.int32)])
         cond = None
         if any(p.cond is not None for p in pends):
             # the prime consumes cond rows [0, num_given) of each request
             if self.cond_hop is not None:
-                # frames mode: slab the frame timelines and expand the
-                # prime's rows on device (off = 0, so phase = 0)
+                # frames mode: slab the frame timelines (at the bucketed
+                # width, so the expansion program is bucketed too) and
+                # expand the prime's rows on device (off = 0 -> phase = 0)
                 from ..ops.mel import frames_window_len
 
                 Fs = frames_window_len(ng, self.cond_hop, self._factors)
-                slab = np.zeros((len(pends), Fs, self.cfg.cond_channels),
-                                np.float32)
+                slab = np.zeros((b, Fs, self.cfg.cond_channels), np.float32)
                 for i, p in enumerate(pends):
                     if p.cond is not None:
                         idx = np.minimum(np.arange(Fs), p.cond.shape[0] - 1)
                         slab[i] = p.cond[idx]
                 cond = self._expand_frames(
-                    jnp.asarray(slab),
-                    jnp.zeros(len(pends), jnp.int32), ng)
+                    jnp.asarray(slab), jnp.zeros(b, jnp.int32), ng)
             else:
-                cond = np.zeros((len(pends), ng, self.cfg.cond_channels),
-                                np.float32)
+                cond = np.zeros((b, ng, self.cfg.cond_channels), np.float32)
                 for i, p in enumerate(pends):
                     if p.cond is not None:
                         cond[i] = p.cond[:ng]
                 cond = jnp.asarray(cond)
         # prime calls pad to 128 streams, which can't satisfy head_tiles'
         # streams % (128*G) requirement — and a <=128-wide call doesn't need
-        # head tiling anyway, so drop it here (chunk steps keep it).
-        # Widths bucket to powers-of-two x 128: every distinct width is a
-        # fresh XLA compile of the prime + splice programs (~seconds each
-        # through the device tunnel), and burst sizes are arbitrary — the
-        # bucket bounds the variants at log2(lanes/128) + 1.
+        # head tiling anyway, so drop it here (chunk steps keep it)
         kw = {**self._kw, "head_tiles": None}
-        if kw.get("pad_streams"):
-            b = kw["pad_streams"]
-            while b < len(pends):
-                b *= 2
-            kw["pad_streams"] = b
         self._n["prime_calls"] += 1
         t0 = time.perf_counter()
         _, cls, st = generate_fast_batched(
-            self.params, self.cfg, self._next_key(), 1, prime,
-            temperature=temps, cond=cond, return_state=True,
-            lane_seed=jnp.asarray([p.seed for p in pends], jnp.int32),
+            self.params, self.cfg, self._next_key(), 1,
+            jnp.asarray(prime_np), temperature=jnp.asarray(temps_np),
+            cond=cond, return_state=True,
+            lane_seed=jnp.asarray(seeds_np),
             **kw,
         )
         t1 = time.perf_counter()
-        self._t["t_prime_dispatch"] = self._t.get(
-            "t_prime_dispatch", 0.0) + (t1 - t0)
+        self._t["t_prime_dispatch"] += t1 - t0
         # st.ring stays ON DEVICE (lane-padded width) — the splice re-bases
         # and scatters it there; only the (n,) first samples cross to host.
         # The local clock is deterministic (ng - 1 ingested + 1 generated),
         # so no device sync on st.t.
-        firsts = np.asarray(cls[:, 0])
-        self._t["t_prime_sync"] = self._t.get(
-            "t_prime_sync", 0.0) + (time.perf_counter() - t1)
+        firsts = np.asarray(cls[:n, 0])
+        self._t["t_prime_sync"] += time.perf_counter() - t1
         return st.ring, ng, firsts
 
     def prewarm(self, prime_lengths=(1,)):
@@ -541,21 +553,25 @@ class ContinuousBatcher:
             widths.append(b)
             b *= 2
         fill = self.cfg.classes // 2
+        # conditioned pools warm BOTH program variants: all-unconditioned
+        # bursts reach a cond=None prime signature
+        cond_variants = [None]
+        if self.cond_hop is not None:
+            cond_variants.append(np.zeros(
+                (-(-max(prime_lengths) // self.cond_hop) + 1,
+                 self.cfg.cond_channels), np.float32))
         for ng in prime_lengths:
             for w in widths:
-                cond = None
-                if self.cond_hop is not None:
-                    cond = np.zeros(
-                        (-(-ng // self.cond_hop) + 1,
-                         self.cfg.cond_channels), np.float32)
-                pends = [
-                    _Pending(GenerationHandle(1, None),
-                             np.full(ng, fill, np.int32), 0.0, cond, 0)
-                    for _ in range(w)
-                ]
-                primed, t_local, _ = self._prime_states(pends)
-                self._align_and_insert(primed, t_local, list(range(w)),
-                                       np.full(w, fill, np.int32))
+                for cond in cond_variants:
+                    pends = [
+                        _Pending(GenerationHandle(1, None),
+                                 np.full(ng, fill, np.int32), 0.0, cond, 0)
+                        for _ in range(w)
+                    ]
+                    primed, t_local, _ = self._prime_states(pends)
+                    self._align_and_insert(
+                        primed, t_local, list(range(w)),
+                        np.full(w, fill, np.int32))
         # warm-up work must not pollute the serving-phase attribution
         self._n["prime_calls"] = 0
         for k in self._t:
@@ -639,8 +655,7 @@ class ContinuousBatcher:
             jnp.asarray(self._global_t(), jnp.int32),
             jnp.asarray(t_local, jnp.int32),
         )
-        self._t["t_splice"] = self._t.get(
-            "t_splice", 0.0) + (time.perf_counter() - t0)
+        self._t["t_splice"] += time.perf_counter() - t0
         self._state = HbmGenState(ring=ring, t=self._state.t, cls=cls)
 
     def _ensure_state(self):
@@ -847,10 +862,19 @@ class ContinuousBatcher:
             cls = cls.astype(jnp.int16)
         riders = list(self._active)
         rows = None
-        if len(riders) * 2 <= self.lanes:
+        if riders and len(riders) * 2 <= self.lanes:
             # lightly loaded pool: download only the active lanes' rows
-            # (free lanes' greedy output is discarded anyway)
-            sel = np.asarray([a.lane for a in riders], np.int32)
+            # (free lanes' greedy output is discarded anyway). The
+            # selection width buckets to powers of two — a raw count
+            # would compile a fresh gather program per distinct rider
+            # count, on the hot dispatch path; dummy entries repeat
+            # row 0 (reads, so duplicates are harmless).
+            w = 1
+            while w < len(riders):
+                w *= 2
+            sel = np.zeros(w, np.int32)
+            sel[: len(riders)] = [a.lane for a in riders]
+            sel[len(riders):] = sel[0]
             cls = jnp.take(cls, jnp.asarray(sel), axis=0)
             rows = {id(a): i for i, a in enumerate(riders)}
         return cls, riders, rows

@@ -136,7 +136,10 @@ def main():
         raise SystemExit("--cond needs a conditioned config "
                          "(cfg.cond_channels > 0), e.g. --config vocoder")
 
-    def make_cond(n=None):
+    def make_cond(n=None, rng=rng):
+        # worker threads pass their own rng — numpy Generators are not
+        # thread-safe, and concurrent draws on a shared one can corrupt
+        # its state
         if not args.cond:
             return None
         rows = args.prime_len - 1 + (n or args.num_samples)
@@ -175,8 +178,9 @@ def main():
     ttfa: list[float] = []
     latency: list[float] = []
 
-    def worker():
+    def worker(wid=0):
         nonlocal issued, failures
+        wrng = np.random.default_rng((args.seed, wid))
         while True:
             with lock:
                 if issued >= args.requests:
@@ -191,7 +195,7 @@ def main():
                     temperature=args.temperature, seed=i,
                     on_chunk=lambda c, f=first, t=t_sub: f.append(
                         time.perf_counter() - t) if not f else None,
-                    **{cond_kw: make_cond()},
+                    **{cond_kw: make_cond(rng=wrng)},
                 )
                 _, cls = h.result(timeout=3600)
                 t_done = time.perf_counter() - t_sub
@@ -206,8 +210,8 @@ def main():
                 ttfa.append(first[0])
                 latency.append(t_done)
 
-    threads = [threading.Thread(target=worker)
-               for _ in range(args.concurrency)]
+    threads = [threading.Thread(target=worker, args=(w,))
+               for w in range(args.concurrency)]
     t_start = time.perf_counter()
     for t in threads:
         t.start()

@@ -242,3 +242,17 @@ def test_global_cond_falls_back():
     ref = wavenet_logits(params, cfg, x, out_len, global_cond=g)
     got = wavenet_logits(params, cfg_k, x, out_len, global_cond=g)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_longer_window_slices_to_trailing():
+    """wavenet_logits' contract allows T >= rf + out_len - 1; the kernel
+    path slices the trailing window like the XLA trunk instead of
+    raising (review finding round 3)."""
+    cfg, params, x = _setup(12, N=2)
+    cfg_k = dataclasses.replace(cfg, trunk_kernel=True)
+    pad = jax.random.randint(jax.random.PRNGKey(7), (2, 5), 0, cfg.classes)
+    xl = jnp.concatenate([pad, x], axis=1)  # T = win + 5
+    ref = wavenet_logits(params, cfg, xl, 12)
+    got = wavenet_logits(params, cfg_k, xl, 12)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-6, rtol=1e-5)
