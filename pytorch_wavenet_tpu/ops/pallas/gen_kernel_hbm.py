@@ -977,7 +977,14 @@ def _generate_fast_batched_jit(
         ),
         scratch_shapes=scratch_shapes,
         input_output_aliases=io_aliases,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # Mosaic's default scoped-VMEM cap (~16 MB) is below the chip's
+            # physical VMEM; the explicit cap is what unlocks the widest
+            # stream counts (chaconne 4096 bf16 needs ~24 MB of slabs +
+            # staging). Same override the training trunk kernel uses.
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(*args)
 

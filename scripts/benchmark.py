@@ -39,6 +39,11 @@ def main():
     p.add_argument("--config", default="chaconne")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--gen-samples", type=int, default=16384)
+    p.add_argument("--hbm-kernel-only", action="store_true",
+                   help="reduce the HBM sweep's outputs on device (download "
+                   "a scalar, not the waveform) — isolates kernel "
+                   "throughput from the host link, which otherwise "
+                   "dominates at thousands of streams")
     args = p.parse_args()
 
     import pytorch_wavenet_tpu as wt
@@ -172,6 +177,7 @@ def main():
                 (4096, jnp.bfloat16, False, 8, 4, True),
                 (8192, jnp.bfloat16, False, 8, 4, False),
                 (8192, jnp.bfloat16, False, 8, 8, True),
+                (16384, jnp.bfloat16, False, 8, 8, False),
             ]
         for S, rdt, fuse, stage, htile, slab in sweep:
             primeS = jnp.tile(prime, (S, 1))
@@ -187,12 +193,15 @@ def main():
                 tag += " slab"
 
             def gen_hbm():
-                wav, _ = generate_fast_batched(
+                wav, cls = generate_fast_batched(
                     params, cfg, jax.random.PRNGKey(6), nS, primeS,
                     temperature=1.0, ring_dtype=rdt, fuse_res=fuse,
                     stage_layers=stage, head_tiles=htile, skip_slab=slab,
                 )
-                np.asarray(wav)
+                if args.hbm_kernel_only:
+                    np.asarray(jnp.sum(cls))  # 8-byte download
+                else:
+                    np.asarray(wav)
 
             try:
                 dt = timed(gen_hbm, reps=2)
