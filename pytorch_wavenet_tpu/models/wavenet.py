@@ -31,6 +31,7 @@ wavenet_model.py:164-165), and skip accumulation is right-aligned
 
 from __future__ import annotations
 
+import warnings
 from typing import Any, Dict
 
 import jax
@@ -40,6 +41,28 @@ from jax import lax
 from ..config import WaveNetConfig
 
 Params = Dict[str, Any]
+
+# reasons already warned about (one warning per distinct fallback cause —
+# tests clear this set to re-arm the warning)
+_trunk_fallback_warned: set = set()
+
+
+def _warn_trunk_fallback(reason: str) -> None:
+    """``cfg.trunk_kernel=True`` but this call can't use the fused Pallas
+    trunk: say so once per reason instead of silently training ~1.6x slower
+    (the measured XLA-trunk cost at chaconne_wide scale, docs/PERF.md).
+    Mirrors the speculative-decode CLI's loud refusal
+    (scripts/generate.py)."""
+    if reason in _trunk_fallback_warned:
+        return
+    _trunk_fallback_warned.add(reason)
+    warnings.warn(
+        f"cfg.trunk_kernel=True but the fused Pallas trunk does not support "
+        f"{reason}; falling back to the XLA trunk (~1.6x training step time "
+        f"at chaconne_wide scale, docs/PERF.md)",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 # ----------------------------------------------------------------- init
@@ -231,6 +254,7 @@ def wavenet_logits(
     out_len: int | None = None,
     cond: jnp.ndarray | None = None,
     global_cond: jnp.ndarray | None = None,
+    mesh=None,
 ) -> jnp.ndarray:
     """Run the trunk; return logits ``(N, out_len, classes)`` (no softmax —
     the loss applies it, matching reference: wavenet_model.py:167-170).
@@ -241,6 +265,11 @@ def wavenet_logits(
     with ``x`` (requires ``cfg.cond_channels > 0``).
     ``global_cond``: optional utterance-level conditioning
     ``(N, gcond_channels)`` broadcast over time (WaveNet paper eq. 3).
+    ``mesh``: the ``('data','model')`` mesh when running under
+    ``parallel.training`` — only the fused-trunk path consumes it (GSPMD
+    cannot partition the opaque ``pallas_call``, so the kernel runs
+    per-data-shard inside a partial-manual ``shard_map``; the XLA trunk
+    needs no mesh plumbing because sharding comes from the operands).
     """
     if out_len is None:
         out_len = cfg.output_length
@@ -268,7 +297,15 @@ def wavenet_logits(
     # matmul + head below are shared verbatim. Local conditioning rides
     # in-kernel (vocoder training); global conditioning falls back to the
     # XLA trunk.
-    if (cfg.trunk_kernel and global_cond is None and cfg.kernel_size >= 2):
+    use_trunk_kernel = (
+        cfg.trunk_kernel and global_cond is None and cfg.kernel_size >= 2
+    )
+    if cfg.trunk_kernel and not use_trunk_kernel:
+        _warn_trunk_fallback(
+            "global conditioning (w_gcond)" if global_cond is not None
+            else f"kernel_size={cfg.kernel_size} < 2"
+        )
+    if use_trunk_kernel:
         from ..ops.pallas.trunk_kernel import fused_trunk
 
         h0 = embed_inputs(params, cfg, x)  # (N, T, R) f32
@@ -282,6 +319,11 @@ def wavenet_logits(
         lp = params["layers"]
         L, D = cfg.num_layers, cfg.dilation_channels
         N = x.shape[0]
+        n_data = 1
+        if mesh is not None:
+            from ..parallel.mesh import DATA_AXIS
+
+            n_data = int(dict(mesh.shape).get(DATA_AXIS, 1))
         # kernel-native (N/G, L, G, D, out) layout: contract (L, D) against
         # the skip weights directly — a dot_general with two contracting
         # dims instead of materializing the (N, out, L*D) transpose (a
@@ -289,8 +331,47 @@ def wavenet_logits(
         # Gated units store in compute_dtype: the platform's matmuls round
         # f32 inputs to bf16 passes anyway, so bf16 storage costs no extra
         # rounding relative to bf16 compute.
-        u5 = fused_trunk(params, cfg, h0, out_len, cond=cond, raw=True,
-                         out_dtype=cdt)  # (N/G, L, G, D, out)
+        if n_data > 1:
+            # Mesh composition: the batch axis is embarrassingly parallel
+            # (the kernel's grid iterates item pairs), so each data shard
+            # runs its own pallas_call inside a partial-manual shard_map —
+            # manual over 'data' only (axis_names); the 'model' axis stays
+            # automatic, so the Megatron column/row skip+head matmuls
+            # below keep their GSPMD sharding (parallel/sharding.py).
+            # Pair stacking (G) is chosen per shard from the local batch;
+            # G=2 is bitwise equal to G=1 (trunk_kernel.py docstring), so
+            # the mesh shape never changes the math.
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as _P
+
+            from ..parallel.mesh import DATA_AXIS
+
+            if N % n_data:
+                raise ValueError(
+                    f"batch {N} not divisible by data axis {n_data}"
+                )
+            tkeys = ("w_in", "w_res", "b_in", "b_res", "w_cond")
+            tp = {kk: lp[kk] for kk in tkeys if kk in lp}
+            shard_args = (tp, h0) + (() if cond is None else (cond,))
+            in_specs = (_P(), _P(DATA_AXIS)) + (
+                () if cond is None else (_P(DATA_AXIS),)
+            )
+
+            def _per_shard(tp_, h0_s, *cond_s):
+                return fused_trunk(
+                    {"layers": tp_}, cfg, h0_s, out_len,
+                    cond=cond_s[0] if cond_s else None,
+                    raw=True, out_dtype=cdt,
+                )
+
+            u5 = shard_map(
+                _per_shard, mesh=mesh, in_specs=in_specs,
+                out_specs=_P(DATA_AXIS), axis_names={DATA_AXIS},
+                check_vma=False,
+            )(*shard_args)  # (N/G, L, G, D, out), G per-shard
+        else:
+            u5 = fused_trunk(params, cfg, h0, out_len, cond=cond, raw=True,
+                             out_dtype=cdt)  # (N/G, L, G, D, out)
         skip = lax.dot_general(
             u5.astype(cdt), lp["w_skip"].astype(cdt),
             (((1, 3), (0, 1)), ((), ())),

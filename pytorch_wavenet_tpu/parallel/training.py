@@ -34,11 +34,20 @@ def make_sharded_train_state(
     return params, opt_state
 
 
-@partial(jax.jit, static_argnames=("cfg", "tx"), donate_argnums=(0, 1))
-def parallel_train_step(params, opt_state, cfg: WaveNetConfig, tx, x, target):
+@partial(jax.jit, static_argnames=("cfg", "tx", "mesh"),
+         donate_argnums=(0, 1))
+def parallel_train_step(params, opt_state, cfg: WaveNetConfig, tx, x, target,
+                        mesh=None):
     """Identical math to ``training.trainer.train_step``; sharding comes from
-    the operands, so the same function is the 1-chip and the N-chip step."""
-    loss, grads = jax.value_and_grad(cross_entropy_loss)(params, cfg, x, target)
+    the operands, so the same function is the 1-chip and the N-chip step.
+
+    Pass ``mesh`` when ``cfg.trunk_kernel`` is on: the fused Pallas trunk is
+    opaque to GSPMD, so it runs per-data-shard inside a partial-manual
+    ``shard_map`` (models/wavenet.py) — without the mesh a multi-chip
+    trunk-kernel step would force replication or fail to lower."""
+    loss, grads = jax.value_and_grad(cross_entropy_loss)(
+        params, cfg, x, target, mesh=mesh
+    )
     updates, opt_state = tx.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss

@@ -60,25 +60,29 @@ def _expand_cond(params, cfg, cond, cond_hop: int | None, T: int):
 def cross_entropy_loss(
     params: Any, cfg: WaveNetConfig, x: jnp.ndarray, target: jnp.ndarray,
     cond: jnp.ndarray | None = None, cond_hop: int | None = None,
+    mesh=None,
 ) -> jnp.ndarray:
     """Mean softmax cross-entropy over the flattened (N*output_length)
     predictions (reference: wavenet_training.py:68-69). ``cond`` enables the
     mel-conditioned vocoder objective — per-sample rows (N, T, M) or frames
-    (N, F, M) plus ``cond_hop``."""
+    (N, F, M) plus ``cond_hop``. ``mesh``: required for the fused-trunk
+    (``cfg.trunk_kernel``) path under multi-chip sharding — see
+    :func:`~pytorch_wavenet_tpu.models.wavenet.wavenet_logits`."""
     cond = _expand_cond(params, cfg, cond, cond_hop, x.shape[1])
-    logits = wavenet_logits(params, cfg, x, cfg.output_length, cond=cond)
+    logits = wavenet_logits(params, cfg, x, cfg.output_length, cond=cond,
+                            mesh=mesh)
     losses = optax.softmax_cross_entropy_with_integer_labels(logits, target)
     return jnp.mean(losses)
 
 
-@partial(jax.jit, static_argnames=("cfg", "tx", "cond_hop"),
+@partial(jax.jit, static_argnames=("cfg", "tx", "cond_hop", "mesh"),
          donate_argnums=(0, 1))
 def train_step(params, opt_state, cfg: WaveNetConfig, tx, x, target, cond=None,
-               cond_hop: int | None = None):
+               cond_hop: int | None = None, mesh=None):
     """One fused optimization step. ``tx`` must be hashable (optax
     transforms built at trainer construction are reused across calls)."""
     loss, grads = jax.value_and_grad(cross_entropy_loss)(
-        params, cfg, x, target, cond, cond_hop
+        params, cfg, x, target, cond, cond_hop, mesh
     )
     updates, opt_state = tx.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
@@ -86,13 +90,14 @@ def train_step(params, opt_state, cfg: WaveNetConfig, tx, x, target, cond=None,
     return params, opt_state, loss, grads
 
 
-@partial(jax.jit, static_argnames=("cfg", "cond_hop"))
+@partial(jax.jit, static_argnames=("cfg", "cond_hop", "mesh"))
 def eval_step(params, cfg: WaveNetConfig, x, target, cond=None,
-              cond_hop: int | None = None):
+              cond_hop: int | None = None, mesh=None):
     """Loss + argmax-accuracy counts for validation
     (reference: wavenet_training.py:97-111)."""
     cond = _expand_cond(params, cfg, cond, cond_hop, x.shape[1])
-    logits = wavenet_logits(params, cfg, x, cfg.output_length, cond=cond)
+    logits = wavenet_logits(params, cfg, x, cfg.output_length, cond=cond,
+                            mesh=mesh)
     losses = optax.softmax_cross_entropy_with_integer_labels(logits, target)
     correct = jnp.sum(jnp.argmax(logits, axis=-1) == target)
     return jnp.mean(losses), correct
@@ -231,7 +236,7 @@ class WaveNetTrainer:
                 cond = self._put(batch[2]) if len(batch) > 2 else None
                 self.params, self.opt_state, loss, self._last_grads = train_step(
                     self.params, self.opt_state, self.cfg, self.tx, x, target,
-                    cond, self._cond_hop,
+                    cond, self._cond_hop, self.mesh,
                 )
                 # loss stays a device scalar — converting here would sync
                 # every step and pay the full dispatch round-trip latency;
@@ -334,7 +339,7 @@ class WaveNetTrainer:
                 x, target = self._put(batch[0]), self._put(batch[1])
                 cond = self._put(batch[2]) if len(batch) > 2 else None
                 loss, c = eval_step(self.params, self.cfg, x, target, cond,
-                                    self._cond_hop)
+                                    self._cond_hop, self.mesh)
                 losses.append(loss)
                 correct.append(c)
                 seen += target.size

@@ -181,7 +181,12 @@ def main():
             ]
         for S, rdt, fuse, stage, htile, slab in sweep:
             primeS = jnp.tile(prime, (S, 1))
-            nS = max(2048, n // 4)
+            # compute-only mode runs the documented methodology exactly:
+            # full --gen-samples clips, min-of-4 (docs/PERF.md compute-only
+            # table); the with-download sweep keeps shorter clips — the
+            # tunnel download dominates there anyway
+            nS = n if args.hbm_kernel_only else max(2048, n // 4)
+            hbm_reps = 4 if args.hbm_kernel_only else 2
             tag = "" if rdt == jnp.float32 else " bf16-ring"
             if fuse:
                 tag += " fuse_res"
@@ -199,12 +204,15 @@ def main():
                     stage_layers=stage, head_tiles=htile, skip_slab=slab,
                 )
                 if args.hbm_kernel_only:
-                    np.asarray(jnp.sum(cls))  # 8-byte download
+                    # 4-byte download that depends on the kernel output;
+                    # a full-tensor int32 sum would overflow (classes sum
+                    # to ~1.7e13 at 16384x16384) and read as garbage
+                    np.asarray(jnp.max(cls[:, -1]))
                 else:
                     np.asarray(wav)
 
             try:
-                dt = timed(gen_hbm, reps=2)
+                dt = timed(gen_hbm, reps=hbm_reps)
             except Exception as e:  # e.g. VMEM staging overflow at high S
                 print(f"gen fused-HBM {S}-stream{tag}: skipped "
                       f"({type(e).__name__})")

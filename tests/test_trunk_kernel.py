@@ -231,7 +231,10 @@ def test_conditioned_forward_and_grads(kw, N, out_len):
 
 def test_global_cond_falls_back():
     """global_cond still takes the XLA trunk (no kernel support): results
-    agree because it IS the same path."""
+    agree because it IS the same path — and the fallback is LOUD (a
+    RuntimeWarning naming the cause and the measured cost, VERDICT r3 #6)."""
+    from pytorch_wavenet_tpu.models import wavenet as wnet
+
     cfg = wt.get_config("tiny", gcond_channels=4)
     cfg_k = dataclasses.replace(cfg, trunk_kernel=True)
     params = init_wavenet(jax.random.PRNGKey(0), cfg)
@@ -240,8 +243,28 @@ def test_global_cond_falls_back():
     x = jax.random.randint(jax.random.PRNGKey(1), (2, T), 0, cfg.classes)
     g = jax.random.normal(jax.random.PRNGKey(2), (2, 4))
     ref = wavenet_logits(params, cfg, x, out_len, global_cond=g)
-    got = wavenet_logits(params, cfg_k, x, out_len, global_cond=g)
+    wnet._trunk_fallback_warned.clear()
+    with pytest.warns(RuntimeWarning, match="falling back to the XLA trunk"):
+        got = wavenet_logits(params, cfg_k, x, out_len, global_cond=g)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fallback_warns_once_per_reason():
+    """The warning fires once per distinct cause, not once per step."""
+    import warnings as _warnings
+
+    from pytorch_wavenet_tpu.models import wavenet as wnet
+
+    cfg_k = wt.get_config("tiny", kernel_size=1, trunk_kernel=True)
+    params = init_wavenet(jax.random.PRNGKey(0), cfg_k)
+    T = cfg_k.receptive_field + 11
+    x = jax.random.randint(jax.random.PRNGKey(1), (2, T), 0, cfg_k.classes)
+    wnet._trunk_fallback_warned.clear()
+    with pytest.warns(RuntimeWarning, match="kernel_size=1"):
+        wavenet_logits(params, cfg_k, x, 12)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        wavenet_logits(params, cfg_k, x, 12)  # second call: silent
 
 
 def test_longer_window_slices_to_trailing():
