@@ -73,6 +73,11 @@ class GenerationHandle:
         self._cancel = threading.Event()
         self._error: BaseException | None = None
         self._on_done = None  # batcher bookkeeping hook, fired exactly once
+        # per-request lifecycle timestamps/durations, filled by the batcher
+        # (t_submit/t_admitted/t_first perf_counter marks; prime_s/splice_s
+        # this request's admission-group device dispatch costs; group its
+        # burst size) — serving_bench decomposes TTFA tails from these
+        self.timing: dict = {}
 
     def _deliver(self, cls_chunk: np.ndarray):
         self._parts.append(cls_chunk)
@@ -260,6 +265,9 @@ class ContinuousBatcher:
         self._draining = False
         self._staged_params = None  # pending update_params swap
         self._splice = None  # jitted on-device admission splice (lazy)
+        # admission groups whose first samples are still a device future:
+        # [(firsts device array, [(handle, act, row), ...]), ...]
+        self._deferred: list = []
         # device-resident copies of the per-lane step args — they change
         # only at admission/completion/cancel events, so steady-state
         # chunks skip three host->device uploads each (dispatch compares
@@ -341,6 +349,7 @@ class ContinuousBatcher:
             cond = cond_frames  # rides _Pending.cond; mode is pool-level
         h = GenerationHandle(num_samples, on_chunk)
         h._classes = self.cfg.classes
+        h.timing["t_submit"] = time.perf_counter()
         with self._lifecycle:
             if self._closing or self._draining:
                 raise RuntimeError("batcher is closed")
@@ -520,15 +529,16 @@ class ContinuousBatcher:
             lane_seed=jnp.asarray(seeds_np),
             **kw,
         )
-        t1 = time.perf_counter()
-        self._t["t_prime_dispatch"] += t1 - t0
-        # st.ring stays ON DEVICE (lane-padded width) — the splice re-bases
-        # and scatters it there; only the (n,) first samples cross to host.
-        # The local clock is deterministic (ng - 1 ingested + 1 generated),
-        # so no device sync on st.t.
-        firsts = np.asarray(cls[:n, 0])
-        self._t["t_prime_sync"] += time.perf_counter() - t1
-        return st.ring, ng, firsts
+        self._t["t_prime_dispatch"] += time.perf_counter() - t0
+        # EVERYTHING stays on device: the splice re-bases and scatters the
+        # primed ring there, and the first samples are returned as a device
+        # future — materialized by _deliver_firsts AFTER the next chunk is
+        # dispatched, so admission never blocks the one-chunk pipeline on
+        # the prime kernel (VERDICT r3 #5: the old np.asarray here stalled
+        # dispatch by the in-flight chunk + the prime + a tunnel RTT per
+        # burst). The local clock is deterministic (ng - 1 ingested + 1
+        # generated), so no device sync on st.t either.
+        return st.ring, ng, cls[:, 0]
 
     def prewarm(self, prime_lengths=(1,)):
         """Compile the admission programs (prime kernel + on-device
@@ -627,18 +637,23 @@ class ContinuousBatcher:
             colcat = jnp.concatenate(cols, axis=0)
             # src deduplicates the lane-padding: dummy entries are copies
             # of entry 0, so duplicate scatter indices write identical
-            # values and the dummy writes are no-ops
+            # values and the dummy writes are no-ops. firsts arrives at the
+            # prime call's padded width and gathers through src on device —
+            # keeping admission sync-free (no host materialization of the
+            # prime output anywhere on the admission path).
             colcat = jnp.take(colcat, src, axis=1).astype(ring.dtype)
             ring = ring.at[:, lane_idx].set(colcat)
-            cls = cls.at[lane_idx].set(firsts)
+            cls = cls.at[lane_idx].set(jnp.take(firsts, src))
             return ring, cls
 
         return splice
 
     def _align_and_insert(self, primed, t_local: int,
-                          lanes: list[int], firsts: np.ndarray):
+                          lanes: list[int], firsts):
         """Splice a primed group into the pool on device (see
-        :meth:`_build_splice`); the ring state never visits the host."""
+        :meth:`_build_splice`); neither the ring state nor the first
+        samples (``firsts``: the prime call's device-resident (W,) output
+        column) visit the host."""
         if self._splice is None:
             self._splice = self._build_splice()
         n = len(lanes)
@@ -646,11 +661,10 @@ class ContinuousBatcher:
         src = np.concatenate(
             [np.arange(n), np.zeros(W - n, np.int64)])
         lane_idx = np.asarray(lanes, np.int32)[src]
-        firsts_p = np.asarray(firsts, np.int32)[src]
         t0 = time.perf_counter()
         ring, cls = self._splice(
             self._state.ring, self._state.cls, primed,
-            jnp.asarray(firsts_p), jnp.asarray(lane_idx),
+            jnp.asarray(firsts, jnp.int32), jnp.asarray(lane_idx),
             jnp.asarray(src, jnp.int32),
             jnp.asarray(self._global_t(), jnp.int32),
             jnp.asarray(t_local, jnp.int32),
@@ -710,6 +724,8 @@ class ContinuousBatcher:
         for p in batch:
             by_len.setdefault(p.prime.size, []).append(p)
         for group in by_len.values():
+            p0 = self._t["t_prime_dispatch"]
+            s0 = self._t["t_splice"]
             try:
                 cols, t_local, firsts = self._prime_states(group)
             except BaseException as e:  # surface to callers, keep serving
@@ -727,21 +743,21 @@ class ContinuousBatcher:
                     p.handle._finish(e)
                 continue
             self._n["admitted"] += len(group)
-            for pend, lane, first in zip(group, lanes, firsts):
+            prime_s = self._t["t_prime_dispatch"] - p0
+            splice_s = self._t["t_splice"] - s0
+            now = time.perf_counter()
+            recs = []
+            for i, (pend, lane) in enumerate(zip(group, lanes)):
                 self._temps[lane] = pend.temperature
                 self._seeds[lane] = pend.seed
                 # rebase the lane's noise clock: request-local time =
                 # pool time + toff, constant from admission on
                 self._toffs[lane] = t_local - self._global_t()
-                try:
-                    pend.handle._deliver(np.asarray([first], np.int32))
-                    self._n["samples_out"] += 1
-                except BaseException as e:  # a caller's on_chunk raised —
-                    self._temps[lane] = 0.0  # fail that request, keep serving
-                    self._free.append(lane)
-                    self._n["failed"] += 1
-                    pend.handle._finish(e)
-                    continue
+                tm = pend.handle.timing
+                tm["t_admitted"] = now
+                tm["prime_s"] = prime_s
+                tm["splice_s"] = splice_s
+                tm["group"] = len(group)
                 rest, coff = None, 0
                 if pend.cond is not None:
                     if self.cond_hop is not None:  # frames mode: keep the
@@ -752,12 +768,56 @@ class ContinuousBatcher:
                 act = _Active(pend.handle, lane,
                               pend.handle.num_samples - 1, rest, coff)
                 if act.remaining <= 0:
+                    # single-sample request: the lane frees right away (its
+                    # one sample is already captured in the prime output
+                    # column); completion fires at firsts delivery
                     self._temps[lane] = 0.0
                     self._free.append(lane)
-                    self._n["completed"] += 1
-                    act.handle._finish()
                 else:
                     self._active.append(act)
+                recs.append((pend.handle, act, i))
+            # first samples are a device future: materialized and delivered
+            # by _deliver_firsts AFTER the next chunk dispatch, so admission
+            # never stalls the pipeline (see _prime_states)
+            self._deferred.append((firsts, recs))
+
+    def _deliver_firsts(self):
+        """Materialize deferred admission outputs and deliver each new
+        request's first sample. Runs after the worker has dispatched the
+        next chunk: the block here rides device work that is already
+        queued, never idling the device (the whole point of deferral)."""
+        if not self._deferred:
+            return
+        t0 = time.perf_counter()
+        batches, self._deferred = self._deferred, []
+        for firsts_dev, recs in batches:
+            firsts = np.asarray(firsts_dev).astype(np.int32, copy=False)
+            for handle, act, row in recs:
+                if handle.done():  # failed/reaped since admission
+                    continue
+                if handle.cancelled():
+                    if act.remaining > 0:
+                        continue  # _reap_cancelled owns active lanes
+                    self._n["cancelled"] += 1
+                    handle._finish(RequestCancelled("request cancelled"))
+                    continue
+                handle.timing["t_first"] = time.perf_counter()
+                try:
+                    handle._deliver(np.asarray([firsts[row]], np.int32))
+                    self._n["samples_out"] += 1
+                except BaseException as e:  # a caller's on_chunk raised —
+                    if act.remaining > 0:  # fail that request, keep serving
+                        self._temps[act.lane] = 0.0
+                        self._free.append(act.lane)
+                        self._active = [a for a in self._active
+                                        if a is not act]
+                    self._n["failed"] += 1
+                    handle._finish(e)
+                    continue
+                if act.remaining <= 0:
+                    self._n["completed"] += 1
+                    handle._finish()
+        self._t["t_prime_sync"] += time.perf_counter() - t0
 
     def _reap_cancelled(self):
         """Drop cancelled requests at the chunk boundary, freeing their
@@ -781,6 +841,14 @@ class ContinuousBatcher:
         for act in self._active:
             act.handle._finish(error)
         self._active = []
+        # deferred-firsts handles not on an active lane (single-sample
+        # requests) would otherwise block their callers forever
+        for _, recs in self._deferred:
+            for handle, _act, _row in recs:
+                if not handle.done():
+                    self._n["failed"] += 1
+                    handle._finish(error)
+        self._deferred = []
         self._free = list(range(self.lanes))
         self._temps[:] = 0.0
         self._state = None
@@ -943,9 +1011,14 @@ class ContinuousBatcher:
                 nxt = self._dispatch_chunk() if self._active else None
                 t2 = time.perf_counter()
                 self._t["t_dispatch"] += t2 - t1
+                # materialize admission outputs only now — the next chunk
+                # is already queued behind the prime, so this wait costs
+                # the device nothing (t_prime_sync accounts it)
+                self._deliver_firsts()
+                t3 = time.perf_counter()
                 if pending is not None:
                     self._deliver_chunk(*pending)
-                    self._t["t_deliver"] += time.perf_counter() - t2
+                    self._t["t_deliver"] += time.perf_counter() - t3
                 pending = nxt
                 if pending is None and not self._active:
                     t3 = time.perf_counter()
@@ -955,6 +1028,10 @@ class ContinuousBatcher:
             except BaseException as e:
                 pending = None
                 self._fail_all(e)
+        try:  # flush deferred first samples before the final chunk drain
+            self._deliver_firsts()
+        except BaseException as e:
+            self._fail_all(e)
         if pending is not None:  # drain the in-flight chunk: its riders'
             try:  # final samples must not vanish on a graceful close
                 self._deliver_chunk(*pending)

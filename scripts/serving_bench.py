@@ -177,6 +177,7 @@ def main():
     failures = 0
     ttfa: list[float] = []
     latency: list[float] = []
+    timings: list[dict] = []  # per-request batcher lifecycle marks
 
     def worker(wid=0):
         nonlocal issued, failures
@@ -209,6 +210,7 @@ def main():
             with lock:
                 ttfa.append(first[0])
                 latency.append(t_done)
+                timings.append(dict(h.timing))
 
     threads = [threading.Thread(target=worker, args=(w,))
                for w in range(args.concurrency)]
@@ -252,6 +254,50 @@ def main():
         f"{summary['ttfa_p95_ms']:.0f} ms | completion p50/p95: "
         f"{summary['latency_p50_s']:.2f}/{summary['latency_p95_s']:.2f} s"
     )
+
+    # ---- TTFA decomposition from the batcher's per-request marks
+    # (VERDICT r3 #4: name the tail's cause, don't just report percentiles)
+    full = [t for t in timings
+            if all(k in t for k in ("t_submit", "t_admitted", "t_first"))]
+    if full:
+        phases = {
+            "wait (submit->admitted)":
+                [t["t_admitted"] - t["t_submit"] for t in full],
+            "prime dispatch": [t["prime_s"] for t in full],
+            "splice dispatch": [t["splice_s"] for t in full],
+            "first-sample sync (admitted->first)":
+                [t["t_first"] - t["t_admitted"] for t in full],
+        }
+        print(f"\nTTFA decomposition ({len(full)} requests with marks):")
+        print(f"  {'phase':<38}{'p50 ms':>9}{'p95 ms':>9}{'max ms':>9}")
+        for name, xs in phases.items():
+            print(f"  {name:<38}{q(xs, 50)*1e3:>9.1f}{q(xs, 95)*1e3:>9.1f}"
+                  f"{max(xs)*1e3:>9.1f}")
+        # the tail, attributed: among the slowest-TTFA 5%, which phase
+        # dominates each request?
+        tt = [t["t_first"] - t["t_submit"] for t in full]
+        cut = q(tt, 95)
+        tail = [t for t, v in zip(full, tt) if v >= cut]
+        if tail:
+            dom: dict[str, int] = {}
+            for t in tail:
+                parts = {
+                    "wait": t["t_admitted"] - t["t_submit"]
+                    - t["prime_s"] - t["splice_s"],
+                    "prime": t["prime_s"],
+                    "splice": t["splice_s"],
+                    "first_sync": t["t_first"] - t["t_admitted"],
+                }
+                k = max(parts, key=parts.get)
+                dom[k] = dom.get(k, 0) + 1
+            parts = ", ".join(f"{k}: {v}" for k, v in
+                              sorted(dom.items(), key=lambda kv: -kv[1]))
+            print(f"  p95-tail ({len(tail)} reqs >= {cut*1e3:.0f} ms) "
+                  f"dominated by: {parts}")
+        summary["ttfa_wait_p95_ms"] = round(
+            q(phases["wait (submit->admitted)"], 95) * 1e3, 1)
+        summary["ttfa_first_sync_p95_ms"] = round(
+            q(phases["first-sample sync (admitted->first)"], 95) * 1e3, 1)
     if args.json:
         print(json.dumps(summary))
 
