@@ -676,3 +676,56 @@ def test_prewarm_noop_then_serves(tiny):
         assert b.stats()["prime_calls"] == 1  # warm-up didn't count
     finally:
         b.close()
+
+
+def test_deferred_firsts_single_sample_and_timing(tiny):
+    """Round-4 sync-free admission: first samples are a device future
+    delivered by _deliver_firsts. A single-sample request (whose lane
+    frees immediately at admission) still completes with the exact solo
+    value, deferral survives a busy pipeline, and the per-request
+    lifecycle marks are filled."""
+    cfg, params = tiny
+    rf = cfg.receptive_field
+    prime = np.asarray(jax.random.randint(
+        jax.random.PRNGKey(3), (rf,), 0, cfg.classes))
+    solo = _solo(params, cfg, prime, 3)
+    b = ContinuousBatcher(params, cfg, lanes=2, chunk=5, interpret=True)
+    try:
+        # keep the pipeline busy so admission rides behind in-flight chunks
+        long = b.submit(prime, 30, temperature=0.0)
+        _wait_for(long, 6)
+        h1 = b.submit(prime, 1, temperature=0.0)  # single-sample request
+        _, cls1 = h1.result(timeout=300)
+        assert cls1.shape == (1,)
+        assert cls1[0] == solo[0]
+        _, cls_long = long.result(timeout=300)
+        np.testing.assert_array_equal(cls_long[:3], solo)
+        for h in (h1, long):
+            tm = h.timing
+            assert {"t_submit", "t_admitted", "t_first",
+                    "prime_s", "splice_s", "group"} <= set(tm)
+            assert tm["t_submit"] <= tm["t_admitted"] <= tm["t_first"]
+    finally:
+        b.close()
+
+
+def test_cancel_between_admission_and_firsts(tiny):
+    """A request cancelled right after submit never wedges: it resolves
+    to RequestCancelled whether the cancel lands before admission, between
+    admission and firsts delivery, or at a chunk boundary."""
+    from pytorch_wavenet_tpu.serving.batcher import RequestCancelled
+
+    cfg, params = tiny
+    prime = np.asarray([cfg.classes // 2], np.int32)
+    b = ContinuousBatcher(params, cfg, lanes=2, chunk=5, interpret=True)
+    try:
+        h = b.submit(prime, 1, temperature=0.0)
+        h.cancel()
+        with pytest.raises(RequestCancelled):
+            h.result(timeout=300)
+        # the pool still serves after the cancelled single-sample request
+        h2 = b.submit(prime, 4, temperature=0.0)
+        _, cls = h2.result(timeout=300)
+        assert cls.shape == (4,)
+    finally:
+        b.close()
