@@ -103,6 +103,7 @@ def distill_loss(
     power_weight: float = 0.0,
     rms_weight: float = 0.0,
     teacher_smooth: float = 0.0,
+    rms_per_item: bool = False,
 ) -> tuple[jnp.ndarray, dict]:
     """One-draw estimate of the distillation objective.
 
@@ -178,8 +179,25 @@ def distill_loss(
         # attractor, 0.1 overshoots amplitude 3x), because level trades
         # against unmatched spectral SHAPE inside one term. Pinning level
         # here lets power_weight stay small and govern shape only.
-        r_loss = (jnp.log(aux["rms"] + 1e-6)
-                  - jnp.log(jnp.sqrt(jnp.mean(audio_ref**2)) + 1e-6)) ** 2
+        if rms_per_item:
+            # CONDITIONED distillation: the right level is per-window, not
+            # the batch marginal. ``audio_ref`` must be the audio at the
+            # SAME windows the draws were conditioned on (row i of
+            # audio_ref matches draw i's cond timeline); pinning each
+            # draw's level to its own window's level teaches the
+            # mel->gain mapping. Measured (distill_demo vocoder): the
+            # scalar regulator below holds the batch-average at the
+            # target yet the student runs 25% hot on held-out mels
+            # (per-step batch rms oscillated 0.16-0.30 around a 0.196
+            # target); the per-item term is the fix.
+            dr = jnp.sqrt(jnp.mean(draw.x * draw.x, axis=-1))   # (B,)
+            rr = jnp.sqrt(jnp.mean(audio_ref * audio_ref, axis=-1))
+            r_loss = jnp.mean(
+                (jnp.log(dr + 1e-6) - jnp.log(rr + 1e-6)) ** 2)
+        else:
+            r_loss = (
+                jnp.log(aux["rms"] + 1e-6)
+                - jnp.log(jnp.sqrt(jnp.mean(audio_ref**2)) + 1e-6)) ** 2
         aux["rms_loss"] = r_loss
         loss = loss + rms_weight * r_loss
     return loss, aux
@@ -188,7 +206,8 @@ def distill_loss(
 @partial(
     jax.jit,
     static_argnames=("scfg", "tcfg", "tx", "batch_size", "length",
-                     "power_weight", "rms_weight", "teacher_smooth"),
+                     "power_weight", "rms_weight", "teacher_smooth",
+                     "rms_per_item"),
     donate_argnums=(0, 1),
 )
 def distill_step(
@@ -207,6 +226,7 @@ def distill_step(
     power_weight: float = 0.0,
     rms_weight: float = 0.0,
     teacher_smooth: float = 0.0,
+    rms_per_item: bool = False,
 ):
     """One distillation update on the student (teacher frozen). Returns
     ``(student_params, opt_state, loss, aux)``."""
@@ -214,7 +234,7 @@ def distill_step(
         student_params, teacher_params, scfg, tcfg, key, batch_size, length,
         cond=cond, global_cond=global_cond, audio_ref=audio_ref,
         power_weight=power_weight, rms_weight=rms_weight,
-        teacher_smooth=teacher_smooth,
+        teacher_smooth=teacher_smooth, rms_per_item=rms_per_item,
     )
     updates, opt_state = tx.update(grads, opt_state, student_params)
     student_params = optax.apply_updates(student_params, updates)

@@ -224,16 +224,25 @@ def main():
     audio_ref = jnp.asarray(audio_ref_np)
     for step in range(args.distill_steps):
         cond = None
+        ref_step = audio_ref
         if cond_full is not None:
+            # conditioned mode: audio_ref rides the SAME windows as cond,
+            # so the per-item rms regulator pins each draw's level to its
+            # own window's level (the scalar batch-marginal regulator let
+            # the student run 25% hot on held-out mels — see
+            # training/distill.py rms_per_item)
             starts = rng.integers(0, len(train_wav) - dlen - 1, dB)
             cond = jnp.asarray(
                 np.stack([cond_full[s : s + dlen] for s in starts]))
+            ref_step = jnp.asarray(
+                np.stack([train_wav[s : s + dlen] for s in starts]))
         student, sopt, dl, aux = distill_step(
             student, sopt, params, scfg, tcfg, stx,
             jax.random.fold_in(jax.random.PRNGKey(args.seed + 3), step),
-            dB, dlen, cond=cond, audio_ref=audio_ref,
+            dB, dlen, cond=cond, audio_ref=ref_step,
             power_weight=args.power_weight, rms_weight=args.rms_weight,
-            teacher_smooth=args.teacher_smooth)
+            teacher_smooth=args.teacher_smooth,
+            rms_per_item=cond_full is not None)
         kls.append(float(aux["kl"]))
         rmss.append(float(aux["rms"]))
         if step % 500 == 0 or step == args.distill_steps - 1:

@@ -5,12 +5,15 @@ Times each component of the trunk-kernel training step in isolation —
 embed, kernel forward, kernel forward+backward, the skip/head/loss tail,
 and the optimizer — so the step's cost is attributed, not guessed.
 
-Methodology (CLAUDE.md environment rules): every measurement is K
-iterations of a ``lax.scan`` inside ONE jitted dispatch (the ~26 ms tunnel
-dispatch latency never touches the numbers), min over ``--reps`` dispatches.
-Loop-invariant hoisting is defeated by threading a carried scalar into each
-iteration's inputs at 1e-30 scale (not removable by the algebraic
-simplifier, immeasurable in cost).
+Methodology (CLAUDE.md environment rules): each phase is ``--iters``
+chained async dispatches of one jitted program, synced once at the end
+(`np.asarray` of a scalar slice), min over ``--reps`` chains. This is the
+same harness the production step timings in docs/PERF.md use, so the
+"full step" row here is directly comparable — and the component programs
+are the production ones, so the persistent compile cache makes reruns
+cheap. (A scanned single-dispatch variant was tried first and abandoned:
+the fused-kernel train step inside a 20-iteration scan did not finish
+compiling within 20 minutes through the device tunnel.)
 
 Usage:  python scripts/train_phase_bench.py --config chaconne_wide
 """
@@ -28,37 +31,20 @@ import numpy as np
 from jax import lax
 
 
-def scan_timed(make_body, init_carry, iters, reps):
-    """Build jit(scan(body)), run once to compile, then min-of-reps of the
-    per-iteration time (single dispatch per rep)."""
-
-    @jax.jit
-    def run(carry):
-        carry, _ = lax.scan(
-            lambda c, _: (make_body(c), None), carry, None, length=iters
-        )
-        return jax.tree_util.tree_map(
-            lambda x: jnp.sum(x) if hasattr(x, "sum") else x, carry
-        )
-
-    out = run(init_carry)
-    jax.tree_util.tree_map(np.asarray, out)  # compile + warm
+def chain_timed(dispatch, sync, iters, reps):
+    """dispatch() enqueues one async device step (carrying state in
+    closures if needed); sync() materializes a scalar off the last
+    result. Returns best per-iteration seconds over ``reps`` chains."""
+    dispatch()
+    sync()  # compile + warm
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = run(init_carry)
-        jax.tree_util.tree_map(np.asarray, out)
+        for _ in range(iters):
+            dispatch()
+        sync()
         best = min(best, time.perf_counter() - t0)
     return best / iters
-
-
-def perturb(tree, eps):
-    """Inject a carried-scalar dependence: x + eps*1e-30 for float leaves."""
-    return jax.tree_util.tree_map(
-        lambda x: x + (eps * 1e-30).astype(x.dtype)
-        if jnp.issubdtype(x.dtype, jnp.floating) else x,
-        tree,
-    )
 
 
 def main():
@@ -74,17 +60,21 @@ def main():
                    help="attribute the XLA-trunk step instead")
     args = p.parse_args()
 
+    import optax
+
     import pytorch_wavenet_tpu as wt
     from pytorch_wavenet_tpu.models.wavenet import embed_inputs
     from pytorch_wavenet_tpu.ops.pallas.trunk_kernel import fused_trunk
-    from pytorch_wavenet_tpu.training.trainer import cross_entropy_loss
+    from pytorch_wavenet_tpu.training.trainer import (
+        cross_entropy_loss,
+        train_step,
+    )
     from pytorch_wavenet_tpu.utils.profiling import trunk_flops
 
     cfg = wt.get_config(args.config, trunk_kernel=not args.xla_trunk)
     B = args.batch_size
     params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
     tx = wt.reference_adam(1e-4)
-    opt_state = tx.init(params)
     x = jax.random.randint(
         jax.random.PRNGKey(1), (B, cfg.item_length), 0, cfg.classes
     )
@@ -94,101 +84,90 @@ def main():
     out_len = cfg.output_length
     print(f"platform={jax.devices()[0].platform} config={args.config} "
           f"B={B} out={out_len} trunk_kernel={cfg.trunk_kernel} "
-          f"iters={args.iters} reps={args.reps}")
+          f"iters={args.iters} reps={args.reps}", flush=True)
 
     results = {}
 
-    # ---- full step: fwd + bwd + adam (the production train_step math)
-    def full_body(c):
-        p_, o_ = c
-        loss, grads = jax.value_and_grad(cross_entropy_loss)(p_, cfg, x, y)
-        import optax
+    def run_phase(name, dispatch, sync):
+        results[name] = chain_timed(dispatch, sync, args.iters, args.reps)
+        print(f"  {name}: {results[name]*1e3:.3f} ms", flush=True)
 
-        updates, o_ = tx.update(grads, o_, p_)
-        p_ = optax.apply_updates(p_, updates)
-        return (p_, o_)
+    # ---- full step (the production donated train_step)
+    st = {"p": jax.tree_util.tree_map(jnp.array, params), "o": tx.init(params),
+          "loss": None}
 
-    results["full step"] = scan_timed(full_body, (params, opt_state),
-                                      args.iters, args.reps)
+    def full_dispatch():
+        st["p"], st["o"], st["loss"], _ = train_step(
+            st["p"], st["o"], cfg, tx, x, y
+        )
 
-    # ---- forward+backward only (tiny SGD carry keeps the loop live)
-    def fwdbwd_body(p_):
-        loss, grads = jax.value_and_grad(cross_entropy_loss)(p_, cfg, x, y)
-        return jax.tree_util.tree_map(lambda a, g: a - 1e-30 * g, p_, grads)
+    run_phase("full step", full_dispatch, lambda: np.asarray(st["loss"]))
 
-    results["fwd+bwd"] = scan_timed(fwdbwd_body, params, args.iters,
-                                    args.reps)
+    # ---- forward+backward only
+    vg = jax.jit(jax.value_and_grad(cross_entropy_loss),
+                 static_argnames=("cfg",))
+    box = {}
+
+    def fwdbwd_dispatch():
+        box["loss"], box["g"] = vg(params, cfg, x, y)
+
+    run_phase("fwd+bwd", fwdbwd_dispatch, lambda: np.asarray(box["loss"]))
 
     # ---- forward only
-    def fwd_body(c):
-        p_, acc = c
-        loss = cross_entropy_loss(perturb(p_, acc), cfg, x, y)
-        return (p_, loss)
+    fwd = jax.jit(cross_entropy_loss, static_argnames=("cfg",))
+    run_phase("fwd only",
+              lambda: box.__setitem__("l2", fwd(params, cfg, x, y)),
+              lambda: np.asarray(box["l2"]))
 
-    results["fwd only"] = scan_timed(
-        fwd_body, (params, jnp.float32(0)), args.iters, args.reps
-    )
+    # ---- optimizer alone (fixed grads, real donated adam chain)
+    _, grads0 = vg(params, cfg, x, y)
 
-    # ---- optimizer alone (fixed grads; carry is the real adam state)
-    _, grads0 = jax.value_and_grad(cross_entropy_loss)(params, cfg, x, y)
-
-    def adam_body(c):
-        import optax
-
-        p_, o_ = c
+    @jax.jit
+    def adam_step(p_, o_):
         updates, o_ = tx.update(grads0, o_, p_)
-        return (optax.apply_updates(p_, updates), o_)
+        return optax.apply_updates(p_, updates), o_
 
-    results["adam update"] = scan_timed(adam_body, (params, opt_state),
-                                        args.iters, args.reps)
+    ad = {"p": jax.tree_util.tree_map(jnp.array, params),
+          "o": tx.init(params)}
+
+    def adam_dispatch():
+        ad["p"], ad["o"] = adam_step(ad["p"], ad["o"])
+
+    run_phase("adam update", adam_dispatch,
+              lambda: np.asarray(ad["p"]["end2"]["b"][0]))
 
     # ---- embed forward
-    def embed_body(c):
-        p_, acc = c
-        h = embed_inputs(perturb(p_, acc), cfg, x)
-        return (p_, jnp.sum(h) * 1e-30)
-
-    results["embed fwd"] = scan_timed(
-        embed_body, (params, jnp.float32(0)), args.iters, args.reps
-    )
+    emb = jax.jit(embed_inputs, static_argnames=("cfg",))
+    run_phase("embed fwd",
+              lambda: box.__setitem__("h", emb(params, cfg, x)),
+              lambda: np.asarray(box["h"][0, 0, 0]))
 
     if cfg.trunk_kernel:
         h0 = embed_inputs(params, cfg, x)
         win = cfg.receptive_field + out_len - 1
-        h0 = h0[:, h0.shape[1] - win:]
+        h0 = jnp.asarray(h0[:, h0.shape[1] - win:])
         cdt = cfg.compute_dtype
 
         # ---- kernel forward (primal path: no activation saves)
-        def kfwd_body(c):
-            p_, acc = c
-            u = fused_trunk(perturb(p_, acc), cfg, h0, out_len, raw=True,
-                            out_dtype=cdt)
-            return (p_, jnp.sum(u.astype(jnp.float32)) * 1e-30)
-
-        results["kernel fwd"] = scan_timed(
-            kfwd_body, (params, jnp.float32(0)), args.iters, args.reps
-        )
+        kf = jax.jit(lambda p_, h_: fused_trunk(p_, cfg, h_, out_len,
+                                                raw=True, out_dtype=cdt))
+        run_phase("kernel fwd",
+                  lambda: box.__setitem__("u", kf(params, h0)),
+                  lambda: np.asarray(box["u"][0, 0, 0, 0, 0]))
 
         # ---- kernel forward+backward (save path + reverse-walk kernel)
-        def kfwdbwd_body(p_):
-            def f(pp):
-                u = fused_trunk(pp, cfg, h0, out_len, raw=True,
-                                out_dtype=cdt)
-                return jnp.sum(u.astype(jnp.float32))
-
-            g = jax.grad(f)(p_)
-            return jax.tree_util.tree_map(lambda a, b: a - 1e-30 * b, p_, g)
-
-        results["kernel fwd+bwd"] = scan_timed(kfwdbwd_body, params,
-                                               args.iters, args.reps)
+        kg = jax.jit(jax.grad(lambda p_, h_: jnp.sum(
+            fused_trunk(p_, cfg, h_, out_len, raw=True,
+                        out_dtype=cdt).astype(jnp.float32))))
+        run_phase("kernel fwd+bwd",
+                  lambda: box.__setitem__("kg", kg(params, h0)),
+                  lambda: np.asarray(box["kg"]["layers"]["w_res"][0, 0, 0]))
 
         # ---- tail: skip contraction + head + CE, fwd+bwd, given u5
-        u5 = fused_trunk(params, cfg, h0, out_len, raw=True, out_dtype=cdt)
-        L, D, N = cfg.num_layers, cfg.dilation_channels, B
+        u5 = jnp.asarray(kf(params, h0))
+        N = B
 
         def tail_loss(p_, u5_):
-            import optax
-
             lp = p_["layers"]
             skip = lax.dot_general(
                 u5_.astype(cdt), lp["w_skip"].astype(cdt),
@@ -210,13 +189,10 @@ def main():
             return jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
                 logits, y))
 
-        def tail_body(p_):
-            g = jax.grad(tail_loss)(p_, u5)
-            return jax.tree_util.tree_map(lambda a, b: a - 1e-30 * b, p_, g)
-
-        results["tail fwd+bwd (skip dot+head+loss)"] = scan_timed(
-            tail_body, params, args.iters, args.reps
-        )
+        tg = jax.jit(jax.grad(tail_loss))
+        run_phase("tail fwd+bwd (skip dot+head+loss)",
+                  lambda: box.__setitem__("tg", tg(params, u5)),
+                  lambda: np.asarray(box["tg"]["end2"]["b"][0]))
 
     # ---- report
     step = results["full step"]
@@ -232,7 +208,7 @@ def main():
               f"{100*acc/step:>10.1f}%")
     print(f"\nfull step: {step*1e3:.3f} ms  "
           f"{flops/step/1e12:.1f} TFLOP/s effective "
-          f"({flops/1e9:.1f} GFLOP fwd+2bwd)")
+          f"({flops/1e9:.1f} GFLOP fwd+2bwd)", flush=True)
 
 
 if __name__ == "__main__":
