@@ -328,9 +328,20 @@ def wavenet_logits(
         # the skip weights directly — a dot_general with two contracting
         # dims instead of materializing the (N, out, L*D) transpose (a
         # 60 MB round-trip at chaconne_wide sizes, forward and backward).
-        # Gated units store in compute_dtype: the platform's matmuls round
-        # f32 inputs to bf16 passes anyway, so bf16 storage costs no extra
-        # rounding relative to bf16 compute.
+        # Gated units emit as bf16 ON TPU: the MXU rounds f32 operands to
+        # bf16 at the matmul inputs anyway, so bf16 storage adds no
+        # rounding there — and a profiler trace showed XLA inserting a
+        # 94 MB f32->bf16 materialization copy (0.14 ms/step at
+        # chaconne_wide) between an f32 kernel output and the skip matmul,
+        # plus double the kernel's output-DMA bytes; bf16 emission deletes
+        # both. The CPU backend's dot does NOT round its operands
+        # (measured: rounding u5 there moves logits by ~3e-4), so CPU —
+        # the interpret-mode test platform, where the exactness contract
+        # vs the XLA trunk is pinned at 5e-6 — keeps the f32 path.
+        u5_dt = cdt
+        if (jnp.dtype(cdt) == jnp.float32
+                and jax.default_backend() == "tpu"):
+            u5_dt = jnp.bfloat16
         if n_data > 1:
             # Mesh composition: the batch axis is embarrassingly parallel
             # (the kernel's grid iterates item pairs), so each data shard
@@ -361,7 +372,7 @@ def wavenet_logits(
                 return fused_trunk(
                     {"layers": tp_}, cfg, h0_s, out_len,
                     cond=cond_s[0] if cond_s else None,
-                    raw=True, out_dtype=cdt,
+                    raw=True, out_dtype=u5_dt,
                 )
 
             u5 = shard_map(
@@ -371,9 +382,11 @@ def wavenet_logits(
             )(*shard_args)  # (N/G, L, G, D, out), G per-shard
         else:
             u5 = fused_trunk(params, cfg, h0, out_len, cond=cond, raw=True,
-                             out_dtype=cdt)  # (N/G, L, G, D, out)
+                             out_dtype=u5_dt)  # (N/G, L, G, D, out)
+        # contract at the kernel's emission dtype (no upcast copy; the
+        # weight side rounds to the same bf16 the matmul pass would use)
         skip = lax.dot_general(
-            u5.astype(cdt), lp["w_skip"].astype(cdt),
+            u5, lp["w_skip"].astype(u5.dtype),
             (((1, 3), (0, 1)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (N/G, G, out, S)

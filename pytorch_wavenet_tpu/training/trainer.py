@@ -71,8 +71,19 @@ def cross_entropy_loss(
     cond = _expand_cond(params, cfg, cond, cond_hop, x.shape[1])
     logits = wavenet_logits(params, cfg, x, cfg.output_length, cond=cond,
                             mesh=mesh)
-    losses = optax.softmax_cross_entropy_with_integer_labels(logits, target)
-    return jnp.mean(losses)
+    # same value as optax.softmax_cross_entropy_with_integer_labels, but
+    # the label term is a one-hot contraction instead of take_along_axis:
+    # a profiler trace showed the gather costing 0.21 ms/step at
+    # chaconne_wide (6% of the step — it runs as a serial row gather, and
+    # its transpose is a scatter); the dense select-sum fuses into the
+    # surrounding elementwise passes
+    logz = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
+    hit = jnp.sum(
+        logits * jax.nn.one_hot(target, logits.shape[-1],
+                                dtype=logits.dtype),
+        axis=-1,
+    )
+    return jnp.mean(logz - hit)
 
 
 @partial(jax.jit, static_argnames=("cfg", "tx", "cond_hop", "mesh"),

@@ -1,26 +1,33 @@
 #!/usr/bin/env python
 """Training-step phase attribution (VERDICT r3 #2).
 
-Times each component of the trunk-kernel training step in isolation —
-embed, kernel forward, kernel forward+backward, the skip/head/loss tail,
-and the optimizer — so the step's cost is attributed, not guessed.
+Where does the trunk-kernel training step's time go? This traces the
+production ``train_step`` with ``jax.profiler`` (one program — no extra
+compiles, no dispatch-latency distortion) and aggregates device-op
+durations by SOURCE LINE, so every fusion is attributed to the code that
+emitted it (kernel fwd/bwd, skip contraction, head, loss, embed, adam).
 
-Methodology (CLAUDE.md environment rules): each phase is ``--iters``
-chained async dispatches of one jitted program, synced once at the end
-(`np.asarray` of a scalar slice), min over ``--reps`` chains. This is the
-same harness the production step timings in docs/PERF.md use, so the
-"full step" row here is directly comparable — and the component programs
-are the production ones, so the persistent compile cache makes reruns
-cheap. (A scanned single-dispatch variant was tried first and abandoned:
-the fused-kernel train step inside a 20-iteration scan did not finish
-compiling within 20 minutes through the device tunnel.)
+Why not component timings? Two measured environment facts make them
+useless here (see docs/PERF.md round-4 notes): a single dispatch through
+the device tunnel pays ~26 ms RTT (swamping any sub-ms phase), chained
+dispatches pay a congestion-dependent ~1-1.5 ms enqueue floor each, and
+Mosaic kernels cannot be amortized inside one dispatch — pallas calls in
+a ``lax.scan`` body did not finish compiling within 20 minutes even at
+the tiny config, and unrolled copies compile at ~108 s per instance.
+The profiler sidesteps all of it: wall-accurate device timelines for the
+exact production program.
 
 Usage:  python scripts/train_phase_bench.py --config chaconne_wide
 """
 
 import argparse
+import collections
+import glob
+import gzip
+import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -28,23 +35,37 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 
-def chain_timed(dispatch, sync, iters, reps):
-    """dispatch() enqueues one async device step (carrying state in
-    closures if needed); sync() materializes a scalar off the last
-    result. Returns best per-iteration seconds over ``reps`` chains."""
-    dispatch()
-    sync()  # compile + warm
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            dispatch()
-        sync()
-        best = min(best, time.perf_counter() - t0)
-    return best / iters
+def classify(source: str, tf_op: str, name: str) -> str:
+    """Map a device op to a phase by its emitting source line."""
+    bwd = "transpose(" in tf_op
+    if "trunk_kernel.py" in source or "pallas_call" in tf_op:
+        if "pallas_call" in tf_op or name.startswith(("jvp", "transpose")):
+            return "kernel bwd" if bwd else "kernel fwd"
+        return "kernel glue (pad/reshape)"
+    if "optax" in source or "_classification" in source:
+        return "loss"
+    try:
+        path, line = source.rsplit(":", 1)
+        with open(path) as f:
+            text = f.readlines()[int(line) - 1]
+    except Exception:
+        text = ""
+    if "end1" in text or "end2" in text or "relu" in text \
+            or "jnp.matmul" in text:
+        # head 1x1s (and their grads, adam-fused) route through _mm
+        return "head bwd" if bwd else "head fwd"
+    if "skip" in text or "u5" in text:
+        return "skip dot bwd" if bwd else "skip dot fwd"
+    if "logsumexp" in text or "one_hot" in text or "losses" in text \
+            or "jnp.mean" in text:
+        return "loss"
+    if "take" in text or "embed" in text or "_embed" in source:
+        return "embed"
+    if "apply_updates" in source or "update" in text or "adam" in text:
+        return "adam"
+    return "other"
 
 
 def main():
@@ -54,161 +75,89 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="chaconne_wide")
     p.add_argument("--batch-size", type=int, default=16)
-    p.add_argument("--iters", type=int, default=20)
-    p.add_argument("--reps", type=int, default=4)
-    p.add_argument("--xla-trunk", action="store_true",
-                   help="attribute the XLA-trunk step instead")
+    p.add_argument("--steps", type=int, default=5)
+    p.add_argument("--xla-trunk", action="store_true")
+    p.add_argument("--top", type=int, default=14,
+                   help="rows of the per-op table")
     args = p.parse_args()
 
-    import optax
-
     import pytorch_wavenet_tpu as wt
-    from pytorch_wavenet_tpu.models.wavenet import embed_inputs
-    from pytorch_wavenet_tpu.ops.pallas.trunk_kernel import fused_trunk
-    from pytorch_wavenet_tpu.training.trainer import (
-        cross_entropy_loss,
-        train_step,
-    )
+    from pytorch_wavenet_tpu.training.trainer import train_step
     from pytorch_wavenet_tpu.utils.profiling import trunk_flops
 
     cfg = wt.get_config(args.config, trunk_kernel=not args.xla_trunk)
     B = args.batch_size
     params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
     tx = wt.reference_adam(1e-4)
+    p_ = jax.tree_util.tree_map(jnp.array, params)
+    o_ = tx.init(params)
     x = jax.random.randint(
         jax.random.PRNGKey(1), (B, cfg.item_length), 0, cfg.classes
     )
     y = jax.random.randint(
         jax.random.PRNGKey(2), (B, cfg.output_length), 0, cfg.classes
     )
-    out_len = cfg.output_length
     print(f"platform={jax.devices()[0].platform} config={args.config} "
-          f"B={B} out={out_len} trunk_kernel={cfg.trunk_kernel} "
-          f"iters={args.iters} reps={args.reps}", flush=True)
+          f"B={B} out={cfg.output_length} trunk_kernel={cfg.trunk_kernel}",
+          flush=True)
 
-    results = {}
+    p_, o_, loss, _ = train_step(p_, o_, cfg, tx, x, y)  # compile + warm
+    np.asarray(loss)
 
-    def run_phase(name, dispatch, sync):
-        results[name] = chain_timed(dispatch, sync, args.iters, args.reps)
-        print(f"  {name}: {results[name]*1e3:.3f} ms", flush=True)
+    tdir = tempfile.mkdtemp(prefix="wavenet_phase_")
+    with jax.profiler.trace(tdir):
+        for _ in range(args.steps):
+            p_, o_, loss, _ = train_step(p_, o_, cfg, tx, x, y)
+        np.asarray(loss)
 
-    # ---- full step (the production donated train_step)
-    st = {"p": jax.tree_util.tree_map(jnp.array, params), "o": tx.init(params),
-          "loss": None}
+    traces = glob.glob(os.path.join(tdir, "**", "*.trace.json.gz"),
+                       recursive=True)
+    if not traces:
+        raise SystemExit(f"no trace produced under {tdir} — profiler "
+                         "unsupported on this backend?")
+    with gzip.open(traces[0]) as f:
+        data = json.load(f)
+    ev = data["traceEvents"]
+    pids = {e["pid"]: e["args"]["name"] for e in ev
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
 
-    def full_dispatch():
-        st["p"], st["o"], st["loss"], _ = train_step(
-            st["p"], st["o"], cfg, tx, x, y
-        )
+    phase_dur = collections.Counter()
+    op_dur = collections.Counter()
+    op_meta = {}
+    step_total = 0.0
+    for e in ev:
+        if e.get("ph") != "X" or "TPU" not in pids.get(e["pid"], ""):
+            continue
+        a = e.get("args") or {}
+        if e["name"].startswith("jit_train_step"):
+            step_total += e["dur"] / args.steps / 1e3
+            continue
+        if not a.get("source") and not a.get("tf_op"):
+            continue  # module/step summary rows
+        ph = classify(a.get("source", ""), a.get("tf_op", ""), e["name"])
+        phase_dur[ph] += e["dur"]
+        op_dur[e["name"]] += e["dur"]
+        op_meta[e["name"]] = (ph, a.get("source", ""))
 
-    run_phase("full step", full_dispatch, lambda: np.asarray(st["loss"]))
+    total_ops = sum(phase_dur.values())
+    print(f"\nper-phase device time (over {args.steps} steps):")
+    print(f"  {'phase':<26}{'ms/step':>9}{'% of step':>11}")
+    for ph, d in phase_dur.most_common():
+        ms = d / args.steps / 1e3
+        print(f"  {ph:<26}{ms:>9.3f}{100*d/total_ops:>10.1f}%")
+    print(f"  {'-- sum of ops --':<26}{total_ops/args.steps/1e3:>9.3f}")
+    if step_total:
+        flops = 3 * trunk_flops(cfg, B)
+        print(f"\nfull step (device): {step_total:.3f} ms   "
+              f"{flops/(step_total/1e3)/1e12:.1f} TFLOP/s effective "
+              f"({flops/1e9:.1f} GFLOP fwd+2bwd)")
 
-    # ---- forward+backward only
-    vg = jax.jit(jax.value_and_grad(cross_entropy_loss),
-                 static_argnames=("cfg",))
-    box = {}
-
-    def fwdbwd_dispatch():
-        box["loss"], box["g"] = vg(params, cfg, x, y)
-
-    run_phase("fwd+bwd", fwdbwd_dispatch, lambda: np.asarray(box["loss"]))
-
-    # ---- forward only
-    fwd = jax.jit(cross_entropy_loss, static_argnames=("cfg",))
-    run_phase("fwd only",
-              lambda: box.__setitem__("l2", fwd(params, cfg, x, y)),
-              lambda: np.asarray(box["l2"]))
-
-    # ---- optimizer alone (fixed grads, real donated adam chain)
-    _, grads0 = vg(params, cfg, x, y)
-
-    @jax.jit
-    def adam_step(p_, o_):
-        updates, o_ = tx.update(grads0, o_, p_)
-        return optax.apply_updates(p_, updates), o_
-
-    ad = {"p": jax.tree_util.tree_map(jnp.array, params),
-          "o": tx.init(params)}
-
-    def adam_dispatch():
-        ad["p"], ad["o"] = adam_step(ad["p"], ad["o"])
-
-    run_phase("adam update", adam_dispatch,
-              lambda: np.asarray(ad["p"]["end2"]["b"][0]))
-
-    # ---- embed forward
-    emb = jax.jit(embed_inputs, static_argnames=("cfg",))
-    run_phase("embed fwd",
-              lambda: box.__setitem__("h", emb(params, cfg, x)),
-              lambda: np.asarray(box["h"][0, 0, 0]))
-
-    if cfg.trunk_kernel:
-        h0 = embed_inputs(params, cfg, x)
-        win = cfg.receptive_field + out_len - 1
-        h0 = jnp.asarray(h0[:, h0.shape[1] - win:])
-        cdt = cfg.compute_dtype
-
-        # ---- kernel forward (primal path: no activation saves)
-        kf = jax.jit(lambda p_, h_: fused_trunk(p_, cfg, h_, out_len,
-                                                raw=True, out_dtype=cdt))
-        run_phase("kernel fwd",
-                  lambda: box.__setitem__("u", kf(params, h0)),
-                  lambda: np.asarray(box["u"][0, 0, 0, 0, 0]))
-
-        # ---- kernel forward+backward (save path + reverse-walk kernel)
-        kg = jax.jit(jax.grad(lambda p_, h_: jnp.sum(
-            fused_trunk(p_, cfg, h_, out_len, raw=True,
-                        out_dtype=cdt).astype(jnp.float32))))
-        run_phase("kernel fwd+bwd",
-                  lambda: box.__setitem__("kg", kg(params, h0)),
-                  lambda: np.asarray(box["kg"]["layers"]["w_res"][0, 0, 0]))
-
-        # ---- tail: skip contraction + head + CE, fwd+bwd, given u5
-        u5 = jnp.asarray(kf(params, h0))
-        N = B
-
-        def tail_loss(p_, u5_):
-            lp = p_["layers"]
-            skip = lax.dot_general(
-                u5_.astype(cdt), lp["w_skip"].astype(cdt),
-                (((1, 3), (0, 1)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).reshape(N, out_len, cfg.skip_channels)
-            if "b_skip" in lp:
-                skip = skip + jnp.sum(lp["b_skip"], axis=0)
-            yh = jax.nn.relu(skip)
-            yh = jax.nn.relu(
-                jnp.matmul(yh.astype(cdt), p_["end1"]["w"].astype(cdt),
-                           preferred_element_type=jnp.float32)
-                + p_["end1"]["b"]
-            )
-            logits = jnp.matmul(
-                yh.astype(cdt), p_["end2"]["w"].astype(cdt),
-                preferred_element_type=jnp.float32,
-            ) + p_["end2"]["b"]
-            return jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
-                logits, y))
-
-        tg = jax.jit(jax.grad(tail_loss))
-        run_phase("tail fwd+bwd (skip dot+head+loss)",
-                  lambda: box.__setitem__("tg", tg(params, u5)),
-                  lambda: np.asarray(box["tg"]["end2"]["b"][0]))
-
-    # ---- report
-    step = results["full step"]
-    flops = 3 * trunk_flops(cfg, B)
-    print(f"\n{'phase':<38}{'ms':>9}{'% of step':>11}")
-    for k, v in results.items():
-        print(f"{k:<38}{v*1e3:>9.3f}{100*v/step:>10.1f}%")
-    acc = sum(v for k, v in results.items() if k in
-              ("embed fwd", "kernel fwd+bwd",
-               "tail fwd+bwd (skip dot+head+loss)", "adam update"))
-    if cfg.trunk_kernel:
-        print(f"{'sum(embed+kernel+tail+adam)':<38}{acc*1e3:>9.3f}"
-              f"{100*acc/step:>10.1f}%")
-    print(f"\nfull step: {step*1e3:.3f} ms  "
-          f"{flops/step/1e12:.1f} TFLOP/s effective "
-          f"({flops/1e9:.1f} GFLOP fwd+2bwd)", flush=True)
+    print(f"\ntop {args.top} device ops:")
+    for name, d in op_dur.most_common(args.top):
+        ph, src = op_meta[name]
+        src = src.split("/pytorch_wavenet_tpu/")[-1].split(
+            "/site-packages/")[-1]
+        print(f"  {d/args.steps/1e3:8.3f} ms  [{ph}] {name[:36]:<38} {src}")
 
 
 if __name__ == "__main__":
