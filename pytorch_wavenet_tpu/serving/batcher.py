@@ -243,7 +243,10 @@ class ContinuousBatcher:
                        samples_out=0, pool_steps=0, prime_calls=0)
         # cumulative worker-loop phase seconds (where serving wall time
         # goes: device dispatch, chunk materialize+distribute, admission,
-        # idle wait; admission sub-phases prefixed t_prime/t_splice) —
+        # idle wait; admission sub-phases prefixed t_prime/t_splice —
+        # t_prime_dispatch is the prime ENQUEUE only, t_prime_sync the
+        # deferred _deliver_firsts materialization, which rides behind an
+        # already-dispatched chunk and so overlaps device work) —
         # `stats()` exposes them for capacity debugging. ALL keys are
         # pre-seeded: stats() iterates this dict from other threads, and
         # a lazy first insert mid-iteration would raise.

@@ -279,8 +279,12 @@ def main():
         cond_t = np.asarray(
             mel_ops.upsample_frames_np(frames[None], hop, len(tgt)))[0]
         c1 = jnp.asarray(cond_t)[None]
+        # several noise draws on the SAME mel timeline: a single draw's
+        # RMS is too noisy to read the level calibration against (run-to-
+        # run 1-stream ratios measured 0.80 and 1.13 at identical recipe)
+        cS = jnp.tile(c1, (streams, 1, 1))
         s_wav = np.asarray(student_generate(
-            student, scfg, ekey, len(tgt), num_streams=1, cond=c1))
+            student, scfg, ekey, len(tgt), num_streams=streams, cond=cS))
         t_wav = np.asarray(generate_fast(
             params, tcfg, ekey, len(tgt) - rf,
             jnp.asarray(quantize_data(tgt[:rf], classes))[None].astype(
@@ -289,12 +293,15 @@ def main():
             # rf-primed rollout of len(tgt)-rf samples uses len(tgt)-1 rows
             temperature=1.0, cond=c1[:, :-1])[0])
         ref_mel = melspec(tgt)
-        logmel_student = mel_l2(melspec(s_wav[0]), ref_mel)
+        logmel_student = float(np.mean(
+            [mel_l2(melspec(w), ref_mel) for w in s_wav]))
         logmel_teacher = mel_l2(melspec(t_wav[0]),
                                 melspec(tgt[rf:]))
         i_wav = np.asarray(student_generate(
-            student_init, scfg, ekey, len(tgt), num_streams=1, cond=c1))
-        logmel_init = mel_l2(melspec(i_wav[0]), ref_mel)
+            student_init, scfg, ekey, len(tgt), num_streams=streams,
+            cond=cS))
+        logmel_init = float(np.mean(
+            [mel_l2(melspec(w), ref_mel) for w in i_wav]))
     student_rms = float(np.sqrt(np.mean(s_wav**2)))
 
     metrics = {
@@ -323,9 +330,8 @@ def main():
         from pytorch_wavenet_tpu.data.audio_io import write_wav
         from pytorch_wavenet_tpu.utils.checkpoints import save_checkpoint
 
-        save_checkpoint(
-            os.path.join(args.out_dir, f"demo_teacher_{args.mode}.ckpt"),
-            params=params, cfg=tcfg, step=args.teacher_steps)
+        save_checkpoint(args.out_dir, f"demo_teacher_{args.mode}",
+                        args.teacher_steps, params, cfg=tcfg)
         write_wav(os.path.join(args.out_dir, f"student_{args.mode}.wav"),
                   np.clip(np.asarray(s_wav[0]), -1, 1), args.sr)
         with open(os.path.join(args.out_dir,
