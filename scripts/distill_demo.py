@@ -75,9 +75,12 @@ def parse_args():
     p.add_argument("--distill-lr", type=float, default=3e-4,
                    help="1e-3 measured unstable at chaconne scale "
                         "(KL rises); 3e-4 descends cleanly")
-    p.add_argument("--rms-weight", type=float, default=3.0,
+    p.add_argument("--rms-weight", type=float, default=None,
                    help="log-RMS matching weight — the dedicated "
-                        "amplitude regulator (see distill_loss)")
+                        "amplitude regulator (see distill_loss). Default "
+                        "3.0 uncond / 6.0 vocoder: the measured per-item "
+                        "equilibrium sweep at demo scale read 0.80x data "
+                        "RMS at 3, 0.97x at 6, 1.13x at 10 (PERF.md)")
     p.add_argument("--teacher-smooth", type=float, default=1e-3,
                    help="teacher label smoothing during distillation — "
                         "REQUIRED at scale against sharp teachers (see "
@@ -125,6 +128,10 @@ def main():
 
     enable_compile_cache()
     args = parse_args()
+    if args.rms_weight is None:
+        # per-mode equilibrium (see --rms-weight help): the per-item
+        # regulator needs a stronger pin against the conditioned KL
+        args.rms_weight = 6.0 if args.mode == "vocoder" else 3.0
     import optax
 
     import pytorch_wavenet_tpu as wt

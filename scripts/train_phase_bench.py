@@ -77,6 +77,9 @@ def main():
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--xla-trunk", action="store_true")
+    p.add_argument("--bf16-stream", action="store_true",
+                   help="cfg.stream_dtype=bfloat16 (halves the kernel's "
+                        "VMEM stream/tap traffic)")
     p.add_argument("--top", type=int, default=14,
                    help="rows of the per-op table")
     args = p.parse_args()
@@ -85,7 +88,10 @@ def main():
     from pytorch_wavenet_tpu.training.trainer import train_step
     from pytorch_wavenet_tpu.utils.profiling import trunk_flops
 
-    cfg = wt.get_config(args.config, trunk_kernel=not args.xla_trunk)
+    overrides = {"trunk_kernel": not args.xla_trunk}
+    if args.bf16_stream:
+        overrides["stream_dtype"] = jnp.bfloat16
+    cfg = wt.get_config(args.config, **overrides)
     B = args.batch_size
     params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
     tx = wt.reference_adam(1e-4)
