@@ -158,6 +158,8 @@ class ContinuousBatcher:
                  regularize: float = 0.0,
                  max_pending: int | None = None,
                  cond_hop: int | None = None,
+                 light_chunk: int | None = None,
+                 light_threshold: float = 0.25,
                  mesh=None):
         """``mesh``: a ``jax.sharding.Mesh`` with a data axis — the lane
         pool is sharded over it and every chunk advances on all chips in
@@ -214,6 +216,17 @@ class ContinuousBatcher:
         self.lanes = lanes
         self.chunk = chunk  # pool clock is int32: one pool serves ~2^31
         # samples (~37 h of 16 kHz audio per lane) before needing a restart
+        # Adaptive chunking: a lightly loaded pool dispatches short chunks
+        # so a new request's first audio is ~light_chunk steps away
+        # instead of ~chunk (the structural TTFA floor is the chunk wall —
+        # docs/SERVING.md). Per-request outputs are bitwise chunk-
+        # invariant (noise counts off request-local steps; frame expansion
+        # is window-exact), so the dispatcher may pick any width any time.
+        if light_chunk is not None and not (1 <= light_chunk < chunk):
+            raise ValueError(
+                f"light_chunk={light_chunk} must be in [1, chunk={chunk})")
+        self.light_chunk = light_chunk
+        self.light_threshold = float(light_threshold)
         self.max_pending = max_pending
         self._kw = dict(interpret=interpret, ring_dtype=ring_dtype,
                         fuse_res=fuse_res, stage_layers=stage_layers,
@@ -411,7 +424,8 @@ class ContinuousBatcher:
         with self._count_lock:
             outstanding = self._outstanding
         return {
-            "lanes": self.lanes, "chunk": self.chunk, "active": active,
+            "lanes": self.lanes, "chunk": self.chunk,
+            "light_chunk": self.light_chunk, "active": active,
             "free": self.lanes - active, "queued": self._submit_q.qsize(),
             "outstanding": outstanding,
             "pool_clock": self._global_t(), **self._n,
@@ -585,8 +599,52 @@ class ContinuousBatcher:
                     self._align_and_insert(
                         primed, t_local, list(range(w)),
                         np.full(w, fill, np.int32))
+        # compile the pool-step program for every chunk width the
+        # dispatcher can pick — without this, the light-load width's
+        # first dispatch pays its XLA compile on a live request (the
+        # precise tail prewarm exists to prevent). Stepping the empty
+        # bootstrap pool is safe: admissions rebase against the advanced
+        # clock by design, and free lanes' output is discarded.
+        widths = {self.chunk}
+        if self.light_chunk is not None:
+            widths.add(self.light_chunk)
+        cond_now = [None]
+        if self.cond_hop is not None:
+            cond_now = [None, True]  # both program variants, like primes
+        for nw in sorted(widths):
+            for has_cond in cond_now:
+                cond = None
+                if has_cond:
+                    from ..ops.mel import frames_window_len
+
+                    Fs = frames_window_len(nw, self.cond_hop,
+                                           self._factors)
+                    cond = self._expand_frames(
+                        jnp.zeros((self.lanes, Fs,
+                                   self.cfg.cond_channels), jnp.float32),
+                        jnp.zeros(self.lanes, jnp.int32), nw)
+                if self.mesh is not None:
+                    from ..parallel.training import sharded_pool_step
+
+                    kw = {k: v for k, v in self._kw.items()
+                          if k != "pad_streams"}
+                    cls, self._state = sharded_pool_step(
+                        self.params, self.cfg, self.mesh,
+                        self._next_key(), nw, self._state,
+                        temperature=self._temps, lane_seed=self._seeds,
+                        lane_clock=self._toffs, cond=cond, **kw)
+                else:
+                    _, cls, self._state = generate_fast_batched(
+                        self.params, self.cfg, self._next_key(), nw, None,
+                        temperature=jnp.asarray(self._temps),
+                        state=self._state, cond=cond, return_state=True,
+                        lane_seed=jnp.asarray(self._seeds),
+                        lane_clock=jnp.asarray(self._toffs), **self._kw)
+                np.asarray(cls[0, 0])  # force the compile + execution
+                self._clock += nw
         # warm-up work must not pollute the serving-phase attribution
         self._n["prime_calls"] = 0
+        self._n["pool_steps"] = 0
         for k in self._t:
             self._t[k] = 0.0
 
@@ -856,12 +914,25 @@ class ContinuousBatcher:
         self._temps[:] = 0.0
         self._state = None
 
+    def _pick_chunk(self) -> int:
+        """Chunk width for the next dispatch: the short ``light_chunk``
+        while the pool is lightly loaded (low TTFA), the full ``chunk``
+        under load (amortizes per-chunk overheads)."""
+        if self.light_chunk is None:
+            return self.chunk
+        load = len(self._active) + self._submit_q.qsize()
+        return (self.light_chunk
+                if load <= self.light_threshold * self.lanes
+                else self.chunk)
+
     def _dispatch_chunk(self):
-        """Enqueue one pool step on the device and return ``(cls, riders)``
-        WITHOUT materializing the result — jax dispatch is asynchronous, so
-        the device starts computing while the worker goes on to deliver the
-        PREVIOUS chunk (host-side delivery and the device step overlap; see
-        _run). ``riders`` snapshots the active list as of this dispatch."""
+        """Enqueue one pool step on the device and return ``(cls, riders,
+        rows, n)`` WITHOUT materializing the result — jax dispatch is
+        asynchronous, so the device starts computing while the worker goes
+        on to deliver the PREVIOUS chunk (host-side delivery and the
+        device step overlap; see _run). ``riders`` snapshots the active
+        list as of this dispatch; ``n`` is this dispatch's chunk width."""
+        n = self._pick_chunk()
         cond = None
         if any(act.cond is not None for act in self._active):
             if self.cond_hop is not None:
@@ -871,7 +942,7 @@ class ContinuousBatcher:
                 from ..ops.mel import frames_window_len
 
                 hop = self.cond_hop
-                Fs = frames_window_len(self.chunk, hop, self._factors)
+                Fs = frames_window_len(n, hop, self._factors)
                 slab = np.zeros(
                     (self.lanes, Fs, self.cfg.cond_channels), np.float32)
                 phase = np.zeros(self.lanes, np.int32)
@@ -883,18 +954,18 @@ class ContinuousBatcher:
                                      act.cond.shape[0] - 1)
                     slab[act.lane] = act.cond[idx]
                     phase[act.lane] = act.cond_off - fs * hop
-                    act.cond_off += self.chunk
+                    act.cond_off += n
                 cond = self._expand_frames(
-                    jnp.asarray(slab), jnp.asarray(phase), self.chunk)
+                    jnp.asarray(slab), jnp.asarray(phase), n)
             else:
                 # assemble this chunk's per-lane cond rows; finished/free/
                 # unconditioned lanes ride zero rows
                 cond = np.zeros(
-                    (self.lanes, self.chunk, self.cfg.cond_channels),
+                    (self.lanes, n, self.cfg.cond_channels),
                     np.float32)
                 for act in self._active:
                     if act.cond is not None:
-                        k = min(self.chunk, act.cond.shape[0])
+                        k = min(n, act.cond.shape[0])
                         cond[act.lane, :k] = act.cond[:k]
                         act.cond = act.cond[k:]
                 cond = jnp.asarray(cond)
@@ -905,7 +976,7 @@ class ContinuousBatcher:
             kw = {k: v for k, v in self._kw.items() if k != "pad_streams"}
             cls, self._state = sharded_pool_step(
                 self.params, self.cfg, self.mesh, self._next_key(),
-                self.chunk, self._state, temperature=self._temps,
+                n, self._state, temperature=self._temps,
                 lane_seed=self._seeds, lane_clock=self._toffs, cond=cond,
                 **kw,
             )
@@ -919,13 +990,13 @@ class ContinuousBatcher:
                 self._dev_args = tuple(jnp.asarray(a)
                                        for a in self._host_args)
             _, cls, self._state = generate_fast_batched(
-                self.params, self.cfg, self._next_key(), self.chunk, None,
+                self.params, self.cfg, self._next_key(), n, None,
                 temperature=self._dev_args[0], state=self._state,
                 cond=cond, return_state=True,
                 lane_seed=self._dev_args[1],
                 lane_clock=self._dev_args[2], **self._kw,
             )
-        self._clock += self.chunk  # admissions after this dispatch rebase
+        self._clock += n  # admissions after this dispatch rebase
         # against the advanced clock (state.t moves with the dispatch)
         if self.cfg.classes <= 32768:
             # halve the device->host chunk transfer (one extra async device
@@ -948,15 +1019,18 @@ class ContinuousBatcher:
             sel[len(riders):] = sel[0]
             cls = jnp.take(cls, jnp.asarray(sel), axis=0)
             rows = {id(a): i for i, a in enumerate(riders)}
-        return cls, riders, rows
+        return cls, riders, rows, n
 
-    def _deliver_chunk(self, cls, riders, rows=None):
+    def _deliver_chunk(self, cls, riders, rows=None, n=None):
         """Materialize a dispatched chunk (blocks until the device step
         completes) and distribute it to its riders. A rider that finished
         or was cancelled after the dispatch is skipped — its trailing
         samples are discarded, like a free lane's greedy output. ``rows``
         maps rider identity to its row when the dispatch downloaded only
-        the active lanes (lightly loaded pools); None = rows are lanes."""
+        the active lanes (lightly loaded pools); None = rows are lanes.
+        ``n`` is the dispatch's chunk width (adaptive chunking)."""
+        if n is None:
+            n = self.chunk
         cls = np.asarray(cls).astype(np.int32, copy=False)
         still = []
         rider_ids = {id(a) for a in riders}
@@ -964,7 +1038,7 @@ class ContinuousBatcher:
             if id(act) not in rider_ids:  # admitted after this dispatch
                 still.append(act)
                 continue
-            take = min(act.remaining, self.chunk)
+            take = min(act.remaining, n)
             row = act.lane if rows is None else rows[id(act)]
             try:
                 act.handle._deliver(cls[row, :take])

@@ -113,6 +113,11 @@ def parse_args():
     p.add_argument("--batch-chunk", type=int, default=1024,
                    help="batcher splice granularity in samples (also the "
                         "streaming time-to-first-audio)")
+    p.add_argument("--light-chunk", type=int, default=None,
+                   help="batcher adaptive chunking: dispatch this many "
+                        "steps per chunk while the pool is lightly loaded "
+                        "(cuts TTFA to ~light-chunk steps; responses stay "
+                        "bitwise chunk-invariant)")
     p.add_argument("--mesh-data", type=int, default=0,
                    help="shard the batcher lane pool over this many chips "
                         "(a data-axis mesh; --lanes is the POOL total, a "
@@ -711,6 +716,7 @@ def main():
         batcher_opts = dict(lanes=args.lanes, chunk=args.batch_chunk,
                             interpret=args.batcher_interpret,
                             head_tiles=args.head_tiles,
+                            light_chunk=args.light_chunk,
                             max_pending=args.max_pending)
         if blob["config"].cond_channels:
             # conditioned pools ship mel FRAMES over the wire and expand

@@ -57,6 +57,11 @@ def parse_args():
     p.add_argument("--chunk", type=int, default=2048,
                    help="splice granularity in samples (= streaming "
                         "time-to-first-audio floor)")
+    p.add_argument("--light-chunk", type=int, default=None,
+                   help="adaptive chunking: dispatch this many steps per "
+                        "chunk while the pool is lightly loaded (cuts the "
+                        "TTFA chunk-wall floor; outputs are bitwise "
+                        "chunk-invariant)")
     p.add_argument("--concurrency", type=int, default=512,
                    help="closed-loop in-flight requests (> lanes "
                         "saturates the pool and measures capacity)")
@@ -128,6 +133,7 @@ def main():
         stage_layers=args.stage_layers, head_tiles=args.head_tiles,
         skip_slab=args.skip_slab,
         cond_hop=args.cond_hop if (args.cond and args.cond_hop) else None,
+        light_chunk=args.light_chunk,
         mesh=mesh,
     )
 

@@ -729,3 +729,54 @@ def test_cancel_between_admission_and_firsts(tiny):
         assert cls.shape == (4,)
     finally:
         b.close()
+
+
+def test_adaptive_chunking_bitwise_exact(tiny):
+    """light_chunk pools dispatch short chunks when lightly loaded and
+    full chunks under load — and every request's output stays bitwise
+    equal to its solo rollout across the width changes (noise counts off
+    request-local steps; chunk boundaries are invisible)."""
+    cfg, params = tiny
+    rf = cfg.receptive_field
+    primes = [
+        np.asarray(jax.random.randint(jax.random.fold_in(
+            jax.random.PRNGKey(21), i), (rf,), 0, cfg.classes))
+        for i in range(4)
+    ]
+    b = ContinuousBatcher(params, cfg, lanes=4, chunk=12, interpret=True,
+                          light_chunk=3, light_threshold=0.5)
+    try:
+        # 1 active of 4 lanes = light (<= 0.5*4 = 2): short chunks
+        h0 = b.submit(primes[0], 40, temperature=0.0)
+        _wait_for(h0, 4)
+        # pile on load to cross the threshold mid-flight: full chunks
+        hs = [b.submit(primes[i], 25, temperature=0.0) for i in (1, 2, 3)]
+        for h, p, n in [(h0, primes[0], 40)] + [
+                (h, primes[i + 1], 25) for i, h in enumerate(hs)]:
+            _, cls = h.result(timeout=300)
+            np.testing.assert_array_equal(cls, _solo(params, cfg, p, n))
+    finally:
+        b.close()
+    assert b.stats()["light_chunk"] == 3
+
+
+def test_adaptive_chunking_temperature_seeded(tiny):
+    """Seeded sampling at temperature>0 is also chunk-width-invariant:
+    the same (prime, seed) resubmitted to a light_chunk pool under
+    different load reproduces exactly."""
+    cfg, params = tiny
+    prime = np.asarray([cfg.classes // 2], np.int32)
+    b = ContinuousBatcher(params, cfg, lanes=3, chunk=10, interpret=True,
+                          light_chunk=2, light_threshold=0.4)
+    try:
+        h1 = b.submit(prime, 30, temperature=0.9, seed=7)
+        _, cls1 = h1.result(timeout=300)
+        # now with the pool busy (full-chunk regime)
+        filler = b.submit(prime, 60, temperature=1.0, seed=8)
+        _wait_for(filler, 4)
+        h2 = b.submit(prime, 30, temperature=0.9, seed=7)
+        _, cls2 = h2.result(timeout=300)
+        filler.cancel()
+        np.testing.assert_array_equal(cls1, cls2)
+    finally:
+        b.close()
