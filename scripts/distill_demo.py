@@ -75,6 +75,9 @@ def parse_args():
     p.add_argument("--distill-lr", type=float, default=3e-4,
                    help="1e-3 measured unstable at chaconne scale "
                         "(KL rises); 3e-4 descends cleanly")
+    p.add_argument("--distill-lr-schedule", default="constant",
+                   choices=("constant", "cosine"),
+                   help="cosine decays to 0.1x over --distill-steps")
     p.add_argument("--rms-weight", type=float, default=None,
                    help="log-RMS matching weight — the dedicated "
                         "amplitude regulator (see distill_loss). Default "
@@ -218,8 +221,13 @@ def main():
     student = init_student(jax.random.PRNGKey(args.seed + 2), scfg,
                            init_scale=data_rms / 1.8138)
     student_init = jax.tree_util.tree_map(jnp.copy, student)
+    if args.distill_lr_schedule == "cosine":
+        lr = optax.cosine_decay_schedule(
+            args.distill_lr, args.distill_steps, alpha=0.1)
+    else:
+        lr = args.distill_lr
     stx = optax.chain(optax.clip_by_global_norm(1.0),
-                      optax.adam(args.distill_lr))
+                      optax.adam(lr))
     sopt = stx.init(student)
     dlen = max(args.distill_length, rf + 257)
     dB = args.distill_batch
