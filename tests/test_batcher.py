@@ -780,3 +780,33 @@ def test_adaptive_chunking_temperature_seeded(tiny):
         np.testing.assert_array_equal(cls1, cls2)
     finally:
         b.close()
+
+
+def test_mesh_sharded_pool_adaptive_chunking(tiny):
+    """Adaptive chunking composes with the sharded pool: chunk-width
+    changes under load transitions never alter a lane's rollout on a
+    4-chip mesh (the sharded_pool_step compiles per width, outputs stay
+    bitwise chunk-invariant)."""
+    from pytorch_wavenet_tpu.parallel.mesh import make_mesh
+
+    cfg, params = tiny
+    rf = cfg.receptive_field
+    primes = [
+        np.asarray(jax.random.randint(jax.random.fold_in(
+            jax.random.PRNGKey(55), i), (rf,), 0, cfg.classes))
+        for i in range(3)
+    ]
+    mesh = make_mesh(4, 1, devices=jax.devices()[:4])
+    b = ContinuousBatcher(params, cfg, lanes=4, chunk=8, interpret=True,
+                          light_chunk=2, light_threshold=0.5, mesh=mesh)
+    try:
+        h0 = b.submit(primes[0], 30, temperature=0.0)  # light regime
+        _wait_for(h0, 5)
+        h1 = b.submit(primes[1], 20, temperature=0.0)  # crosses threshold
+        h2 = b.submit(primes[2], 12, temperature=0.0)
+        for h, p, n in ((h0, primes[0], 30), (h1, primes[1], 20),
+                        (h2, primes[2], 12)):
+            _, cls = h.result(timeout=300)
+            np.testing.assert_array_equal(cls, _solo(params, cfg, p, n))
+    finally:
+        b.close()
