@@ -338,6 +338,10 @@ def wavenet_logits(
         # (measured: rounding u5 there moves logits by ~3e-4), so CPU —
         # the interpret-mode test platform, where the exactness contract
         # vs the XLA trunk is pinned at 5e-6 — keeps the f32 path.
+        # (the process-default-backend gate intentionally mirrors
+        # fused_trunk's interpret gate — both paths flip together, so a
+        # TPU-default process never mixes an interpreted kernel with the
+        # compiled-path dtype choice or vice versa)
         u5_dt = cdt
         if (jnp.dtype(cdt) == jnp.float32
                 and jax.default_backend() == "tpu"):

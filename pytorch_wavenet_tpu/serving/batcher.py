@@ -609,12 +609,12 @@ class ContinuousBatcher:
         if self.light_chunk is not None:
             widths.add(self.light_chunk)
         cond_now = [None]
-        if self.cond_hop is not None:
+        if self.cfg.cond_channels:
             cond_now = [None, True]  # both program variants, like primes
         for nw in sorted(widths):
             for has_cond in cond_now:
                 cond = None
-                if has_cond:
+                if has_cond and self.cond_hop is not None:
                     from ..ops.mel import frames_window_len
 
                     Fs = frames_window_len(nw, self.cond_hop,
@@ -623,25 +623,25 @@ class ContinuousBatcher:
                         jnp.zeros((self.lanes, Fs,
                                    self.cfg.cond_channels), jnp.float32),
                         jnp.zeros(self.lanes, jnp.int32), nw)
-                if self.mesh is not None:
-                    from ..parallel.training import sharded_pool_step
-
-                    kw = {k: v for k, v in self._kw.items()
-                          if k != "pad_streams"}
-                    cls, self._state = sharded_pool_step(
-                        self.params, self.cfg, self.mesh,
-                        self._next_key(), nw, self._state,
-                        temperature=self._temps, lane_seed=self._seeds,
-                        lane_clock=self._toffs, cond=cond, **kw)
-                else:
-                    _, cls, self._state = generate_fast_batched(
-                        self.params, self.cfg, self._next_key(), nw, None,
-                        temperature=jnp.asarray(self._temps),
-                        state=self._state, cond=cond, return_state=True,
-                        lane_seed=jnp.asarray(self._seeds),
-                        lane_clock=jnp.asarray(self._toffs), **self._kw)
+                elif has_cond:  # rows-mode conditioned pools
+                    cond = jnp.zeros(
+                        (self.lanes, nw, self.cfg.cond_channels),
+                        jnp.float32)
+                cls = self._step_pool(
+                    nw, cond, jnp.asarray(self._temps),
+                    jnp.asarray(self._seeds), jnp.asarray(self._toffs))
                 np.asarray(cls[0, 0])  # force the compile + execution
-                self._clock += nw
+                # ...and the dispatch path's download ops at this width:
+                # the int16 cast and the active-lane gathers (one program
+                # per power-of-two rider bucket) otherwise compile on the
+                # first lightly-loaded live dispatch
+                if self.cfg.classes <= 32768:
+                    cls = cls.astype(jnp.int16)
+                w = 1
+                while w * 2 <= self.lanes:
+                    np.asarray(jnp.take(
+                        cls, jnp.zeros((w,), jnp.int32), axis=0)[0, 0])
+                    w *= 2
         # warm-up work must not pollute the serving-phase attribution
         self._n["prime_calls"] = 0
         self._n["pool_steps"] = 0
@@ -846,11 +846,34 @@ class ContinuousBatcher:
         """Materialize deferred admission outputs and deliver each new
         request's first sample. Runs after the worker has dispatched the
         next chunk: the block here rides device work that is already
-        queued, never idling the device (the whole point of deferral)."""
+        queued, never idling the device (the whole point of deferral).
+
+        Failure semantics: deferral moves prime-kernel RUNTIME errors
+        from _admit's per-group containment to here — and by now the
+        splice has already mixed the failed prime into the shared ring,
+        so the pool restart (_run -> _fail_all) is the correct blast
+        radius, not a regression. (Compile/shape errors still raise
+        synchronously inside _admit and stay group-local.) On any error
+        every swapped-out handle is resolved before re-raising — a
+        single-sample request's handle lives only in this list, and an
+        unresolved one would block its caller forever."""
         if not self._deferred:
             return
         t0 = time.perf_counter()
         batches, self._deferred = self._deferred, []
+        try:
+            self._deliver_firsts_inner(batches)
+        except BaseException as e:
+            for _firsts, recs in batches:
+                for handle, _act, _row in recs:
+                    if not handle.done():
+                        self._n["failed"] += 1
+                        handle._finish(e)
+            raise
+        finally:
+            self._t["t_prime_sync"] += time.perf_counter() - t0
+
+    def _deliver_firsts_inner(self, batches):
         for firsts_dev, recs in batches:
             firsts = np.asarray(firsts_dev).astype(np.int32, copy=False)
             for handle, act, row in recs:
@@ -878,7 +901,6 @@ class ContinuousBatcher:
                 if act.remaining <= 0:
                     self._n["completed"] += 1
                     handle._finish()
-        self._t["t_prime_sync"] += time.perf_counter() - t0
 
     def _reap_cancelled(self):
         """Drop cancelled requests at the chunk boundary, freeing their
@@ -913,6 +935,32 @@ class ContinuousBatcher:
         self._free = list(range(self.lanes))
         self._temps[:] = 0.0
         self._state = None
+
+    def _step_pool(self, n: int, cond, temps, seeds, toffs):
+        """One device pool step of ``n`` samples on the current shared
+        state; advances the host clock mirror. The ONE place the pool-step
+        program is invoked — the live dispatch and prewarm both go through
+        it, so the warm compiles are guaranteed to be the production
+        programs (jit keys on shapes/dtypes, which these calls share)."""
+        if self.mesh is not None:
+            from ..parallel.training import sharded_pool_step
+
+            kw = {k: v for k, v in self._kw.items() if k != "pad_streams"}
+            cls, self._state = sharded_pool_step(
+                self.params, self.cfg, self.mesh, self._next_key(),
+                n, self._state, temperature=temps,
+                lane_seed=seeds, lane_clock=toffs, cond=cond, **kw,
+            )
+        else:
+            _, cls, self._state = generate_fast_batched(
+                self.params, self.cfg, self._next_key(), n, None,
+                temperature=temps, state=self._state, cond=cond,
+                return_state=True, lane_seed=seeds, lane_clock=toffs,
+                **self._kw,
+            )
+        self._clock += n  # admissions after this dispatch rebase
+        # against the advanced clock (state.t moves with the dispatch)
+        return cls
 
     def _pick_chunk(self) -> int:
         """Chunk width for the next dispatch: the short ``light_chunk``
@@ -971,15 +1019,8 @@ class ContinuousBatcher:
                 cond = jnp.asarray(cond)
         self._n["pool_steps"] += 1
         if self.mesh is not None:
-            from ..parallel.training import sharded_pool_step
-
-            kw = {k: v for k, v in self._kw.items() if k != "pad_streams"}
-            cls, self._state = sharded_pool_step(
-                self.params, self.cfg, self.mesh, self._next_key(),
-                n, self._state, temperature=self._temps,
-                lane_seed=self._seeds, lane_clock=self._toffs, cond=cond,
-                **kw,
-            )
+            cls = self._step_pool(n, cond, self._temps, self._seeds,
+                                  self._toffs)
         else:
             if self._host_args is None or not (
                     np.array_equal(self._temps, self._host_args[0])
@@ -989,15 +1030,8 @@ class ContinuousBatcher:
                                    self._toffs.copy())
                 self._dev_args = tuple(jnp.asarray(a)
                                        for a in self._host_args)
-            _, cls, self._state = generate_fast_batched(
-                self.params, self.cfg, self._next_key(), n, None,
-                temperature=self._dev_args[0], state=self._state,
-                cond=cond, return_state=True,
-                lane_seed=self._dev_args[1],
-                lane_clock=self._dev_args[2], **self._kw,
-            )
-        self._clock += n  # admissions after this dispatch rebase
-        # against the advanced clock (state.t moves with the dispatch)
+            cls = self._step_pool(n, cond, self._dev_args[0],
+                                  self._dev_args[1], self._dev_args[2])
         if self.cfg.classes <= 32768:
             # halve the device->host chunk transfer (one extra async device
             # op that overlaps the pipeline; the host re-widens to int32)

@@ -810,3 +810,43 @@ def test_mesh_sharded_pool_adaptive_chunking(tiny):
             np.testing.assert_array_equal(cls, _solo(params, cfg, p, n))
     finally:
         b.close()
+
+
+def test_deliver_firsts_device_error_resolves_handles(tiny):
+    """A device error surfacing at the deferred firsts materialization
+    must resolve EVERY swapped-out handle (a single-sample request's
+    handle lives only in the deferred list — an unresolved one would
+    block its caller forever) and re-raise for the pool restart."""
+    from types import SimpleNamespace
+
+    from pytorch_wavenet_tpu.serving.batcher import (
+        ContinuousBatcher as CB,
+        GenerationHandle,
+    )
+
+    cfg, _ = tiny
+
+    class _Boom:
+        def __array__(self, dtype=None, copy=None):
+            raise RuntimeError("device exploded")
+
+    b = CB.__new__(CB)  # isolated: no worker thread
+    b._t = dict(t_prime_sync=0.0)
+    b._n = dict(failed=0, completed=0, cancelled=0, samples_out=0)
+    b._active = []
+    b._free = []
+    b._temps = np.zeros(2, np.float32)
+    h1 = GenerationHandle(1, None)
+    h1._classes = cfg.classes
+    h2 = GenerationHandle(1, None)
+    h2._classes = cfg.classes
+    act = SimpleNamespace(remaining=0, lane=0)
+    b._deferred = [(_Boom(), [(h1, act, 0)]), (_Boom(), [(h2, act, 0)])]
+    with pytest.raises(RuntimeError, match="device exploded"):
+        b._deliver_firsts()
+    assert b._deferred == []
+    for h in (h1, h2):
+        assert h.done()
+        with pytest.raises(RuntimeError, match="device exploded"):
+            h.result(timeout=1)
+    assert b._n["failed"] == 2
