@@ -103,17 +103,22 @@ def main():
     y = jax.random.randint(
         jax.random.PRNGKey(2), (B, cfg.output_length), 0, cfg.classes
     )
+    cond = None
+    if cfg.cond_channels:  # conditioned configs train the vocoder path
+        cond = 0.3 * jax.random.normal(
+            jax.random.PRNGKey(3),
+            (B, cfg.item_length, cfg.cond_channels))
     print(f"platform={jax.devices()[0].platform} config={args.config} "
-          f"B={B} out={cfg.output_length} trunk_kernel={cfg.trunk_kernel}",
-          flush=True)
+          f"B={B} out={cfg.output_length} trunk_kernel={cfg.trunk_kernel} "
+          f"cond={cfg.cond_channels}", flush=True)
 
-    p_, o_, loss, _ = train_step(p_, o_, cfg, tx, x, y)  # compile + warm
+    p_, o_, loss, _ = train_step(p_, o_, cfg, tx, x, y, cond)  # warm
     np.asarray(loss)
 
     tdir = tempfile.mkdtemp(prefix="wavenet_phase_")
     with jax.profiler.trace(tdir):
         for _ in range(args.steps):
-            p_, o_, loss, _ = train_step(p_, o_, cfg, tx, x, y)
+            p_, o_, loss, _ = train_step(p_, o_, cfg, tx, x, y, cond)
         np.asarray(loss)
 
     traces = glob.glob(os.path.join(tdir, "**", "*.trace.json.gz"),
