@@ -632,11 +632,10 @@ class ContinuousBatcher:
                     jnp.asarray(self._seeds), jnp.asarray(self._toffs))
                 np.asarray(cls[0, 0])  # force the compile + execution
                 # ...and the dispatch path's download ops at this width:
-                # the int16 cast and the active-lane gathers (one program
-                # per power-of-two rider bucket) otherwise compile on the
-                # first lightly-loaded live dispatch
-                if self.cfg.classes <= 32768:
-                    cls = cls.astype(jnp.int16)
+                # the wire-dtype cast and the active-lane gathers (one
+                # program per power-of-two rider bucket) otherwise compile
+                # on the first lightly-loaded live dispatch
+                cls = cls.astype(self._wire_dtype(), copy=False)
                 w = 1
                 while w * 2 <= self.lanes:
                     np.asarray(jnp.take(
@@ -962,6 +961,18 @@ class ContinuousBatcher:
         # against the advanced clock (state.t moves with the dispatch)
         return cls
 
+    def _wire_dtype(self):
+        """Narrowest dtype that holds a class id — the device->host chunk
+        transfer shrinks 4x for the canonical 256-class models (uint8) and
+        2x up to 32k classes (int16); `t_deliver` is the dominant capacity
+        term wherever the host link is slow, so wire bytes are capacity.
+        The host re-widens to int32 on delivery."""
+        if self.cfg.classes <= 256:
+            return jnp.uint8
+        if self.cfg.classes <= 32768:
+            return jnp.int16
+        return jnp.int32
+
     def _pick_chunk(self) -> int:
         """Chunk width for the next dispatch: the short ``light_chunk``
         while the pool is lightly loaded (low TTFA), the full ``chunk``
@@ -1032,10 +1043,7 @@ class ContinuousBatcher:
                                        for a in self._host_args)
             cls = self._step_pool(n, cond, self._dev_args[0],
                                   self._dev_args[1], self._dev_args[2])
-        if self.cfg.classes <= 32768:
-            # halve the device->host chunk transfer (one extra async device
-            # op that overlaps the pipeline; the host re-widens to int32)
-            cls = cls.astype(jnp.int16)
+        cls = cls.astype(self._wire_dtype(), copy=False)
         riders = list(self._active)
         rows = None
         if riders and len(riders) * 2 <= self.lanes:
