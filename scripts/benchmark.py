@@ -208,6 +208,12 @@ def main():
                     # a full-tensor int32 sum would overflow (classes sum
                     # to ~1.7e13 at 16384x16384) and read as garbage
                     np.asarray(jnp.max(cls[:, -1]))
+                elif cfg.classes <= 256:
+                    # uint8 class-id wire (the serving batcher's download
+                    # path): same information as the waveform at 1/4 the
+                    # bytes; the host dequantizes (ops/mulaw, vectorized
+                    # — negligible vs the transfer)
+                    np.asarray(cls.astype(jnp.uint8, copy=False))
                 else:
                     np.asarray(wav)
 
