@@ -17,6 +17,13 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+if os.environ.get("WAVENET_TPU_FORCE_CPU"):
+    # must precede backend init; JAX_PLATFORMS alone is ignored by the
+    # axon plugin (CLAUDE.md) — same handling as the other CLIs
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 import jax
 import jax.numpy as jnp
 import numpy as np

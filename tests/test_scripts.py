@@ -313,3 +313,35 @@ def test_conditioned_distill_cli(audio_dir, tmp_path):
              "--steps", "1"])
     assert r.returncode != 0
     assert "mel timelines" in r.stderr + r.stdout
+
+
+def test_scaling_bench_cli_smoke():
+    """The scaling harness runs end-to-end on a virtual CPU mesh and
+    prints an efficiency line per mesh size (the measurement path
+    BASELINE.md's pod targets rely on)."""
+    r = subprocess.run(
+        [sys.executable, "scripts/scaling_bench.py", "--config", "tiny",
+         "--per-device-batch", "2", "--steps", "2"],
+        capture_output=True, text=True, cwd=REPO, timeout=600,
+        env={**ENV, "XLA_FLAGS": "--xla_force_host_platform_device_count=4"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "devices=4" in r.stdout
+    assert "mesh data=4" in r.stdout and "% of linear" in r.stdout
+
+
+def test_distill_demo_cli_smoke(tmp_path):
+    """The end-to-end distillation demo (teacher -> IAF student ->
+    metrics -> artifacts) at --smoke scale, including the --out-dir
+    artifact write."""
+    out = str(tmp_path / "demo")
+    r = run([
+        "scripts/distill_demo.py", "--mode", "vocoder", "--smoke",
+        "--teacher-steps", "4", "--distill-steps", "4", "--json",
+        "--out-dir", out,
+    ], timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    blob = json.loads(r.stdout.strip().splitlines()[-1])
+    assert blob["mode"] == "vocoder" and "rms_ratio" in blob
+    assert os.path.exists(os.path.join(out, "student_vocoder.wav"))
+    assert os.path.exists(os.path.join(out, "metrics_vocoder.json"))
