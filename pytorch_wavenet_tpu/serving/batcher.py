@@ -160,6 +160,7 @@ class ContinuousBatcher:
                  cond_hop: int | None = None,
                  light_chunk: int | None = None,
                  light_threshold: float = 0.25,
+                 cond_wire_dtype=jnp.float32,
                  mesh=None):
         """``mesh``: a ``jax.sharding.Mesh`` with a data axis — the lane
         pool is sharded over it and every chunk advances on all chips in
@@ -227,6 +228,13 @@ class ContinuousBatcher:
                 f"light_chunk={light_chunk} must be in [1, chunk={chunk})")
         self.light_chunk = light_chunk
         self.light_threshold = float(light_threshold)
+        # frames-mode conditioning wire dtype: bf16 halves the per-chunk
+        # mel upload (which exceeds the uint8 chunk download on vocoder
+        # pools). OPT-IN because it changes responses: frames are rounded
+        # once at the wire, so a bf16-wire pool equals the solo rollout of
+        # bf16-ROUNDED frames bitwise (tested), not of the f32 originals.
+        # Expansion upcasts to f32 on device — only the wire narrows.
+        self._cond_wire = jnp.dtype(cond_wire_dtype)
         self.max_pending = max_pending
         self._kw = dict(interpret=interpret, ring_dtype=ring_dtype,
                         fuse_res=fuse_res, stage_layers=stage_layers,
@@ -526,7 +534,7 @@ class ContinuousBatcher:
                         idx = np.minimum(np.arange(Fs), p.cond.shape[0] - 1)
                         slab[i] = p.cond[idx]
                 cond = self._expand_frames(
-                    jnp.asarray(slab), jnp.zeros(b, jnp.int32), ng)
+                    slab, jnp.zeros(b, jnp.int32), ng)
             else:
                 cond = np.zeros((b, ng, self.cfg.cond_channels), np.float32)
                 for i, p in enumerate(pends):
@@ -620,8 +628,8 @@ class ContinuousBatcher:
                     Fs = frames_window_len(nw, self.cond_hop,
                                            self._factors)
                     cond = self._expand_frames(
-                        jnp.zeros((self.lanes, Fs,
-                                   self.cfg.cond_channels), jnp.float32),
+                        np.zeros((self.lanes, Fs,
+                                  self.cfg.cond_channels), np.float32),
                         jnp.zeros(self.lanes, jnp.int32), nw)
                 elif has_cond:  # rows-mode conditioned pools
                     cond = jnp.zeros(
@@ -650,7 +658,9 @@ class ContinuousBatcher:
     def _expand_frames(self, slab, phase, count: int):
         """Device-expand a per-lane frame slab to ``count`` sample-rate
         cond rows (frames mode). Jitted per row count (two counts in
-        steady state: the chunk size and each distinct prime length)."""
+        steady state: the chunk size and each distinct prime length).
+        The slab crosses the wire at ``cond_wire_dtype`` and upcasts to
+        f32 on device before expansion."""
         fn = self._expand_cache.get(count)
         if fn is None:
             hop, factors = self.cond_hop, self._factors
@@ -659,12 +669,12 @@ class ContinuousBatcher:
             @jax.jit
             def fn(cond_up, slab, phase):
                 p = {"cond_up": cond_up} if factors else None
-                return expand_frames_window(p, slab, hop, phase, count,
-                                            factors)
+                return expand_frames_window(p, slab.astype(jnp.float32),
+                                            hop, phase, count, factors)
 
             self._expand_cache[count] = fn
         cond_up = self.params.get("cond_up") if self._factors else None
-        return fn(cond_up, slab, phase)
+        return fn(cond_up, jnp.asarray(slab, self._cond_wire), phase)
 
     def _build_splice(self):
         """The jitted on-device admission splice. Re-bases each layer's
@@ -1015,7 +1025,7 @@ class ContinuousBatcher:
                     phase[act.lane] = act.cond_off - fs * hop
                     act.cond_off += n
                 cond = self._expand_frames(
-                    jnp.asarray(slab), jnp.asarray(phase), n)
+                    slab, jnp.asarray(phase), n)
             else:
                 # assemble this chunk's per-lane cond rows; finished/free/
                 # unconditioned lanes ride zero rows

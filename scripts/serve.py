@@ -135,6 +135,10 @@ def parse_args():
                    help="batcher pools on conditioned models: the mel hop "
                         "the pool expands frames at (requests' hop_length "
                         "must match; frames-on-the-wire conditioning)")
+    p.add_argument("--cond-wire", choices=("f32", "bf16"), default="f32",
+                   help="mel-frame upload dtype (bf16 halves the cond "
+                        "wire; responses equal the solo rollout of "
+                        "bf16-rounded frames)")
     p.add_argument("--batcher-interpret", action="store_true",
                    help=argparse.SUPPRESS)  # CPU tests of the batcher path
     p.add_argument("--max-pending", type=int, default=None,
@@ -723,6 +727,8 @@ def main():
             # on device (hop x less per-chunk upload; the pool's hop is a
             # server property — /vocode requests must use it)
             batcher_opts["cond_hop"] = args.cond_hop
+            if args.cond_wire == "bf16":
+                batcher_opts["cond_wire_dtype"] = jnp.bfloat16
         if args.bf16_rings:
             batcher_opts["ring_dtype"] = jnp.bfloat16
         if not args.batcher_interpret:

@@ -81,6 +81,10 @@ def parse_args():
                         "frames-on-the-wire path); 0 = legacy per-sample "
                         "rows")
     p.add_argument("--ring-dtype", choices=("f32", "bf16"), default="bf16")
+    p.add_argument("--cond-wire", choices=("f32", "bf16"), default="f32",
+                   help="frames-mode mel upload dtype: bf16 halves the "
+                        "per-chunk cond upload (responses equal the solo "
+                        "rollout of bf16-rounded frames)")
     p.add_argument("--exact-chain", action="store_true",
                    help="disable fuse_res (the reassociated serial chain)")
     p.add_argument("--stage-layers", type=int, default=8)
@@ -134,6 +138,8 @@ def main():
         skip_slab=args.skip_slab,
         cond_hop=args.cond_hop if (args.cond and args.cond_hop) else None,
         light_chunk=args.light_chunk,
+        cond_wire_dtype=jnp.bfloat16 if args.cond_wire == "bf16"
+        else jnp.float32,
         mesh=mesh,
     )
 

@@ -850,3 +850,44 @@ def test_deliver_firsts_device_error_resolves_handles(tiny):
         with pytest.raises(RuntimeError, match="device exploded"):
             h.result(timeout=1)
     assert b._n["failed"] == 2
+
+
+def test_cond_wire_bf16_matches_rounded_solo():
+    """Opt-in bf16 mel wire: a bf16-wire pool's response is bitwise equal
+    to the solo rollout whose frames were rounded to bf16 ONCE (the single
+    wire rounding) — chunk boundaries still never matter."""
+    from pytorch_wavenet_tpu.ops.mel import (
+        expand_frames_window,
+        frames_window_len,
+    )
+
+    cfg = wt.get_config("tiny_vocoder")
+    params = wt.init_wavenet(jax.random.PRNGKey(30), cfg)
+    rf, M, hop = cfg.receptive_field, cfg.cond_channels, 4
+    prime = np.asarray(jax.random.randint(
+        jax.random.PRNGKey(31), (rf,), 0, cfg.classes))
+    n = 17
+    F = -(-(rf - 1 + n) // hop) + 2
+    frames = np.asarray(0.5 * jax.random.normal(
+        jax.random.PRNGKey(32), (F, M)), np.float32)
+    rounded = np.asarray(
+        jnp.asarray(frames, jnp.bfloat16).astype(jnp.float32))
+
+    total = rf - 1 + n
+    need = frames_window_len(total, hop)
+    idx = np.minimum(np.arange(max(F, need)), F - 1)
+    rows = expand_frames_window(
+        None, jnp.asarray(rounded[idx])[None], hop,
+        jnp.zeros(1, jnp.int32), total)
+    _, solo = wt.generate_fast(
+        params, cfg, jax.random.PRNGKey(9), n,
+        jnp.asarray(prime)[None, :], temperature=0.0, cond=rows)
+
+    b = ContinuousBatcher(params, cfg, lanes=2, chunk=6, interpret=True,
+                          cond_hop=hop, cond_wire_dtype=jnp.bfloat16)
+    try:
+        h = b.submit(prime, n, temperature=0.0, cond_frames=frames)
+        _, cls = h.result(timeout=300)
+        np.testing.assert_array_equal(cls, np.asarray(solo)[0])
+    finally:
+        b.close()
