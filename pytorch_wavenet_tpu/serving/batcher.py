@@ -193,6 +193,7 @@ class ContinuousBatcher:
                         f"multiply to {total} != cond_hop {cond_hop}")
                 self._factors = tuple(cfg.cond_upsample)
         self._expand_cache: dict[int, object] = {}
+        self._expand_sparse_cache: dict[tuple[int, int], object] = {}
         per_chip = lanes
         if mesh is not None:
             from ..parallel.mesh import DATA_AXIS
@@ -631,6 +632,18 @@ class ContinuousBatcher:
                         np.zeros((self.lanes, Fs,
                                   self.cfg.cond_channels), np.float32),
                         jnp.zeros(self.lanes, jnp.int32), nw)
+                    # sparse (active-lanes-only) expansion programs, one
+                    # per power-of-two rider bucket — lazily compiling
+                    # these on a live lightly-loaded dispatch is the same
+                    # tail the download-gather warm kills
+                    wv = 1
+                    while wv * 2 <= self.lanes:
+                        np.asarray(self._expand_frames_sparse(
+                            np.zeros((wv, Fs, self.cfg.cond_channels),
+                                     np.float32),
+                            jnp.zeros(wv, jnp.int32),
+                            jnp.zeros(wv, jnp.int32), nw)[0, 0, 0])
+                        wv *= 2
                 elif has_cond:  # rows-mode conditioned pools
                     cond = jnp.zeros(
                         (self.lanes, nw, self.cfg.cond_channels),
@@ -675,6 +688,37 @@ class ContinuousBatcher:
             self._expand_cache[count] = fn
         cond_up = self.params.get("cond_up") if self._factors else None
         return fn(cond_up, jnp.asarray(slab, self._cond_wire), phase)
+
+    def _expand_frames_sparse(self, slab, phase, lane_of, count: int):
+        """Active-lanes-only variant of :meth:`_expand_frames`: expand a
+        ``(w, Fs, M)`` slab holding just the conditioned riders' frame
+        windows and scatter the expanded rows into the full
+        ``(lanes, count, M)`` cond block ON DEVICE — the wire carries
+        ``w/lanes`` of the dense slab (~26 KB instead of ~820 KB for 8
+        riders on a 256-lane vocoder pool). Every other lane's rows are
+        exact zeros, which is bitwise what the dense path's zero slab
+        rows expand to (both expanders are bias-free linear maps).
+        Jitted per (count, w); w buckets to powers of two upstream."""
+        w = slab.shape[0]
+        fn = self._expand_sparse_cache.get((count, w))
+        if fn is None:
+            hop, factors = self.cond_hop, self._factors
+            lanes, M = self.lanes, self.cfg.cond_channels
+            from ..ops.mel import expand_frames_window
+
+            @jax.jit
+            def fn(cond_up, slab, phase, lane_of):
+                p = {"cond_up": cond_up} if factors else None
+                rows = expand_frames_window(
+                    p, slab.astype(jnp.float32), hop, phase, count,
+                    factors)
+                full = jnp.zeros((lanes, count, M), rows.dtype)
+                return full.at[lane_of].set(rows)
+
+            self._expand_sparse_cache[(count, w)] = fn
+        cond_up = self.params.get("cond_up") if self._factors else None
+        return fn(cond_up, jnp.asarray(slab, self._cond_wire), phase,
+                  lane_of)
 
     def _build_splice(self):
         """The jitted on-device admission splice. Re-bases each layer's
@@ -1012,20 +1056,46 @@ class ContinuousBatcher:
 
                 hop = self.cond_hop
                 Fs = frames_window_len(n, hop, self._factors)
+                riders_c = [a for a in self._active if a.cond is not None]
+                sparse = len(riders_c) * 2 <= self.lanes
+                # lightly loaded pools ship only the ACTIVE lanes' frame
+                # rows (bucketed to a power of two; dummies repeat row 0's
+                # lane — identical values, so the duplicate scatter is a
+                # no-op) and scatter the expanded rows on device: the
+                # full-width slab costs lanes/active x more wire for rows
+                # that expand to cond nobody reads
+                rows = self.lanes
+                if sparse:
+                    rows = 1
+                    while rows < len(riders_c):
+                        rows *= 2
                 slab = np.zeros(
-                    (self.lanes, Fs, self.cfg.cond_channels), np.float32)
-                phase = np.zeros(self.lanes, np.int32)
-                for act in self._active:
-                    if act.cond is None:
-                        continue
+                    (rows, Fs, self.cfg.cond_channels), np.float32)
+                phase = np.zeros(rows, np.int32)
+                lane_of = np.zeros(rows, np.int32)
+                for i, act in enumerate(riders_c):
+                    row = i if sparse else act.lane
                     fs = act.cond_off // hop
                     idx = np.minimum(fs + np.arange(Fs),
                                      act.cond.shape[0] - 1)
-                    slab[act.lane] = act.cond[idx]
-                    phase[act.lane] = act.cond_off - fs * hop
+                    slab[row] = act.cond[idx]
+                    phase[row] = act.cond_off - fs * hop
+                    lane_of[row] = act.lane
                     act.cond_off += n
-                cond = self._expand_frames(
-                    slab, jnp.asarray(phase), n)
+                if sparse and rows > len(riders_c):
+                    # dummy rows duplicate row 0 ENTIRELY (window, phase,
+                    # lane) so the duplicate scatter writes identical
+                    # values — same no-op trick as the admission splice
+                    k = len(riders_c)
+                    slab[k:] = slab[0]
+                    phase[k:] = phase[0]
+                    lane_of[k:] = lane_of[0]
+                if sparse:
+                    cond = self._expand_frames_sparse(
+                        slab, jnp.asarray(phase), jnp.asarray(lane_of), n)
+                else:
+                    cond = self._expand_frames(
+                        slab, jnp.asarray(phase), n)
             else:
                 # assemble this chunk's per-lane cond rows; finished/free/
                 # unconditioned lanes ride zero rows
