@@ -636,14 +636,12 @@ class ContinuousBatcher:
                     # per power-of-two rider bucket — lazily compiling
                     # these on a live lightly-loaded dispatch is the same
                     # tail the download-gather warm kills
-                    wv = 1
-                    while wv * 2 <= self.lanes:
+                    for wv in self._sparse_buckets():
                         np.asarray(self._expand_frames_sparse(
                             np.zeros((wv, Fs, self.cfg.cond_channels),
                                      np.float32),
                             jnp.zeros(wv, jnp.int32),
                             jnp.zeros(wv, jnp.int32), nw)[0, 0, 0])
-                        wv *= 2
                 elif has_cond:  # rows-mode conditioned pools
                     cond = jnp.zeros(
                         (self.lanes, nw, self.cfg.cond_channels),
@@ -657,11 +655,9 @@ class ContinuousBatcher:
                 # program per power-of-two rider bucket) otherwise compile
                 # on the first lightly-loaded live dispatch
                 cls = cls.astype(self._wire_dtype(), copy=False)
-                w = 1
-                while w * 2 <= self.lanes:
+                for w in self._sparse_buckets():
                     np.asarray(jnp.take(
                         cls, jnp.zeros((w,), jnp.int32), axis=0)[0, 0])
-                    w *= 2
         # warm-up work must not pollute the serving-phase attribution
         self._n["prime_calls"] = 0
         self._n["pool_steps"] = 0
@@ -1015,6 +1011,30 @@ class ContinuousBatcher:
         # against the advanced clock (state.t moves with the dispatch)
         return cls
 
+    @staticmethod
+    def _pow2_bucket(k: int) -> int:
+        """Smallest power of two >= k — jit-program width bucketing (a
+        raw count would compile a fresh program per distinct value)."""
+        w = 1
+        while w < k:
+            w *= 2
+        return w
+
+    def _sparse_buckets(self) -> list[int]:
+        """Every width the sparse download/cond paths can pick at
+        runtime: their gates fire only while ``k * 2 <= lanes``, so the
+        buckets are the powers of two up to ``_pow2_bucket(lanes // 2)``
+        — computed from the SAME bucket function the dispatch uses, so
+        prewarm coverage and runtime widths cannot drift (a hand-rolled
+        warm loop once stopped one bucket short for non-power-of-two
+        lane counts)."""
+        top = self._pow2_bucket(max(1, self.lanes // 2))
+        out, w = [], 1
+        while w <= top:
+            out.append(w)
+            w *= 2
+        return out
+
     def _wire_dtype(self):
         """Narrowest dtype that holds a class id — the device->host chunk
         transfer shrinks 4x for the canonical 256-class models (uint8) and
@@ -1064,15 +1084,12 @@ class ContinuousBatcher:
                 # no-op) and scatter the expanded rows on device: the
                 # full-width slab costs lanes/active x more wire for rows
                 # that expand to cond nobody reads
-                rows = self.lanes
-                if sparse:
-                    rows = 1
-                    while rows < len(riders_c):
-                        rows *= 2
+                crows = (self._pow2_bucket(len(riders_c)) if sparse
+                         else self.lanes)
                 slab = np.zeros(
-                    (rows, Fs, self.cfg.cond_channels), np.float32)
-                phase = np.zeros(rows, np.int32)
-                lane_of = np.zeros(rows, np.int32)
+                    (crows, Fs, self.cfg.cond_channels), np.float32)
+                phase = np.zeros(crows, np.int32)
+                lane_of = np.zeros(crows, np.int32)
                 for i, act in enumerate(riders_c):
                     row = i if sparse else act.lane
                     fs = act.cond_off // hop
@@ -1082,7 +1099,7 @@ class ContinuousBatcher:
                     phase[row] = act.cond_off - fs * hop
                     lane_of[row] = act.lane
                     act.cond_off += n
-                if sparse and rows > len(riders_c):
+                if sparse and crows > len(riders_c):
                     # dummy rows duplicate row 0 ENTIRELY (window, phase,
                     # lane) so the duplicate scatter writes identical
                     # values — same no-op trick as the admission splice
@@ -1133,9 +1150,7 @@ class ContinuousBatcher:
             # would compile a fresh gather program per distinct rider
             # count, on the hot dispatch path; dummy entries repeat
             # row 0 (reads, so duplicates are harmless).
-            w = 1
-            while w < len(riders):
-                w *= 2
+            w = self._pow2_bucket(len(riders))
             sel = np.zeros(w, np.int32)
             sel[: len(riders)] = [a.lane for a in riders]
             sel[len(riders):] = sel[0]
