@@ -969,9 +969,13 @@ class ContinuousBatcher:
     def _fail_all(self, error: BaseException):
         """A device step failed: the shared state is suspect, so fail every
         rider and restart the pool from a fresh bootstrap."""
-        self._n["failed"] += len(self._active)
+        # count only still-unresolved handles: when _deliver_firsts raised,
+        # its except block already counted+finished the riders it owned, and
+        # recounting them here would double-count stats()['failed']
         for act in self._active:
-            act.handle._finish(error)
+            if not act.handle.done():
+                self._n["failed"] += 1
+                act.handle._finish(error)
         self._active = []
         # deferred-firsts handles not on an active lane (single-sample
         # requests) would otherwise block their callers forever

@@ -77,10 +77,11 @@ def cross_entropy_loss(
     # chaconne_wide (6% of the step — it runs as a serial row gather, and
     # its transpose is a scatter); the dense select-sum fuses into the
     # surrounding elementwise passes
-    logz = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
+    logits32 = logits.astype(jnp.float32)
+    logz = jax.nn.logsumexp(logits32, axis=-1)
     hit = jnp.sum(
-        logits * jax.nn.one_hot(target, logits.shape[-1],
-                                dtype=logits.dtype),
+        logits32 * jax.nn.one_hot(target, logits.shape[-1],
+                                  dtype=jnp.float32),
         axis=-1,
     )
     return jnp.mean(logz - hit)
@@ -109,6 +110,8 @@ def eval_step(params, cfg: WaveNetConfig, x, target, cond=None,
     cond = _expand_cond(params, cfg, cond, cond_hop, x.shape[1])
     logits = wavenet_logits(params, cfg, x, cfg.output_length, cond=cond,
                             mesh=mesh)
+    # intentionally keeps the optax formulation: eval is off the hot path,
+    # and the gather it lowers to is irrelevant at validation cadence
     losses = optax.softmax_cross_entropy_with_integer_labels(logits, target)
     correct = jnp.sum(jnp.argmax(logits, axis=-1) == target)
     return jnp.mean(losses), correct

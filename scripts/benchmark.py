@@ -211,9 +211,15 @@ def main():
                 elif cfg.classes <= 256:
                     # uint8 class-id wire (the serving batcher's download
                     # path): same information as the waveform at 1/4 the
-                    # bytes; the host dequantizes (ops/mulaw, vectorized
-                    # — negligible vs the transfer)
-                    np.asarray(cls.astype(jnp.uint8, copy=False))
+                    # bytes; the host dequantize is timed too (vectorized
+                    # ops/mulaw — measured negligible vs the transfer)
+                    from pytorch_wavenet_tpu.ops.mulaw import (
+                        dequantize_to_f32,
+                    )
+                    dequantize_to_f32(
+                        np.asarray(cls.astype(jnp.uint8, copy=False)),
+                        cfg.classes,
+                    )
                 else:
                     np.asarray(wav)
 
