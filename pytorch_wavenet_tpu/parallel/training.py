@@ -34,19 +34,23 @@ def make_sharded_train_state(
     return params, opt_state
 
 
-@partial(jax.jit, static_argnames=("cfg", "tx", "mesh"),
+@partial(jax.jit, static_argnames=("cfg", "tx", "cond_hop", "mesh"),
          donate_argnums=(0, 1))
 def parallel_train_step(params, opt_state, cfg: WaveNetConfig, tx, x, target,
-                        mesh=None):
+                        cond=None, cond_hop=None, mesh=None):
     """Identical math to ``training.trainer.train_step``; sharding comes from
     the operands, so the same function is the 1-chip and the N-chip step.
 
     Pass ``mesh`` when ``cfg.trunk_kernel`` is on: the fused Pallas trunk is
     opaque to GSPMD, so it runs per-data-shard inside a partial-manual
     ``shard_map`` (models/wavenet.py) — without the mesh a multi-chip
-    trunk-kernel step would force replication or fail to lower."""
+    trunk-kernel step would force replication or fail to lower.
+
+    ``cond``/``cond_hop``: the mel-conditioned vocoder objective, sharded
+    ``P('data')`` next to the batch (put it there with
+    ``jax.device_put(cond, batch_sharding(mesh))``)."""
     loss, grads = jax.value_and_grad(cross_entropy_loss)(
-        params, cfg, x, target, mesh=mesh
+        params, cfg, x, target, cond, cond_hop, mesh
     )
     updates, opt_state = tx.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
