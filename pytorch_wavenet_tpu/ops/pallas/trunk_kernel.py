@@ -156,6 +156,15 @@ def _make_fwd_kernel(cfg: WaveNetConfig, out_len: int, G: int, sdt,
     s_l, sp_l = _windows(cfg, out_len)
     GR, GD = G * R, G * D
     dma_out = _use_dma_out(out_len)
+    # NOTE (round-5 measured negative): saving the stream by DMAing
+    # DIRECTLY from ``hbuf`` (no staging cast-copy, a fence before the
+    # residual update) is SLOWER on hardware — fwd 0.486 -> 0.701 ms at
+    # f32 saves, 0.524 ms at bf16 stream+saves (chaconne_wide) — the
+    # same-layer fence gives the copy only ~1.2 us of matmul cover, vs
+    # the staged path's two-layer window. The staged bf16 save already
+    # moves at ~full HBM bandwidth (116 MB adding only 0.12 ms); bytes,
+    # not issue count, are its cost (grouped-DMA and full-width variants
+    # measured no better). See docs/PERF.md round-5 bwd roofline.
 
     def kernel(*refs):
         it = iter(refs)
@@ -264,6 +273,15 @@ def _make_bwd_kernel(cfg: WaveNetConfig, out_len: int, G: int, sdt,
     s_l, sp_l = _windows(cfg, out_len)
     GR, GD = G * R, G * D
     dma_out = _use_dma_out(out_len)
+    # direct loads: with save_dtype == stream dtype there is no cast
+    # between the saved stream and the tap buffer, so the prefetch DMA
+    # writes the double-buffered tap buffer's current-rows block directly
+    # and the per-layer (GR, W) stage->v copy disappears. Unlike the
+    # forward's rejected direct-save variant (see the note in
+    # _make_fwd_kernel), the load side keeps its two-layer prefetch
+    # window, so this measures neutral-to-slightly-better on hardware
+    # (0.908 vs 0.925 ms at chaconne_wide bf16 stream).
+    direct = jnp.dtype(save_dtype) == jnp.dtype(sdt)
 
     def kernel(*refs):
         it = iter(refs)
@@ -277,7 +295,10 @@ def _make_bwd_kernel(cfg: WaveNetConfig, out_len: int, G: int, sdt,
         )
         if Mp:
             dwc_ref, dcond_ref = next(it), next(it)
-        dhbuf, v, stage, sems = (next(it) for _ in range(4))
+        if direct:
+            dhbuf, v2, sems = (next(it) for _ in range(3))
+        else:
+            dhbuf, v, stage, sems = (next(it) for _ in range(4))
         if dma_out:
             dustage, dusems = next(it), next(it)
         if Mp:
@@ -295,6 +316,11 @@ def _make_bwd_kernel(cfg: WaveNetConfig, out_len: int, G: int, sdt,
 
         def load_dma(l):
             sp = sp_l[l]
+            if direct:
+                return pltpu.make_async_copy(
+                    hsave_ref.at[n, l, :, sp:], v2.at[l % 2, :GR, sp:],
+                    sems.at[l % 2],
+                )
             return pltpu.make_async_copy(
                 hsave_ref.at[n, l, :, sp:], stage.at[l % 2, :, sp:],
                 sems.at[l % 2],
@@ -324,19 +350,35 @@ def _make_bwd_kernel(cfg: WaveNetConfig, out_len: int, G: int, sdt,
             dh_next = dhbuf[:, s:]  # grad w.r.t. this layer's output stream
 
             # recompute the gated unit from the saved input-stream window
-            v[:GR, s:] = stage[l % 2, :, s:].astype(sdt)
-            for j in range(k - 1):
-                m = (k - 1 - j) * d
-                # same clamp as the forward: lanes [s, m) are masked pad
-                lo = max(s, m)
-                if lo > s:
-                    v[GR * (j + 1) : GR * (j + 2), s:lo] = jnp.zeros(
-                        (GR, lo - s), sdt
-                    )
-                v[GR * (j + 1) : GR * (j + 2), lo:] = stage[
-                    l % 2, :, lo - m : Tp - m
-                ].astype(sdt)
-            z = _mm(wz_ref[l], v[:, s:]) + bi_ref[:, l : l + 1]
+            if direct:
+                # current rows arrived straight off the load DMA; build
+                # the shifted tap rows in place from them
+                for j in range(k - 1):
+                    m = (k - 1 - j) * d
+                    lo = max(s, m)
+                    if lo > s:
+                        v2[l % 2, GR * (j + 1) : GR * (j + 2), s:lo] = (
+                            jnp.zeros((GR, lo - s), sdt)
+                        )
+                    v2[l % 2, GR * (j + 1) : GR * (j + 2), lo:] = v2[
+                        l % 2, :GR, lo - m : Tp - m
+                    ]
+                vw = v2[l % 2, :, s:]
+            else:
+                v[:GR, s:] = stage[l % 2, :, s:].astype(sdt)
+                for j in range(k - 1):
+                    m = (k - 1 - j) * d
+                    # same clamp as the forward: lanes [s, m) are masked
+                    lo = max(s, m)
+                    if lo > s:
+                        v[GR * (j + 1) : GR * (j + 2), s:lo] = jnp.zeros(
+                            (GR, lo - s), sdt
+                        )
+                    v[GR * (j + 1) : GR * (j + 2), lo:] = stage[
+                        l % 2, :, lo - m : Tp - m
+                    ].astype(sdt)
+                vw = v[:, s:]
+            z = _mm(wz_ref[l], vw) + bi_ref[:, l : l + 1]
             if Mp:
                 z = z + _mm(wc_ref[l], cond_ref[0, :, s:])
             a = jnp.tanh(z[:GD])
@@ -371,7 +413,7 @@ def _make_bwd_kernel(cfg: WaveNetConfig, out_len: int, G: int, sdt,
             # pair's shared-weight blocks are sliced out and summed
             # (cross-pair blocks are discarded — the price of the dense
             # stacked pass, half the product for G=2)
-            dWz = _mm_t(dz, v[:, s:])     # (2GD, G*k*R)
+            dWz = _mm_t(dz, vw)           # (2GD, G*k*R)
             dWr = _mm_t(dh_next, u)       # (GR, GD)
             dzs = jnp.sum(dz, axis=1, keepdims=True)        # (2GD, 1)
             dhm = dh_next if mask is None else dh_next * mask
@@ -664,12 +706,19 @@ def _trunk_bwd(cfg, out_len, G, Mp, sdt, save_dtype, out_dtype, interpret,
             jax.ShapeDtypeStruct((L, 2 * D, Mp), f32),
             jax.ShapeDtypeStruct((NG, G * Mp, Tp), f32),
         ]
-    scratch = [
-        pltpu.VMEM((GR, Tp), f32),
-        pltpu.VMEM((G * k * R, Tp), sdt),
-        pltpu.VMEM((2, GR, Tp), save_dtype),
-        pltpu.SemaphoreType.DMA((2,)),
-    ]
+    if jnp.dtype(save_dtype) == jnp.dtype(sdt):  # direct loads
+        scratch = [
+            pltpu.VMEM((GR, Tp), f32),
+            pltpu.VMEM((2, G * k * R, Tp), sdt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        scratch = [
+            pltpu.VMEM((GR, Tp), f32),
+            pltpu.VMEM((G * k * R, Tp), sdt),
+            pltpu.VMEM((2, GR, Tp), save_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     if dma_out:
         scratch += [
             pltpu.VMEM((2, GD, out_len), du.dtype),

@@ -279,3 +279,14 @@ def test_longer_window_slices_to_trailing():
     got = wavenet_logits(params, cfg_k, xl, 12)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=5e-6, rtol=1e-5)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="bf16 emission exists only on the TPU backend")
+def test_bf16_emission_bitwise_on_tpu():
+    """Hardware session guard (VERDICT r4 #5): the production bf16
+    gated-unit emission must stay bitwise-neutral vs f32 emission through
+    the skip contraction. bench.py runs the same check every driver run."""
+    from pytorch_wavenet_tpu.utils.checks import verify_bf16_emission
+
+    assert verify_bf16_emission()
