@@ -66,7 +66,8 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                  head_tiles: int | None = None,
                  lane_temp: bool = False,
                  lane_seed: bool = False,
-                 skip_slab: bool = False):
+                 skip_slab: bool = False,
+                 quant: bool = False):
     L = cfg.num_layers
     D = cfg.dilation_channels
     S = cfg.skip_channels
@@ -106,6 +107,10 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
         raise ValueError(f"streams {streams} not divisible by {head_tiles} "
                          "head tiles")
     NSg = streams // G
+    # the gated-unit slab cannot share int8 with the ring (u in (-1, 1)
+    # would truncate to {-1, 0, 1}); under int8 rings it stays bf16
+    slab_dt = (ring_dtype if jnp.dtype(ring_dtype).itemsize >= 2
+               else jnp.bfloat16)
 
     def kernel(*refs):
         (
@@ -125,6 +130,12 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
             b_end2_ref,   # (C, 1)
         ) = refs[:13]
         refs = refs[13:]
+        if quant:
+            # int8 rings: (L, 1) f32 per-layer store scale (127/|h|_max);
+            # the matching dequant (|h|_max/127) is folded into w_old on
+            # the host, so tap reads stay a plain cast + matmul
+            qscale_ref = refs[0]
+            refs = refs[1:]
         if skip_slab:
             # deferred skip projection: the walk stages every layer's gated
             # unit into a (L*D, NS) slab and the head computes the skip row
@@ -334,7 +345,15 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                 # copy rounds once here; in-register h stays f32 this step.
                 if W and l >= W:
                     write_dma(l - W, ta).wait()  # slot l%W free again
-                h_vmem[pl.ds(tap_slot(l) * R, R), :] = h.astype(ring_dtype)
+                if quant:
+                    # symmetric per-layer int8: round-to-nearest, clamp to
+                    # +/-127 (the calibration margin makes clamping rare)
+                    h_vmem[pl.ds(tap_slot(l) * R, R), :] = jnp.clip(
+                        jnp.round(h * qscale_ref[l, 0]), -127.0, 127.0
+                    ).astype(jnp.int8)
+                else:
+                    h_vmem[pl.ds(tap_slot(l) * R, R), :] = h.astype(
+                        ring_dtype)
                 write_dma(l, ta).start()
 
             def consume_unit(l, u, h, skip):
@@ -345,7 +364,7 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                 as one deep dot per head group (reassociated reduction,
                 same caveat as fuse_res)."""
                 if skip_slab:
-                    us = u.astype(ring_dtype)
+                    us = u.astype(slab_dt)
                     for g in range(G):
                         u_vmem[g, pl.ds(l * D, D), :] = (
                             us[:, g * NSg : (g + 1) * NSg] if G > 1 else us
@@ -546,6 +565,7 @@ def generate_fast_batched(
     skip_slab: bool = False,
     lane_seed: jnp.ndarray | None = None,
     lane_clock: jnp.ndarray | None = None,
+    ring_scales: jnp.ndarray | None = None,
 ):
     """Public entry — see :func:`_generate_fast_batched_jit` for the full
     contract. ``temperature`` may also be a per-stream ``(streams,)`` array
@@ -582,6 +602,7 @@ def generate_fast_batched(
             interpret=interpret, ring_dtype=ring_dtype, fuse_res=fuse_res,
             pad_streams=pad_streams, stage_layers=stage_layers,
             head_tiles=head_tiles, skip_slab=skip_slab,
+            ring_scales=ring_scales,
         )
     return _generate_fast_batched_jit(
         params, cfg, key, num_samples, first_samples,
@@ -593,6 +614,7 @@ def generate_fast_batched(
         interpret=interpret, ring_dtype=ring_dtype, fuse_res=fuse_res,
         pad_streams=pad_streams, stage_layers=stage_layers,
         head_tiles=head_tiles, skip_slab=skip_slab,
+        ring_scales=ring_scales,
         lane_temp=jnp.asarray(temperature, jnp.float32),
         lane_seed=None if lane_seed is None
         else jnp.asarray(lane_seed, jnp.int32),
@@ -628,6 +650,7 @@ def _generate_fast_batched_jit(
     stage_layers: int | None = None,
     head_tiles: int | None = None,
     skip_slab: bool = False,
+    ring_scales: jnp.ndarray | None = None,
     lane_temp: jnp.ndarray | None = None,
     lane_seed: jnp.ndarray | None = None,
     lane_clock: jnp.ndarray | None = None,
@@ -754,6 +777,27 @@ def _generate_fast_batched_jit(
             f"ring_dtype {rdt.name} needs residual_channels % 16 == 0 "
             f"(sublane tile of 2-byte types), got {cfg.residual_channels}"
         )
+    quant = rdt.itemsize == 1
+    if quant:
+        # experimental int8 rings: halves the dominant ring DMA again on
+        # the DMA-bound small-channel configs (docs/PERF.md round-5 row).
+        # Symmetric per-layer quantization; dequant folds into w_old so
+        # the serial walk gains only the store's round/clip.
+        if rdt != jnp.dtype(jnp.int8):
+            raise ValueError(f"1-byte ring_dtype must be int8, got {rdt}")
+        if cfg.residual_channels % 32 and not interpret:
+            raise ValueError(
+                "int8 rings need residual_channels % 32 == 0 (sublane "
+                f"tile of 1-byte types), got {cfg.residual_channels}"
+            )
+        if ring_scales is None:
+            raise ValueError(
+                "int8 rings need per-layer ring_scales — calibrate with "
+                "calibrate_ring_scales(); chunked calls must reuse the "
+                "SAME scales (the ring persists across chunks)"
+            )
+        qscales = jnp.asarray(ring_scales, jnp.float32).reshape(
+            cfg.num_layers, 1)
     total = num_given - 1 + num_samples
 
     L = cfg.num_layers
@@ -768,6 +812,11 @@ def _generate_fast_batched_jit(
     k_sz = cfg.kernel_size
     w_in = lp["w_in"].astype(f32)  # (L, k, R, 2D)
     w_old = jnp.swapaxes(w_in[:, : k_sz - 1], 2, 3)  # (L, k-1, 2D, R)
+    if quant:
+        # fold the per-layer dequant (|h|_max / 127) into the tap weights:
+        # the kernel's tap matmul then consumes raw int8 counts cast to
+        # f32 (exact in the MXU's bf16 operand rounding — ints <= 127)
+        w_old = w_old * (qscales[:, None, :, None] / 127.0)
     w_cur = jnp.swapaxes(w_in[:, k_sz - 1], 1, 2)  # (L, 2D, R)
     b_in = lp.get("b_in", jnp.zeros((L, 2 * D))).astype(f32)[:, :, None]
     if skip_slab:
@@ -780,8 +829,9 @@ def _generate_fast_batched_jit(
         # halves a (S, L*D) VMEM resident (~4 MB for chaconne) at zero
         # extra rounding — the platform's matmul multiplies operands in
         # bf16 passes regardless, and the slab operand is already rdt
+        slab_rdt = rdt if rdt.itemsize >= 2 else jnp.dtype(jnp.bfloat16)
         w_skipcat = (
-            lp["w_skip"].astype(f32).reshape(L * D, S).T.astype(rdt)
+            lp["w_skip"].astype(f32).reshape(L * D, S).T.astype(slab_rdt)
         )  # (S, L*D)
         b_skipsum = jnp.sum(
             lp.get("b_skip", jnp.zeros((L, S))).astype(f32), axis=0
@@ -822,6 +872,10 @@ def _generate_fast_batched_jit(
     ]
     in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args)
     in_specs[1] = pl.BlockSpec(memory_space=pl.ANY)  # prime stays in HBM
+
+    if quant:
+        args.append(127.0 / qscales)  # (L, 1) store scale
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
     if skip_slab:
         args.extend([w_skipcat, b_skipsum])
@@ -935,6 +989,7 @@ def _generate_fast_batched_jit(
         ring_dtype=rdt, fuse_res=fuse_res, stage_layers=stage_layers,
         head_tiles=head_tiles, lane_temp=lane_temp is not None,
         lane_seed=lane_seed is not None, skip_slab=skip_slab,
+        quant=quant,
     )
     n_chunks = -(-total // _CHUNK)
 
@@ -955,7 +1010,8 @@ def _generate_fast_batched_jit(
     if skip_slab:
         scratch_shapes.append(
             pltpu.VMEM(
-                (head_tiles or 1, L * D, streams // (head_tiles or 1)), rdt
+                (head_tiles or 1, L * D, streams // (head_tiles or 1)),
+                rdt if rdt.itemsize >= 2 else jnp.bfloat16,
             )
         )
     if (head_tiles or 1) > 1:
@@ -1002,3 +1058,48 @@ def _generate_fast_batched_jit(
         ring=ring, t=t0 + total, cls=all_cls[:, total - 1]
     )
     return wav, cls, new_state
+
+
+def calibrate_ring_scales(
+    params: Params,
+    cfg: WaveNetConfig,
+    key: jax.Array,
+    first_samples: jnp.ndarray,
+    num_samples: int = 256,
+    margin: float = 1.05,
+    **kwargs,
+):
+    """Per-layer ``|h|`` scales for int8 rings (``ring_dtype=jnp.int8``).
+
+    Runs a short bf16-ring rollout and takes each layer's max ``|ring|``
+    over its final period window — a recent-history sample across all
+    calibration streams. The rollout must WRITE every ring slot (taps are
+    predicated, slots start uninitialized), so the calibration clip needs
+    ``num_given - 1 + num_samples >= (k-1)*max_dilation + 1``; a full
+    receptive-field prime always satisfies this.
+
+    Chunked generation must reuse ONE calibration for the life of the ring
+    (the int8 state persists across chunks at these scales).
+    """
+    total = jnp.atleast_2d(first_samples).shape[1] - 1 + num_samples
+    max_period = (cfg.kernel_size - 1) * cfg.max_dilation + 1
+    if total < max_period:
+        raise ValueError(
+            f"calibration needs >= {max_period} total steps to write every "
+            f"ring slot, got {total} — prime with a receptive-field window"
+        )
+    kwargs.setdefault("temperature", 0.0)  # greedy: also runs in interpret
+    _, _, st = generate_fast_batched(
+        params, cfg, key, num_samples, first_samples,
+        ring_dtype=jnp.bfloat16, return_state=True, **kwargs,
+    )
+    periods = [(cfg.kernel_size - 1) * d + 1 for d in cfg.dilations]
+    off = np.cumsum([0] + periods)
+    R = cfg.residual_channels
+    ring = np.abs(np.asarray(st.ring, np.float32))
+    scales = np.maximum(
+        [ring[off[l] * R : (off[l] + periods[l]) * R].max()
+         for l in range(cfg.num_layers)],
+        1e-3,
+    ) * margin
+    return jnp.asarray(scales, jnp.float32)

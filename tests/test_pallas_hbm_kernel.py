@@ -712,3 +712,52 @@ def test_skip_slab_conditioned(tiny):
                                   temperature=0.0, cond=cond,
                                   interpret=True, skip_slab=True)
     np.testing.assert_array_equal(np.asarray(cs), np.asarray(c0))
+
+
+def test_batched_int8_rings_chunked_bitwise_and_near_parity(tiny):
+    """int8 ring buffers (experimental, DMA-bound configs): quantization is
+    deterministic given one calibration, so chunked streaming equals the
+    single shot bitwise; the rollout tracks the f32-ring rollout loosely
+    (symmetric per-layer int8 adds ~scale/254 tap noise per read)."""
+    from pytorch_wavenet_tpu.ops.pallas.gen_kernel_hbm import (
+        calibrate_ring_scales,
+    )
+
+    cfg, params = tiny
+    prime = jax.random.randint(
+        jax.random.PRNGKey(2), (2, cfg.receptive_field), 0, cfg.classes
+    )
+    k = jax.random.PRNGKey(3)
+    n = 40
+    scales = calibrate_ring_scales(params, cfg, k, prime, num_samples=8,
+                                   interpret=True)
+    assert scales.shape == (cfg.num_layers,)
+    _, c32 = generate_fast_batched(params, cfg, k, n, prime, temperature=0.0,
+                                   interpret=True)
+    _, c8 = generate_fast_batched(params, cfg, k, n, prime, temperature=0.0,
+                                  ring_dtype=jnp.int8, ring_scales=scales,
+                                  interpret=True)
+    a, b = np.asarray(c32), np.asarray(c8)
+    assert (a == b).mean() >= 0.5, f"int8 rollout diverged: {(a == b).mean():.2f}"
+
+    _, c1, st = generate_fast_batched(params, cfg, k, n // 2, prime,
+                                      temperature=0.0, return_state=True,
+                                      ring_dtype=jnp.int8, ring_scales=scales,
+                                      interpret=True)
+    assert st.ring.dtype == jnp.int8
+    _, c2 = generate_fast_batched(params, cfg, k, n - n // 2, None,
+                                  temperature=0.0, state=st,
+                                  ring_dtype=jnp.int8, ring_scales=scales,
+                                  interpret=True)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(c1), np.asarray(c2)], axis=1), b
+    )
+
+
+def test_batched_int8_requires_scales(tiny):
+    cfg, params = tiny
+    prime = jnp.zeros((2, 1), jnp.int32)
+    with pytest.raises(ValueError, match="ring_scales"):
+        generate_fast_batched(params, cfg, jax.random.PRNGKey(0), 8, prime,
+                              temperature=0.0, ring_dtype=jnp.int8,
+                              interpret=True)
