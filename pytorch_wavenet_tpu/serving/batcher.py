@@ -262,7 +262,12 @@ class ContinuousBatcher:
         # atomic under the GIL; stats() reads are a consistent-enough
         # snapshot for monitoring)
         self._n = dict(admitted=0, completed=0, cancelled=0, failed=0,
-                       samples_out=0, pool_steps=0, prime_calls=0)
+                       samples_out=0, pool_steps=0, prime_calls=0,
+                       # wire bytes (host<->device): chunk downloads at the
+                       # wire dtype, cond-slab + prime uploads — the
+                       # transport term the normalized capacity metric
+                       # (serving_bench --device-profile) divides out
+                       bytes_down=0, bytes_up=0)
         # cumulative worker-loop phase seconds (where serving wall time
         # goes: device dispatch, chunk materialize+distribute, admission,
         # idle wait; admission sub-phases prefixed t_prime/t_splice —
@@ -534,6 +539,7 @@ class ContinuousBatcher:
                     if p.cond is not None:
                         idx = np.minimum(np.arange(Fs), p.cond.shape[0] - 1)
                         slab[i] = p.cond[idx]
+                self._n["bytes_up"] += slab.size * self._cond_wire.itemsize
                 cond = self._expand_frames(
                     slab, jnp.zeros(b, jnp.int32), ng)
             else:
@@ -541,12 +547,14 @@ class ContinuousBatcher:
                 for i, p in enumerate(pends):
                     if p.cond is not None:
                         cond[i] = p.cond[:ng]
+                self._n["bytes_up"] += cond.size * 4
                 cond = jnp.asarray(cond)
         # prime calls pad to 128 streams, which can't satisfy head_tiles'
         # streams % (128*G) requirement — and a <=128-wide call doesn't need
         # head tiling anyway, so drop it here (chunk steps keep it)
         kw = {**self._kw, "head_tiles": None}
         self._n["prime_calls"] += 1
+        self._n["bytes_up"] += prime_np.size * 4
         t0 = time.perf_counter()
         _, cls, st = generate_fast_batched(
             self.params, self.cfg, self._next_key(), 1,
@@ -1111,6 +1119,7 @@ class ContinuousBatcher:
                     slab[k:] = slab[0]
                     phase[k:] = phase[0]
                     lane_of[k:] = lane_of[0]
+                self._n["bytes_up"] += slab.size * self._cond_wire.itemsize
                 if sparse:
                     cond = self._expand_frames_sparse(
                         slab, jnp.asarray(phase), jnp.asarray(lane_of), n)
@@ -1128,6 +1137,7 @@ class ContinuousBatcher:
                         k = min(n, act.cond.shape[0])
                         cond[act.lane, :k] = act.cond[:k]
                         act.cond = act.cond[k:]
+                self._n["bytes_up"] += cond.size * 4
                 cond = jnp.asarray(cond)
         self._n["pool_steps"] += 1
         if self.mesh is not None:
@@ -1160,6 +1170,7 @@ class ContinuousBatcher:
             sel[len(riders):] = sel[0]
             cls = jnp.take(cls, jnp.asarray(sel), axis=0)
             rows = {id(a): i for i, a in enumerate(riders)}
+        self._n["bytes_down"] += int(cls.shape[0]) * n * cls.dtype.itemsize
         return cls, riders, rows, n
 
     def _deliver_chunk(self, cls, riders, rows=None, n=None):

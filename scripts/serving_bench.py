@@ -101,6 +101,12 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--json", action="store_true",
                    help="emit one machine-readable JSON line at the end")
+    p.add_argument("--device-profile", action="store_true",
+                   help="trace the measured window with jax.profiler and "
+                        "report the transport-NORMALIZED capacity: device-"
+                        "time-bound aggregate + wire bytes/sample — stable "
+                        "across tunnel congestion, predicts attached-host "
+                        "capacity (VERDICT r4 #4)")
     return p.parse_args()
 
 
@@ -226,12 +232,21 @@ def main():
 
     threads = [threading.Thread(target=worker, args=(w,))
                for w in range(args.concurrency)]
+    stats0 = batcher.stats()  # subtract warm-up traffic from the window
+    prof_dir = None
+    if args.device_profile:
+        import tempfile
+
+        prof_dir = tempfile.mkdtemp(prefix="serving_prof_")
+        jax.profiler.start_trace(prof_dir)
     t_start = time.perf_counter()
     for t in threads:
         t.start()
     for t in threads:
         t.join()
     wall = time.perf_counter() - t_start
+    if prof_dir:
+        jax.profiler.stop_trace()
     stats = batcher.stats()
     batcher.close()
 
@@ -310,6 +325,69 @@ def main():
             q(phases["wait (submit->admitted)"], 95) * 1e3, 1)
         summary["ttfa_first_sync_p95_ms"] = round(
             q(phases["first-sample sync (admitted->first)"], 95) * 1e3, 1)
+    # ---- transport-normalized capacity (VERDICT r4 #4): the wall
+    # aggregate above rides the host link's congestion weather; the
+    # device-time-bound aggregate and wire bytes/sample are properties of
+    # the ENGINE, stable across sessions, and predict capacity on any
+    # attached host as 1 / (device_s_per_sample + bytes_per_sample / BW).
+    bytes_down = stats["bytes_down"] - stats0["bytes_down"]
+    bytes_up = stats["bytes_up"] - stats0["bytes_up"]
+    summary["bytes_down"] = bytes_down
+    summary["bytes_up"] = bytes_up
+    summary["wire_bytes_per_sample"] = round(
+        (bytes_down + bytes_up) / max(total, 1), 3)
+    if prof_dir:
+        import collections
+        import glob
+        import gzip
+
+        traces = glob.glob(os.path.join(prof_dir, "**", "*.trace.json.gz"),
+                           recursive=True)
+        busy_us = 0.0
+        if traces:
+            with gzip.open(traces[0]) as f:
+                data = json.load(f)
+            ev = data["traceEvents"]
+            pids = {e["pid"]: e["args"]["name"] for e in ev
+                    if e.get("ph") == "M" and e.get("name") == "process_name"}
+            # leaf device ops only (args carry source/tf_op): module-level
+            # "jit_*" spans include input-transfer stalls, which puts the
+            # tunnel weather right back into the metric (measured 2x run-
+            # to-run swing); leaf op durations are actual execution
+            busy_us = sum(
+                e["dur"] for e in ev
+                if e.get("ph") == "X" and "TPU" in pids.get(e["pid"], "")
+                and not e["name"].startswith("jit")
+                and ((e.get("args") or {}).get("source")
+                     or (e.get("args") or {}).get("tf_op"))
+            )
+        if busy_us:
+            device_busy_s = busy_us / 1e6
+            engine = total / device_busy_s
+            bps = (bytes_down + bytes_up) / max(total, 1)
+            summary["device_busy_s"] = round(device_busy_s, 3)
+            summary["device_bound_samples_per_s"] = round(engine)
+            print(
+                f"\ntransport-normalized capacity:\n"
+                f"  device busy {device_busy_s:.2f} s of {wall:.2f} s wall "
+                f"({device_busy_s/wall:.0%} duty)\n"
+                f"  device-time-bound aggregate: {engine:,.0f} samples/s "
+                f"({engine/args.sr:,.0f}x realtime)\n"
+                f"  wire: {bps:.2f} B/sample "
+                f"({bytes_down/1e6:.1f} MB down + {bytes_up/1e6:.1f} MB up "
+                f"over {total:,} samples)\n"
+                f"  predicted capacity = 1/(1/{engine:,.0f} + B_per_sample/"
+                f"link_BW): "
+                + ", ".join(
+                    f"{bw_name} {1.0/(1.0/engine + bps/bw):,.0f}/s"
+                    for bw_name, bw in (("50MB/s tunnel", 50e6),
+                                        ("1GB/s host", 1e9),
+                                        ("8GB/s host", 8e9))
+                )
+            )
+        else:
+            print("\n(device profile produced no TPU trace - normalized "
+                  "capacity unavailable on this backend)")
     if args.json:
         print(json.dumps(summary))
 
