@@ -96,6 +96,21 @@ def parse_args():
                    help="per-stream eval rollout length")
     p.add_argument("--eval-streams", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--student-flows", type=int, default=None,
+                   help="IAF flow count (default: the demo's 4) — the "
+                        "round-5 capacity-sweep axis")
+    p.add_argument("--student-width", type=int, default=None,
+                   help="IAF channel width (residual/dilation/skip/end; "
+                        "default 64)")
+    p.add_argument("--student-layers", type=int, default=None,
+                   help="IAF layers per block (default 10)")
+    p.add_argument("--student-blocks", type=int, default=None,
+                   help="IAF blocks (default 1; 2 doubles the per-flow "
+                        "receptive field — the deeper-dilation sweep cell)")
+    p.add_argument("--teacher-ckpt", default=None,
+                   help="reuse a saved demo teacher (from --out-dir) "
+                        "instead of retraining — the capacity sweep holds "
+                        "the teacher fixed across student cells")
     p.add_argument("--out-dir", default=None,
                    help="save teacher/student ckpts and eval wavs here")
     p.add_argument("--json", action="store_true")
@@ -178,6 +193,16 @@ def main():
         scfg = IAFConfig(flows=4, layers=10, blocks=1, residual_channels=64,
                          dilation_channels=64, skip_channels=64,
                          end_channels=64, cond_channels=tcfg.cond_channels)
+    if not args.smoke:
+        w = args.student_width or scfg.residual_channels
+        scfg = dataclasses.replace(
+            scfg,
+            flows=args.student_flows or scfg.flows,
+            layers=args.student_layers or scfg.layers,
+            blocks=args.student_blocks or scfg.blocks,
+            residual_channels=w, dilation_channels=w,
+            skip_channels=w, end_channels=w,
+        )
     rf = tcfg.receptive_field
     print(f"mode={args.mode} teacher rf={rf} params={tcfg.parameter_count():,}",
           flush=True)
@@ -200,6 +225,20 @@ def main():
     rng = np.random.default_rng(args.seed + 1)
     B = args.batch_size
     loss = None
+    if args.teacher_ckpt:
+        from pytorch_wavenet_tpu.utils.checkpoints import load_checkpoint
+
+        ck = load_checkpoint(args.teacher_ckpt)
+        if ck["cfg"] != tcfg:
+            raise SystemExit(
+                f"--teacher-ckpt config {ck['cfg']} != demo teacher {tcfg}")
+        params = jax.tree_util.tree_map(jnp.asarray, ck["params"])
+        # keep the data-rng stream identical to the trained path so the
+        # distillation windows match cell-for-cell across the sweep
+        for step in range(args.teacher_steps):
+            rng.integers(0, len(q) - item - 1, B)
+        args.teacher_steps = 0
+        print("teacher: loaded from checkpoint", flush=True)
     for step in range(args.teacher_steps):
         starts = rng.integers(0, len(q) - item - 1, B)
         x = np.stack([q[s : s + item] for s in starts])
@@ -212,7 +251,7 @@ def main():
             params, opt, tcfg, tx, jnp.asarray(x), jnp.asarray(y), cond=cond)
         if step % 500 == 0 or step == args.teacher_steps - 1:
             print(f"teacher step {step}: loss {float(loss):.3f}", flush=True)
-    teacher_loss = float(loss)
+    teacher_loss = float(loss) if loss is not None else float("nan")
 
     # ---------------- distillation
     # amplitude-matched init: Logistic(0,1) noise (std ~1.81) sits in the
