@@ -229,9 +229,10 @@ def main():
         from pytorch_wavenet_tpu.utils.checkpoints import load_checkpoint
 
         ck = load_checkpoint(args.teacher_ckpt)
-        if ck["cfg"] != tcfg:
+        if ck["config"] != tcfg:
             raise SystemExit(
-                f"--teacher-ckpt config {ck['cfg']} != demo teacher {tcfg}")
+                f"--teacher-ckpt config {ck['config']} != demo teacher "
+                f"{tcfg}")
         params = jax.tree_util.tree_map(jnp.asarray, ck["params"])
         # keep the data-rng stream identical to the trained path so the
         # distillation windows match cell-for-cell across the sweep

@@ -123,7 +123,7 @@ def main():
         from pytorch_wavenet_tpu.utils.checkpoints import load_checkpoint
 
         ck = load_checkpoint(args.snapshot)
-        params, cfg = ck["params"], ck["cfg"]
+        params, cfg = ck["params"], ck["config"]
     else:
         cfg = wt.get_config(args.config)
         params = wt.init_wavenet(jax.random.PRNGKey(args.seed), cfg)
