@@ -107,6 +107,11 @@ def parse_args():
     p.add_argument("--student-blocks", type=int, default=None,
                    help="IAF blocks (default 1; 2 doubles the per-flow "
                         "receptive field — the deeper-dilation sweep cell)")
+    p.add_argument("--rms-per-item", action="store_true",
+                   help="per-draw level regulation (each draw pinned to "
+                        "its ref window's RMS) even in uncond mode — the "
+                        "vocoder mode's regulator; for uncond it acts as "
+                        "a lower-variance level pin")
     p.add_argument("--teacher-ckpt", default=None,
                    help="reuse a saved demo teacher (from --out-dir) "
                         "instead of retraining — the capacity sweep holds "
@@ -297,7 +302,7 @@ def main():
             dB, dlen, cond=cond, audio_ref=ref_step,
             power_weight=args.power_weight, rms_weight=args.rms_weight,
             teacher_smooth=args.teacher_smooth,
-            rms_per_item=cond_full is not None)
+            rms_per_item=args.rms_per_item or cond_full is not None)
         kls.append(float(aux["kl"]))
         rmss.append(float(aux["rms"]))
         if step % 500 == 0 or step == args.distill_steps - 1:
