@@ -37,10 +37,15 @@ def main():
         # continuous guard for the TPU-only bf16 gated-unit emission path
         # (VERDICT r4 #5): every driver-captured bench run re-verifies the
         # bitwise contract the production training step rests on
-        from pytorch_wavenet_tpu.utils.checks import verify_bf16_emission
+        from pytorch_wavenet_tpu.utils.checks import (
+            verify_bf16_emission,
+            verify_embed_rows,
+        )
 
         verify_bf16_emission()
         print("# bf16-emission bitwise check: OK", file=sys.stderr)
+        verify_embed_rows()
+        print("# embed one-hot-lowering bitwise check: OK", file=sys.stderr)
     if on_tpu:
         # fuse_res pre-multiplies each layer's residual 1x1 into the next
         # layer's gate weights so the serial chain is one dot per layer —

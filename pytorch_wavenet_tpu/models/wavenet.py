@@ -199,20 +199,42 @@ def _mm(a, w, dtype):
                       preferred_element_type=jnp.float32)
 
 
+def _embed_rows_impl(w, x):
+    """Exact row lookup ``w[x]``. On TPU this runs as a one-hot matmul at
+    ``Precision.HIGHEST`` — XLA's row gather lowers serially (0.199 ms at
+    chaconne_wide training shapes) while the bf16x-pass MXU contraction
+    of a one-hot against f32 rows reproduces the rows BITWISE (each
+    output is 1.0 x the exactly-split operand, re-assembled in f32;
+    verified on hardware, and re-verified every bench run —
+    utils/checks.verify_embed_rows) at 0.070 ms. Default-precision
+    matmuls are NOT bitwise here (single bf16 rounding of w, ~1e-4), so
+    the precision pin is load-bearing. The CPU backend keeps the gather:
+    HIGHEST hangs its compile (CLAUDE.md) and its gather is fine."""
+    if jax.default_backend() == "tpu":
+        onehot = jax.nn.one_hot(x, w.shape[0], dtype=jnp.float32)
+        return lax.dot_general(
+            onehot, w.astype(jnp.float32),
+            (((x.ndim,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(w.dtype)
+    return jnp.take(w, x, axis=0)
+
+
 @jax.custom_vjp
 def _embed_rows(w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Row gather ``w[x]`` with a matmul backward.
 
     The forward stays an exact row copy (bitwise what the generation paths
-    compute). The default vjp of a gather is a scatter-add — ~0.5 ms/step
+    compute; see :func:`_embed_rows_impl` for the TPU lowering). The
+    default vjp of a gather is a scatter-add — ~0.5 ms/step
     at chaconne_wide training shapes (73k rows into (256, 32)) on a v5e —
     so the backward computes ``dW = one_hot(x)^T @ dh`` as one MXU
     contraction instead (measured: the whole scatter cost disappears)."""
-    return jnp.take(w, x, axis=0)
+    return _embed_rows_impl(w, x)
 
 
 def _embed_rows_fwd(w, x):
-    return jnp.take(w, x, axis=0), (x, w.shape[0])
+    return _embed_rows_impl(w, x), (x, w.shape[0])
 
 
 def _embed_rows_bwd(res, dh):

@@ -88,3 +88,31 @@ def verify_bf16_emission(batch: int = 2, out_len: int = 128) -> bool:
             "contract; see models/wavenet.py u5_dt and docs/PERF.md."
         )
     return True
+
+
+def verify_embed_rows(batch: int = 4, length: int = 4093) -> bool:
+    """Assert the TPU embed lowering (one-hot matmul at HIGHEST precision,
+    models/wavenet.py _embed_rows_impl) reproduces the row gather bitwise
+    at training shapes. Returns False (skipped) off-TPU."""
+    if jax.default_backend() != "tpu":
+        return False
+
+    import pytorch_wavenet_tpu as wt
+    from pytorch_wavenet_tpu.models.wavenet import _embed_rows_impl
+
+    cfg = wt.get_config("chaconne")
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    w = params["start"]["w"]
+    x = jax.random.randint(jax.random.PRNGKey(2), (batch, length), 0,
+                           cfg.classes)
+    a = np.asarray(jax.jit(lambda w, x: jnp.take(w, x, axis=0))(w, x))
+    b = np.asarray(jax.jit(_embed_rows_impl)(w, x))
+    mism = int(np.sum(a.view(np.uint32) != b.view(np.uint32)))
+    if mism:
+        raise AssertionError(
+            f"TPU embed one-hot lowering drifted from the row gather: "
+            f"{mism} mismatched elements of {a.size} — the generation-"
+            "path bitwise equivalences rest on this (models/wavenet.py "
+            "_embed_rows_impl)."
+        )
+    return True
