@@ -206,6 +206,31 @@ def test_serving_bench_cli_smoke():
     assert blob["completed"] == 4 and blob["failed"] == 0
     assert 0 < blob["ttfa_p50_ms"] <= blob["ttfa_p95_ms"]
     assert blob["latency_p50_s"] <= blob["latency_p95_s"]
+    # wire-byte counters feed the transport-normalized capacity metric
+    assert blob["bytes_down"] > 0 and blob["wire_bytes_per_sample"] > 0
+
+
+def test_serving_bench_cli_snapshot(tmp_path):
+    """--snapshot loads a saved checkpoint (regression: the loader dict
+    key is 'config', not 'cfg' — a KeyError here once broke every
+    snapshot-driven bench)."""
+    sys.path.insert(0, REPO)
+    import jax
+
+    import pytorch_wavenet_tpu as wt
+    from pytorch_wavenet_tpu.utils.checkpoints import save_checkpoint
+
+    cfg = wt.get_config("tiny")
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    path = save_checkpoint(str(tmp_path), "tiny", 1, params, cfg=cfg)
+    r = run([
+        "scripts/serving_bench.py", "--interpret", "--snapshot", path,
+        "--lanes", "2", "--chunk", "32", "--concurrency", "1",
+        "--requests", "2", "--num-samples", "48", "--json",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    blob = json.loads(r.stdout.strip().splitlines()[-1])
+    assert blob["completed"] == 2 and blob["failed"] == 0
 
 
 def test_train_cli_schedule_and_accum(audio_dir, tmp_path):
