@@ -112,6 +112,9 @@ def parse_args():
                         "its ref window's RMS) even in uncond mode — the "
                         "vocoder mode's regulator; for uncond it acts as "
                         "a lower-variance level pin")
+    p.add_argument("--teacher-width", type=int, default=None,
+                   help="demo teacher residual/dilation channels "
+                        "(default 32) — the jointly-scaled-teacher axis")
     p.add_argument("--teacher-ckpt", default=None,
                    help="reuse a saved demo teacher (from --out-dir) "
                         "instead of retraining — the capacity sweep holds "
@@ -190,8 +193,9 @@ def main():
                          end_channels=8,
                          cond_channels=tcfg.cond_channels)
     else:
+        tw = args.teacher_width or 32
         tcfg = wt.WaveNetConfig(
-            layers=9, blocks=2, dilation_channels=32, residual_channels=32,
+            layers=9, blocks=2, dilation_channels=tw, residual_channels=tw,
             skip_channels=512, end_channels=256, output_length=1024,
             bias=True,
             cond_channels=n_mels if args.mode == "vocoder" else 0)
