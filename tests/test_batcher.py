@@ -851,6 +851,15 @@ def test_deliver_firsts_device_error_resolves_handles(tiny):
             h.result(timeout=1)
     assert b._n["failed"] == 2
 
+    # the worker follows a _deliver_firsts error with _fail_all; riders it
+    # already counted+finished must NOT be re-counted (round-4 advisor:
+    # stats()['failed'] double-counted on a prime runtime error)
+    b.lanes = 2
+    b._active = [SimpleNamespace(handle=h1), SimpleNamespace(handle=h2)]
+    b._fail_all(RuntimeError("restart"))
+    assert b._n["failed"] == 2
+    assert b._active == [] and b._state is None
+
 
 def test_cond_wire_bf16_matches_rounded_solo():
     """Opt-in bf16 mel wire: a bf16-wire pool's response is bitwise equal
