@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""Serving endurance soak: randomized mixed load against one pool.
+
+Where `serving_bench.py` measures steady-state capacity under uniform
+load, this drives the batcher the way long-lived production traffic
+does — mixed request lengths (including single-sample), mixed
+temperatures, mid-flight cancellations, bursts and lulls — for
+``--seconds``, then asserts the pool's lifecycle invariants:
+
+* every submitted handle resolved (completed, cancelled, or failed —
+  nothing hangs);
+* counter coherence: ``admitted == completed + cancelled + failed`` and
+  ``outstanding == 0`` after drain, every lane free;
+* spot-checked exactness: a sample of greedy (temperature-0) requests
+  must equal their solo rollouts bitwise (the reproducibility contract
+  under arbitrary interleaving);
+* host memory stays bounded (RSS growth over the soak is reported; a
+  leaky pool shows up as monotonic growth per 1k requests).
+
+CPU smoke (seconds-scale, interpret kernel):
+  WAVENET_TPU_FORCE_CPU=1 python scripts/serving_soak.py --interpret \
+      --config tiny --lanes 3 --chunk 32 --seconds 5 --max-samples 128
+TPU soak:
+  python scripts/serving_soak.py --config chaconne --lanes 256 \
+      --skip-slab --seconds 300
+"""
+
+import os
+
+if os.environ.get("WAVENET_TPU_FORCE_CPU"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
+import argparse
+import json
+import resource
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default="chaconne")
+    p.add_argument("--lanes", type=int, default=256)
+    p.add_argument("--chunk", type=int, default=2048)
+    p.add_argument("--seconds", type=float, default=300.0)
+    p.add_argument("--workers", type=int, default=16)
+    p.add_argument("--max-samples", type=int, default=16000)
+    p.add_argument("--cancel-rate", type=float, default=0.1)
+    p.add_argument("--check-rate", type=float, default=0.05,
+                   help="fraction of greedy requests verified against a "
+                        "solo rollout (bitwise)")
+    p.add_argument("--ring-dtype", choices=("f32", "bf16"), default="bf16")
+    p.add_argument("--skip-slab", action="store_true")
+    p.add_argument("--interpret", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--json", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    from pytorch_wavenet_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    args = parse_args()
+
+    import pytorch_wavenet_tpu as wt
+    from pytorch_wavenet_tpu.serving import ContinuousBatcher
+    from pytorch_wavenet_tpu.serving.batcher import RequestCancelled
+
+    cfg = wt.get_config(args.config)
+    params = wt.init_wavenet(jax.random.PRNGKey(args.seed), cfg)
+    b = ContinuousBatcher(
+        params, cfg, lanes=args.lanes, chunk=args.chunk, seed=args.seed,
+        interpret=args.interpret,
+        ring_dtype=jnp.bfloat16 if args.ring_dtype == "bf16"
+        else jnp.float32,
+        skip_slab=args.skip_slab,
+    )
+    b.prewarm()
+
+    # solo oracle for the greedy spot checks (same kernel settings as the
+    # pool, one stream, the request's own seed)
+    def solo(prime, n, seed):
+        from pytorch_wavenet_tpu.ops.pallas.gen_kernel_hbm import (
+            generate_fast_batched,
+        )
+
+        _, cls = generate_fast_batched(
+            params, cfg, jax.random.PRNGKey(0), n, prime[None],
+            temperature=jnp.zeros((1,)),
+            lane_seed=jnp.asarray([seed], jnp.int32),
+            interpret=args.interpret, **b._kw,
+        )
+        return np.asarray(cls[0])
+
+    stop = time.monotonic() + args.seconds
+    lock = threading.Lock()
+    counts = dict(submitted=0, completed=0, cancelled=0, failed=0,
+                  checked=0, mismatched=0, hung=0)
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+
+    def worker(wid):
+        rng = np.random.default_rng((args.seed, wid))
+        while time.monotonic() < stop:
+            n = int(rng.choice([1, 7, rng.integers(2, args.max_samples)]))
+            temp = float(rng.choice([0.0, 1.0]))
+            seed = int(rng.integers(0, 1 << 30))
+            prime = np.asarray([cfg.classes // 2], np.int32)
+            with lock:
+                counts["submitted"] += 1
+            try:
+                h = b.submit(prime, n, temperature=temp, seed=seed)
+            except RuntimeError:  # pool closing at soak end
+                with lock:
+                    counts["submitted"] -= 1
+                return
+            if rng.random() < args.cancel_rate:
+                time.sleep(float(rng.random() * 0.05))
+                h.cancel()
+            try:
+                _, cls = h.result(timeout=600)
+            except RequestCancelled:
+                with lock:
+                    counts["cancelled"] += 1
+                continue
+            except TimeoutError:
+                with lock:
+                    counts["hung"] += 1
+                continue
+            except BaseException:
+                with lock:
+                    counts["failed"] += 1
+                continue
+            with lock:
+                counts["completed"] += 1
+            if temp == 0.0 and n <= 4 * args.chunk \
+                    and rng.random() < args.check_rate:
+                ok = np.array_equal(cls, solo(jnp.asarray(prime), n, seed))
+                with lock:
+                    counts["checked"] += 1
+                    counts["mismatched"] += 0 if ok else 1
+
+    threads = [threading.Thread(target=worker, args=(w,))
+               for w in range(args.workers)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    b.close(drain=True, timeout=600)
+    stats = b.stats()
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+
+    report = {
+        **counts,
+        "wall_s": round(wall, 1),
+        "pool_admitted": stats["admitted"],
+        "pool_completed": stats["completed"],
+        "pool_cancelled": stats["cancelled"],
+        "pool_failed": stats["failed"],
+        "pool_outstanding": stats["outstanding"],
+        "pool_free": stats["free"],
+        "pool_steps": stats["pool_steps"],
+        "rss_growth_mb": round((rss1 - rss0) / 1024, 1),
+    }
+    print(json.dumps(report) if args.json else report)
+
+    problems = []
+    if counts["hung"]:
+        problems.append(f"{counts['hung']} requests hung")
+    if counts["mismatched"]:
+        problems.append(f"{counts['mismatched']} greedy mismatches")
+    if stats["outstanding"] != 0:
+        problems.append(f"outstanding={stats['outstanding']} after drain")
+    if stats["free"] != args.lanes:
+        problems.append(f"leaked lanes: free={stats['free']}")
+    if stats["admitted"] != (stats["completed"] + stats["cancelled"]
+                             + stats["failed"]):
+        problems.append("counter incoherence: admitted != "
+                        "completed+cancelled+failed")
+    if problems:
+        raise SystemExit("SOAK FAILED: " + "; ".join(problems))
+    print(f"soak OK: {counts['completed']} completed / "
+          f"{counts['cancelled']} cancelled / {counts['checked']} spot-"
+          f"checked bitwise over {wall:.0f} s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -370,3 +370,17 @@ def test_distill_demo_cli_smoke(tmp_path):
     assert blob["mode"] == "vocoder" and "rms_ratio" in blob
     assert os.path.exists(os.path.join(out, "student_vocoder.wav"))
     assert os.path.exists(os.path.join(out, "metrics_vocoder.json"))
+
+
+def test_serving_soak_cli_smoke():
+    """Randomized endurance soak completes and its lifecycle invariants
+    hold (hangs, lane leaks, and counter incoherence raise)."""
+    r = run([
+        "scripts/serving_soak.py", "--interpret", "--config", "tiny",
+        "--lanes", "3", "--chunk", "32", "--seconds", "3",
+        "--max-samples", "96", "--workers", "3", "--json",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    blob = json.loads(r.stdout.strip().splitlines()[-1])
+    assert blob["hung"] == 0 and blob["mismatched"] == 0
+    assert blob["pool_outstanding"] == 0 and blob["pool_free"] == 3
