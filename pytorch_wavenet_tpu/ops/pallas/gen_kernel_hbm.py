@@ -291,6 +291,21 @@ def _make_kernel(cfg: WaveNetConfig, streams: int, num_given: int, total: int,
                 for l in range(L):
                     if dil[l] == 1 or not prefetch:
                         issue_taps(l, ta)
+                    elif resume:
+                        # prefetch covers d>=2 taps from the PREVIOUS
+                        # step — which does not exist for the first step
+                        # of a resumed execution. Un-issued taps whose
+                        # ta >= m wait-gates are open (every resumed
+                        # chunk after the first: toff >= 2) deadlock the
+                        # semaphore wait and the watchdog kills the
+                        # device worker — found round 5 by the serving
+                        # soak (the staged path always re-issues by
+                        # absolute time and never had the bug; CPU
+                        # interpret mode has no real semaphores, which
+                        # is why four rounds of tests missed it).
+                        @pl.when(t == 0)
+                        def _(l=l):
+                            issue_taps(l, ta)
 
             # embed: one-hot (C, NSg) per head tile, h = w_startT @ onehot
             if G > 1:

@@ -98,20 +98,42 @@ def main():
             params, cfg, jax.random.PRNGKey(0), n, prime[None],
             temperature=jnp.zeros((1,)),
             lane_seed=jnp.asarray([seed], jnp.int32),
-            interpret=args.interpret, **b._kw,
+            **b._kw,  # carries interpret + the pool's kernel settings
         )
         return np.asarray(cls[0])
 
-    stop = time.monotonic() + args.seconds
     lock = threading.Lock()
     counts = dict(submitted=0, completed=0, cancelled=0, failed=0,
-                  checked=0, mismatched=0, hung=0)
+                  checked=0, mismatched=0, hung=0, worker_errors=0)
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
 
+    # fixed size palette: request sizes don't change pool programs (splice
+    # and download widths bucket to powers of two), but each distinct size
+    # compiles a fresh SOLO oracle — unbounded sizes once turned the spot
+    # checker into a compile storm that crashed the device worker
+    sizes = sorted({1, 7, 64, 501, 1024, min(2048, args.max_samples),
+                    min(5000, args.max_samples), args.max_samples})
+    if args.check_rate > 0:
+        # compile the solo oracles for every checkable size BEFORE the
+        # clock starts (each distinct length is a fresh program)
+        for n in sizes:
+            if n <= 4 * args.chunk:
+                solo(jnp.asarray([cfg.classes // 2], jnp.int32), n, 0)
+    stop = time.monotonic() + args.seconds
+
     def worker(wid):
+        try:
+            _worker(wid)
+        except BaseException as e:
+            print(f"worker {wid} died: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+            with lock:
+                counts["worker_errors"] += 1
+
+    def _worker(wid):
         rng = np.random.default_rng((args.seed, wid))
         while time.monotonic() < stop:
-            n = int(rng.choice([1, 7, rng.integers(2, args.max_samples)]))
+            n = int(rng.choice(sizes))
             temp = float(rng.choice([0.0, 1.0]))
             seed = int(rng.integers(0, 1 << 30))
             prime = np.asarray([cfg.classes // 2], np.int32)
@@ -144,7 +166,15 @@ def main():
                 counts["completed"] += 1
             if temp == 0.0 and n <= 4 * args.chunk \
                     and rng.random() < args.check_rate:
-                ok = np.array_equal(cls, solo(jnp.asarray(prime), n, seed))
+                try:
+                    ok = np.array_equal(cls,
+                                        solo(jnp.asarray(prime), n, seed))
+                except BaseException as e:
+                    print(f"solo check error: {type(e).__name__}: {e}",
+                          file=sys.stderr, flush=True)
+                    with lock:
+                        counts["worker_errors"] += 1
+                    continue
                 with lock:
                     counts["checked"] += 1
                     counts["mismatched"] += 0 if ok else 1
@@ -184,10 +214,16 @@ def main():
         problems.append(f"outstanding={stats['outstanding']} after drain")
     if stats["free"] != args.lanes:
         problems.append(f"leaked lanes: free={stats['free']}")
-    if stats["admitted"] != (stats["completed"] + stats["cancelled"]
-                             + stats["failed"]):
-        problems.append("counter incoherence: admitted != "
-                        "completed+cancelled+failed")
+    # cancels can land BEFORE admission (still counted `cancelled`), so
+    # the coherent invariant is: lane-admitted work resolves as completed,
+    # failed, or a post-admission cancel
+    gap = stats["admitted"] - stats["completed"] - stats["failed"]
+    if not (0 <= gap <= stats["cancelled"]):
+        problems.append(
+            f"counter incoherence: admitted - completed - failed = {gap} "
+            f"not within [0, cancelled={stats['cancelled']}]")
+    if counts["worker_errors"]:
+        problems.append(f"{counts['worker_errors']} worker errors")
     if problems:
         raise SystemExit("SOAK FAILED: " + "; ".join(problems))
     print(f"soak OK: {counts['completed']} completed / "

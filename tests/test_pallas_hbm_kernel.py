@@ -761,3 +761,34 @@ def test_batched_int8_requires_scales(tiny):
         generate_fast_batched(params, cfg, jax.random.PRNGKey(0), 8, prime,
                               temperature=0.0, ring_dtype=jnp.int8,
                               interpret=True)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="the deadlock needs real DMA semaphores")
+def test_prefetch_resume_chunks_bitwise_on_tpu():
+    """Hardware regression (round 5): unstaged big-head configs take the
+    cross-step tap-prefetch path, whose first resumed step used to wait
+    on taps no step had issued — every resumed chunk after the first
+    (clock offset >= 2) deadlocked the device worker. Three pipelined
+    resumed chunks must run AND equal the single shot bitwise."""
+    cfg = wt.get_config(
+        "tiny", skip_channels=512, end_channels=512, layers=4, blocks=2,
+    )  # S*E = 2^18: trips the prefetch gate; small rf keeps compile fast
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    S = 128
+    prime = jax.random.randint(
+        jax.random.PRNGKey(2), (S, cfg.receptive_field), 0, cfg.classes)
+    seeds = jnp.arange(S, dtype=jnp.int32)
+    key = jax.random.PRNGKey(3)
+    _, c_all = generate_fast_batched(
+        params, cfg, key, 384, prime, temperature=jnp.zeros((S,)),
+        lane_seed=seeds)
+    parts, st = [], None
+    for i in range(3):
+        _, c, st = generate_fast_batched(
+            params, cfg, key, 128, prime if i == 0 else None, state=st,
+            temperature=jnp.zeros((S,)), lane_seed=seeds,
+            return_state=True)
+        parts.append(c)
+    chunked = np.concatenate([np.asarray(c) for c in parts], axis=1)
+    np.testing.assert_array_equal(chunked, np.asarray(c_all))
