@@ -32,7 +32,13 @@ def main():
     import pytorch_wavenet_tpu as wt
     from pytorch_wavenet_tpu.ops.pallas.gen_kernel import generate_fast_fused
 
-    on_tpu = jax.devices()[0].platform == "tpu"
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except RuntimeError as e:  # device tunnel down: emit a metric anyway
+        print(f"# TPU backend unavailable ({e}); falling back to CPU",
+              file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        on_tpu = False
     if on_tpu and not os.environ.get("WAVENET_TPU_SKIP_EMISSION_CHECK"):
         # continuous guard for the TPU-only bf16 gated-unit emission path
         # (VERDICT r4 #5): every driver-captured bench run re-verifies the

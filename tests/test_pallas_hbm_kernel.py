@@ -792,3 +792,30 @@ def test_prefetch_resume_chunks_bitwise_on_tpu():
         parts.append(c)
     chunked = np.concatenate([np.asarray(c) for c in parts], axis=1)
     np.testing.assert_array_equal(chunked, np.asarray(c_all))
+
+
+def test_prefetch_resume_chunks_interpret():
+    """Interpret twin of the hardware regression above: the resumed-step-0
+    tap issues added by the fix must not corrupt the rollout logically
+    (double issues / wrong slots would break chunked == single)."""
+    cfg = wt.get_config(
+        "tiny", skip_channels=512, end_channels=512, layers=4, blocks=2,
+    )  # S*E trips the prefetch gate in _make_kernel
+    params = wt.init_wavenet(jax.random.PRNGKey(0), cfg)
+    S = 2
+    prime = jax.random.randint(
+        jax.random.PRNGKey(2), (S, cfg.receptive_field), 0, cfg.classes)
+    seeds = jnp.arange(S, dtype=jnp.int32)
+    key = jax.random.PRNGKey(3)
+    _, c_all = generate_fast_batched(
+        params, cfg, key, 24, prime, temperature=jnp.zeros((S,)),
+        lane_seed=seeds, interpret=True)
+    parts, st = [], None
+    for i in range(3):
+        _, c, st = generate_fast_batched(
+            params, cfg, key, 8, prime if i == 0 else None, state=st,
+            temperature=jnp.zeros((S,)), lane_seed=seeds,
+            return_state=True, interpret=True)
+        parts.append(c)
+    chunked = np.concatenate([np.asarray(c) for c in parts], axis=1)
+    np.testing.assert_array_equal(chunked, np.asarray(c_all))
