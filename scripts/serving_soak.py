@@ -55,6 +55,12 @@ def parse_args():
     p.add_argument("--workers", type=int, default=16)
     p.add_argument("--max-samples", type=int, default=16000)
     p.add_argument("--cancel-rate", type=float, default=0.1)
+    p.add_argument("--reload-every", type=float, default=0.0,
+                   help="seconds between live update_params swaps (0 = "
+                        "off) — exercises rolling weight updates under "
+                        "load. Spot checks are skipped while reloads are "
+                        "on (a mid-request swap legitimately changes the "
+                        "rollout)")
     p.add_argument("--check-rate", type=float, default=0.05,
                    help="fraction of greedy requests verified against a "
                         "solo rollout (bitwise)")
@@ -165,6 +171,7 @@ def main():
             with lock:
                 counts["completed"] += 1
             if temp == 0.0 and n <= 4 * args.chunk \
+                    and args.reload_every == 0 \
                     and rng.random() < args.check_rate:
                 try:
                     ok = np.array_equal(cls,
@@ -181,6 +188,16 @@ def main():
 
     threads = [threading.Thread(target=worker, args=(w,))
                for w in range(args.workers)]
+    if args.reload_every > 0:
+        def reloader():
+            k = 0
+            while time.monotonic() < stop:
+                time.sleep(args.reload_every)
+                k += 1
+                # same tree/shapes, different values — a real trainer swap
+                b.update_params(jax.tree_util.tree_map(
+                    lambda a: a * (1.0 + 1e-4 * (k % 3)), params))
+        threads.append(threading.Thread(target=reloader))
     t0 = time.perf_counter()
     for t in threads:
         t.start()
