@@ -5,6 +5,12 @@ Tests run on CPU with 8 virtual devices so multi-chip sharding paths
 for. The XLA flag must be set before the CPU backend initializes; the
 platform override must go through jax.config because the environment's
 'axon' PJRT plugin takes precedence over the JAX_PLATFORMS env var.
+
+Hardware sessions: ``WAVENET_TPU_TESTS_ON_TPU=1 python -m pytest
+tests/ -k on_tpu -q`` keeps the real TPU backend so the
+``@pytest.mark.skipif(jax.default_backend() != "tpu")`` regression tests
+(bf16 emission bitwise, prefetch-resume deadlock) actually execute —
+without it the CPU override below makes them permanently skipped.
 """
 
 import os
@@ -15,7 +21,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("WAVENET_TPU_TESTS_ON_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest
 
